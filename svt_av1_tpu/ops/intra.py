@@ -1,0 +1,168 @@
+"""AV1 intra predictors (JAX, batched).
+
+Normative prediction (AV1 spec §7.11.2; behavioral reference:
+intra_prediction.c svt_aom_*_predictor_*).  All predictors operate on
+prepared neighbor arrays and are batched over blocks:
+
+  above:      (B, W) int32 — reconstructed row above the block
+  left:       (B, H) int32 — reconstructed column left of the block
+  above_left: (B,)   int32 — corner sample
+  returns     (B, H, W) int32 prediction
+
+Neighbor preparation (availability substitution, edge extension) is in
+``prepare_neighbors`` and must be applied first — predictors assume all
+inputs are populated.
+
+Smooth weights / directional derivatives are normative spec tables loaded
+from codec/data/av1_intra_tables.npz.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svt_av1_tpu.codec import constants as cc
+
+_DATA = os.path.join(os.path.dirname(__file__), "..", "codec", "data",
+                     "av1_intra_tables.npz")
+
+SM_WEIGHT_LOG2 = 8
+
+
+@functools.lru_cache(maxsize=1)
+def _tables():
+    return dict(np.load(_DATA))
+
+
+@functools.lru_cache(maxsize=None)
+def sm_weights(n: int) -> np.ndarray:
+    """Smooth weights for block dimension n (spec Sm_Weights_Tx_*)."""
+    arr = _tables()["sm_weight_arrays"]
+    return arr[n:2 * n].astype(np.int32)
+
+
+def dc_pred(above, left, bd: int = 8):
+    b, w = above.shape
+    h = left.shape[1]
+    total = jnp.sum(above, axis=1) + jnp.sum(left, axis=1)
+    avg = (total + ((w + h) >> 1)) // (w + h)
+    return jnp.broadcast_to(avg[:, None, None], (b, h, w))
+
+
+def dc_top_pred(above, h: int):
+    b, w = above.shape
+    avg = (jnp.sum(above, axis=1) + (w >> 1)) >> int(np.log2(w))
+    return jnp.broadcast_to(avg[:, None, None], (b, h, w))
+
+
+def dc_left_pred(left, w: int):
+    b, h = left.shape
+    avg = (jnp.sum(left, axis=1) + (h >> 1)) >> int(np.log2(h))
+    return jnp.broadcast_to(avg[:, None, None], (b, h, w))
+
+
+def dc_128_pred(b: int, h: int, w: int, bd: int = 8):
+    return jnp.full((b, h, w), 1 << (bd - 1), dtype=jnp.int32)
+
+
+def v_pred(above, h: int):
+    b, w = above.shape
+    return jnp.broadcast_to(above[:, None, :], (b, h, w))
+
+
+def h_pred(left, w: int):
+    b, h = left.shape
+    return jnp.broadcast_to(left[:, :, None], (b, h, w))
+
+
+def paeth_pred(above, left, above_left):
+    b, w = above.shape
+    h = left.shape[1]
+    t = above[:, None, :]           # (B,1,W)
+    l = left[:, :, None]            # (B,H,1)
+    tl = above_left[:, None, None]  # (B,1,1)
+    base = t + l - tl
+    p_t = jnp.abs(base - t)
+    p_l = jnp.abs(base - l)
+    p_tl = jnp.abs(base - tl)
+    pred = jnp.where((p_l <= p_t) & (p_l <= p_tl), l,
+                     jnp.where(p_t <= p_tl, t, tl))
+    return jnp.broadcast_to(pred, (b, h, w))
+
+
+def smooth_pred(above, left, h: int, w: int):
+    b = above.shape[0]
+    wh = jnp.asarray(sm_weights(h))          # (H,)
+    ww = jnp.asarray(sm_weights(w))          # (W,)
+    below = left[:, h - 1][:, None, None]    # bottom-left sample
+    right = above[:, w - 1][:, None, None]   # top-right sample
+    t = above[:, None, :]
+    l = left[:, :, None]
+    scale = 1 << SM_WEIGHT_LOG2
+    total = (wh[None, :, None] * t + (scale - wh[None, :, None]) * below +
+             ww[None, None, :] * l + (scale - ww[None, None, :]) * right)
+    log2 = SM_WEIGHT_LOG2 + 1
+    pred = (total + (1 << (log2 - 1))) >> log2
+    return jnp.broadcast_to(pred, (b, h, w))
+
+
+def smooth_v_pred(above, left, h: int, w: int):
+    b = above.shape[0]
+    wh = jnp.asarray(sm_weights(h))
+    below = left[:, h - 1][:, None, None]
+    t = above[:, None, :]
+    scale = 1 << SM_WEIGHT_LOG2
+    total = wh[None, :, None] * t + (scale - wh[None, :, None]) * below
+    pred = (total + (scale >> 1)) >> SM_WEIGHT_LOG2
+    return jnp.broadcast_to(pred, (b, h, w))
+
+
+def smooth_h_pred(above, left, h: int, w: int):
+    b = above.shape[0]
+    ww = jnp.asarray(sm_weights(w))
+    right = above[:, w - 1][:, None, None]
+    l = left[:, :, None]
+    scale = 1 << SM_WEIGHT_LOG2
+    total = ww[None, None, :] * l + (scale - ww[None, None, :]) * right
+    pred = (total + (scale >> 1)) >> SM_WEIGHT_LOG2
+    return jnp.broadcast_to(pred, (b, h, w))
+
+
+def predict(mode: int, above, left, above_left, h: int, w: int,
+            have_above=None, have_left=None, bd: int = 8):
+    """Dispatch a single intra mode (static) over a batch.
+
+    have_above/have_left: optional (B,) bool arrays — only DC consults them
+    (spec: DC averages only available edges); other modes rely on
+    ``prepare_neighbors`` substitution.
+    """
+    b = above.shape[0]
+    if mode == cc.DC_PRED:
+        if have_above is None:
+            return dc_pred(above, left, bd)
+        ha = have_above.astype(jnp.int32)
+        hl = have_left.astype(jnp.int32)
+        full = dc_pred(above, left, bd)
+        top = dc_top_pred(above, h)
+        lft = dc_left_pred(left, w)
+        none = dc_128_pred(b, h, w, bd)
+        return jnp.where((ha & hl)[:, None, None].astype(bool), full,
+               jnp.where(ha[:, None, None].astype(bool), top,
+               jnp.where(hl[:, None, None].astype(bool), lft, none)))
+    if mode == cc.V_PRED:
+        return v_pred(above, h)
+    if mode == cc.H_PRED:
+        return h_pred(left, w)
+    if mode == cc.SMOOTH_PRED:
+        return smooth_pred(above, left, h, w)
+    if mode == cc.SMOOTH_V_PRED:
+        return smooth_v_pred(above, left, h, w)
+    if mode == cc.SMOOTH_H_PRED:
+        return smooth_h_pred(above, left, h, w)
+    if mode == cc.PAETH_PRED:
+        return paeth_pred(above, left, above_left)
+    raise NotImplementedError(f"intra mode {mode}")

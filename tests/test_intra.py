@@ -1,0 +1,54 @@
+"""Intra predictor bit-exactness vs reference scalar kernels."""
+import ctypes
+
+import numpy as np
+import pytest
+
+from svt_av1_tpu.codec import constants as cc
+from svt_av1_tpu.ops import intra
+
+import oracle
+
+SIZES = [(4, 4), (8, 8), (16, 16), (32, 32), (64, 64),
+         (4, 8), (8, 4), (8, 16), (16, 8), (16, 32), (32, 16),
+         (4, 16), (16, 4), (8, 32), (32, 8), (64, 32), (32, 64),
+         (16, 64), (64, 16)]
+
+REF_NAMES = {
+    cc.DC_PRED: "dc_predictor",
+    cc.V_PRED: "v_predictor",
+    cc.H_PRED: "h_predictor",
+    cc.SMOOTH_PRED: "smooth_predictor",
+    cc.SMOOTH_V_PRED: "smooth_v_predictor",
+    cc.SMOOTH_H_PRED: "smooth_h_predictor",
+    cc.PAETH_PRED: "paeth_predictor",
+}
+
+
+@pytest.mark.skipif(not oracle.available(), reason="reference oracle not built")
+@pytest.mark.parametrize("mode", sorted(REF_NAMES))
+def test_intra_bitexact(mode):
+    lib = oracle.load()
+    rng = np.random.default_rng(mode)
+    for (w, h) in SIZES:
+        # the reference reads the corner sample at above[-1]: allocate w+1
+        # and pass a view offset by one so above[-1] is valid
+        full = rng.integers(0, 256, size=w + 1).astype(np.uint8)
+        above_ptr = full[1:]
+        left = rng.integers(0, 256, size=h).astype(np.uint8)
+        corner = full[0]
+
+        name = REF_NAMES[mode]
+        fn = getattr(lib, f"svt_aom_{name}_{w}x{h}_c")
+        dst = np.zeros((h, w), dtype=np.uint8)
+        fn.restype = None
+        fn(dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+           ctypes.c_ssize_t(w),
+           above_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+           left.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+
+        got = intra.predict(mode, above_ptr[None].astype(np.int32),
+                            left[None].astype(np.int32),
+                            np.array([corner], dtype=np.int32), h, w)
+        got = np.asarray(got)[0]
+        assert np.array_equal(got, dst.astype(np.int32)), (mode, w, h)

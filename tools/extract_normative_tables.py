@@ -161,6 +161,25 @@ def extract_scans():
     return out
 
 
+def extract_intra_tables():
+    """sm_weight_arrays + dr_intra_derivative from intra_prediction.c
+    (normative spec tables: Smooth_Weights / Dr_Intra_Derivative)."""
+    text = strip_comments(open(f"{REF}/intra_prediction.c").read())
+    out = {}
+    for name, pat, dt in [
+            ("sm_weight_arrays",
+             r"const uint8_t sm_weight_arrays\[[^\]]*\]\s*=\s*\{", np.uint8),
+            ("dr_intra_derivative",
+             r"static const uint16_t eb_dr_intra_derivative\[90\]\s*=\s*\{",
+             np.uint16)]:
+        m = re.search(pat, text)
+        init, _ = find_initializer(text, m.end() - 1)
+        arr = np.array(parse_nested(init), dtype=dt)
+        out[name] = arr
+        print(f"  {name}: {arr.shape}")
+    return out
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     print("CDFs:")
@@ -172,6 +191,9 @@ def main():
     print("Scans:")
     s = extract_scans()
     np.savez_compressed(os.path.join(OUT, "av1_scan_tables.npz"), **s)
+    print("Intra:")
+    it = extract_intra_tables()
+    np.savez_compressed(os.path.join(OUT, "av1_intra_tables.npz"), **it)
     print(f"wrote {len(cdfs)} cdfs, {len(q)} quant tables, {len(s)} scans -> {OUT}")
 
 
