@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Benchmark: all-intra CIF encode throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: reference SVT-AV1 v3.0.2 (C-only build, single-core host of
+this container) on the same synthetic 352x288 clip, all-intra
+(--keyint 1, preset capped to 10 by the reference), CRF 35:
+15.94 fps (measured 2026-08-16; see BASELINE.md).
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 15.94
+FRAMES = 16
+W, H = 352, 288
+
+
+def synth_frames(n):
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:H, 0:W]
+    out = []
+    for t in range(n):
+        y = (96 + 60 * np.sin(xx / 17.0 + t * 0.1)
+             + 50 * np.cos(yy / 23.0) + rng.integers(-5, 6, (H, W)))
+        y = np.clip(y, 0, 255).astype(np.uint8)
+        u = np.clip(128 + 40 * np.sin(xx[::2, ::2] / 31.0 + t * 0.05),
+                    0, 255).astype(np.uint8)
+        v = np.clip(128 + 40 * np.cos(yy[::2, ::2] / 29.0),
+                    0, 255).astype(np.uint8)
+        out.append((y, u, v))
+    return out
+
+
+def main():
+    from svt_av1_tpu.api.config import EncoderConfig
+    from svt_av1_tpu.api.encoder import Encoder
+
+    frames = synth_frames(FRAMES)
+    cfg = EncoderConfig(source_width=W, source_height=H, qp=35)
+    enc = Encoder(cfg)
+    # warmup (first frame compiles all wave steps)
+    enc.send_picture(*frames[0])
+    enc.get_packet()
+    t0 = time.time()
+    nbytes = 0
+    for f in frames[1:]:
+        enc.send_picture(*f)
+        nbytes += len(enc.get_packet().data)
+    dt = time.time() - t0
+    fps = (len(frames) - 1) / dt
+    print(json.dumps({
+        "metric": "cif_intra_encode_fps",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / BASELINE_FPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,88 @@
+"""Encoder handle + public API, mirroring EbSvtAv1Enc.h semantics:
+
+  Encoder(config)          ~ svt_av1_enc_init_handle + set_parameter + init
+  enc.send_picture(frame)  ~ svt_av1_enc_send_picture
+  enc.get_packet()         ~ svt_av1_enc_get_packet
+  enc.get_recon()          ~ svt_av1_get_recon
+  enc.stream_header()      ~ svt_av1_enc_stream_header
+
+Round 1: all-intra pipeline (every frame a key frame); the mini-GoP /
+DPB / rate-control stages land next (SURVEY.md §7 steps 4-5)."""
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from typing import Deque, Dict, Optional
+
+import numpy as np
+
+from svt_av1_tpu.api.config import EncoderConfig
+from svt_av1_tpu.codec import obu
+from svt_av1_tpu.codec.syntax import TileEncoder
+from svt_av1_tpu.pipeline import intra_encoder
+
+
+# mapping from CRF/QP (0..63) to AV1 qindex (0..255): qindex = qp * 4
+def qp_to_qindex(qp: int) -> int:
+    return min(255, max(1, qp * 4))
+
+
+@dataclasses.dataclass
+class Packet:
+    data: bytes
+    pts: int
+    frame_type: int
+    recon: Optional[Dict[str, np.ndarray]] = None
+
+
+class Encoder:
+    def __init__(self, config: EncoderConfig):
+        self.cfg = config.validate()
+        self.sp = obu.SequenceParams(width=config.source_width,
+                                     height=config.source_height,
+                                     bit_depth=config.encoder_bit_depth)
+        self._packets: Deque[Packet] = deque()
+        self._pts = 0
+        self._eos_sent = False
+
+    # -- API surface ---------------------------------------------------------
+    def stream_header(self) -> bytes:
+        return obu.write_sequence_header(self.sp)
+
+    def send_picture(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                     eos: bool = False):
+        """Feed one frame (planar numpy).  Round 1: synchronous encode."""
+        self._packets.append(self._encode_frame(y, u, v, self._pts))
+        self._pts += 1
+        if eos:
+            self._eos_sent = True
+
+    def send_eos(self):
+        self._eos_sent = True
+
+    def get_packet(self) -> Optional[Packet]:
+        if self._packets:
+            return self._packets.popleft()
+        return None
+
+    @property
+    def done(self) -> bool:
+        return self._eos_sent and not self._packets
+
+    # -- internals -----------------------------------------------------------
+    def _encode_frame(self, y, u, v, pts) -> Packet:
+        qindex = qp_to_qindex(self.cfg.qp)
+        decisions, recon = intra_encoder.encode_intra_frame(
+            np.asarray(y), np.asarray(u), np.asarray(v), qindex)
+        fp = obu.FrameParams(frame_type=obu.KEY_FRAME, show_frame=True,
+                             base_q_idx=qindex)
+        tenc = TileEncoder(self.sp.width, self.sp.height, qindex,
+                           reduced_tx_set=fp.reduced_tx_set,
+                           update_cdfs=not fp.disable_cdf_update)
+        tile_data = tenc.encode(decisions)
+        tu = obu.temporal_delimiter()
+        if pts == 0:
+            tu += obu.write_sequence_header(self.sp)
+        tu += obu.write_frame_obu(self.sp, fp, tile_data)
+        return Packet(data=tu, pts=pts, frame_type=obu.KEY_FRAME,
+                      recon=recon)

@@ -1,0 +1,81 @@
+"""CLI application — SvtAv1EncApp equivalent (reference Source/App).
+
+Usage:
+  python -m svt_av1_tpu.app.cli -i in.y4m -b out.ivf --preset 12 --crf 35
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from svt_av1_tpu.api.config import EncoderConfig, parse_parameter
+from svt_av1_tpu.api.encoder import Encoder
+from svt_av1_tpu.utils.ivf import IVFWriter
+from svt_av1_tpu.utils.y4m import Y4MReader
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="SvtAv1TpuEncApp",
+                                description="TPU-native AV1 encoder")
+    p.add_argument("-i", "--input", required=True, help="input .y4m")
+    p.add_argument("-b", "--output", required=True, help="output .ivf")
+    p.add_argument("--preset", type=int, default=10)
+    p.add_argument("--crf", type=int, default=35)
+    p.add_argument("--keyint", type=int, default=-2)
+    p.add_argument("-n", "--frames", type=int, default=0,
+                   help="max frames to encode (0 = all)")
+    p.add_argument("--svtav1-params", default="",
+                   help="colon-separated name=value pairs")
+    p.add_argument("--progress", type=int, default=1)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    reader = Y4MReader(args.input)
+    hdr = reader.header
+    cfg = EncoderConfig(source_width=hdr.width, source_height=hdr.height,
+                        encoder_bit_depth=hdr.bit_depth,
+                        frame_rate_numerator=hdr.fps_num,
+                        frame_rate_denominator=hdr.fps_den,
+                        enc_mode=args.preset, qp=args.crf,
+                        intra_period_length=args.keyint)
+    for tok in filter(None, args.svtav1_params.split(":")):
+        name, _, value = tok.partition("=")
+        parse_parameter(cfg, name, value)
+
+    enc = Encoder(cfg)
+    writer = IVFWriter(args.output, hdr.width, hdr.height,
+                       hdr.fps_num, hdr.fps_den)
+    t0 = time.time()
+    count = 0
+    psnr_acc = []
+    for frame in reader:
+        enc.send_picture(frame.y, frame.u, frame.v)
+        pkt = enc.get_packet()
+        writer.write_frame(pkt.data, pkt.pts)
+        if pkt.recon is not None:
+            mse = np.mean((pkt.recon["y"].astype(np.float64)
+                           - frame.y.astype(np.float64)) ** 2)
+            psnr_acc.append(99.0 if mse == 0 else
+                            10 * np.log10(255.0 ** 2 / mse))
+        count += 1
+        if args.progress:
+            print(f"\rencoded {count}", end="", file=sys.stderr)
+        if args.frames and count >= args.frames:
+            break
+    writer.close()
+    dt = time.time() - t0
+    fps = count / dt if dt > 0 else 0.0
+    print(file=sys.stderr)
+    print(f"Encoded {count} frames in {dt:.2f}s ({fps:.3f} fps)"
+          + (f", mean Y-PSNR {np.mean(psnr_acc):.2f} dB" if psnr_acc else ""),
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

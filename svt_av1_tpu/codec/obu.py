@@ -1,0 +1,483 @@
+"""AV1 OBU syntax: sequence header, frame header, OBU packaging.
+
+Normative bitstream writers (AV1 spec §5; behavioral reference:
+entropy_coding.c write_sequence_header / write_frame_header_obu and
+packetization_process.c).  Scope (round 1): 8-bit 4:2:0, single tile,
+key/intra frames, CDEF/LR/superres off — widened as those stages land.
+Readers for the verification decoder mirror each writer.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+from svt_av1_tpu.utils.bitio import BitReader, BitWriter, leb128, read_leb128
+
+# OBU types
+OBU_SEQUENCE_HEADER = 1
+OBU_TEMPORAL_DELIMITER = 2
+OBU_FRAME_HEADER = 3
+OBU_TILE_GROUP = 4
+OBU_METADATA = 5
+OBU_FRAME = 6
+OBU_REDUNDANT_FRAME_HEADER = 7
+OBU_PADDING = 15
+
+KEY_FRAME = 0
+INTER_FRAME = 1
+INTRA_ONLY_FRAME = 2
+S_FRAME = 3
+
+PRIMARY_REF_NONE = 7
+
+
+@dataclasses.dataclass
+class SequenceParams:
+    width: int
+    height: int
+    bit_depth: int = 8
+    monochrome: bool = False
+    seq_profile: int = 0
+    still_picture: bool = False
+    use_128x128_superblock: bool = False
+    enable_filter_intra: bool = False
+    enable_intra_edge_filter: bool = False
+    enable_order_hint: bool = False
+    order_hint_bits: int = 7
+    enable_superres: bool = False
+    enable_cdef: bool = False
+    enable_restoration: bool = False
+    film_grain_params_present: bool = False
+    seq_level_idx: int = 0
+    seq_tier: int = 0
+    subsampling_x: int = 1
+    subsampling_y: int = 1
+
+    def __post_init__(self):
+        if self.seq_level_idx == 0:
+            self.seq_level_idx = choose_level(self.width, self.height)
+
+
+# (level_idx, max_pic_size, max_h_size, max_v_size) — spec A.3
+_LEVELS = [
+    (0, 147456, 2048, 1152),    # 2.0
+    (1, 278784, 2816, 1584),    # 2.1
+    (4, 665856, 4352, 2448),    # 3.0
+    (5, 1065024, 5504, 3096),   # 3.1
+    (8, 2359296, 6144, 3456),   # 4.0
+    (9, 2359296, 6144, 3456),   # 4.1
+    (12, 8912896, 8192, 4352),  # 5.0
+    (13, 8912896, 8192, 4352),  # 5.1
+    (16, 35651584, 16384, 8704),  # 6.0
+    (17, 35651584, 16384, 8704),  # 6.1
+]
+
+
+def choose_level(w: int, h: int) -> int:
+    for idx, pic, mw, mh in _LEVELS:
+        if w * h <= pic and w <= mw and h <= mh:
+            return idx
+    return 31  # LEVEL_MAX (undefined level)
+
+
+@dataclasses.dataclass
+class FrameParams:
+    frame_type: int = KEY_FRAME
+    show_frame: bool = True
+    showable_frame: bool = False
+    error_resilient_mode: bool = False
+    disable_cdf_update: bool = False
+    base_q_idx: int = 50
+    tx_mode_select: bool = False   # False => TX_MODE_LARGEST
+    reduced_tx_set: bool = False
+    allow_screen_content_tools: bool = False
+    # loop filter (0 = off for round 1)
+    filter_level: Tuple[int, int] = (0, 0)
+    filter_level_uv: Tuple[int, int] = (0, 0)
+    sharpness: int = 0
+    # derived
+    order_hint: int = 0
+    refresh_frame_flags: int = 0xFF
+    disable_frame_end_update_cdf: bool = False
+
+
+def write_obu(obu_type: int, payload: bytes, temporal_id: int = 0,
+              has_size: bool = True) -> bytes:
+    """OBU header + size + payload."""
+    w = BitWriter()
+    w.f(0, 1)             # obu_forbidden_bit
+    w.f(obu_type, 4)
+    w.f(0, 1)             # obu_extension_flag
+    w.f(1 if has_size else 0, 1)  # obu_has_size_field
+    w.f(0, 1)             # obu_reserved_1bit
+    hdr = w.data()
+    if has_size:
+        return hdr + leb128(len(payload)) + payload
+    return hdr + payload
+
+
+def temporal_delimiter() -> bytes:
+    return write_obu(OBU_TEMPORAL_DELIMITER, b"")
+
+
+def write_sequence_header(sp: SequenceParams) -> bytes:
+    w = BitWriter()
+    w.f(sp.seq_profile, 3)
+    w.f(int(sp.still_picture), 1)
+    w.f(0, 1)   # reduced_still_picture_header
+    w.f(0, 1)   # timing_info_present_flag
+    w.f(0, 1)   # initial_display_delay_present_flag
+    w.f(0, 5)   # operating_points_cnt_minus_1
+    w.f(0, 12)  # operating_point_idc[0]
+    w.f(sp.seq_level_idx, 5)
+    if sp.seq_level_idx > 7:
+        w.f(sp.seq_tier, 1)
+    wbits = max(1, (sp.width - 1).bit_length())
+    hbits = max(1, (sp.height - 1).bit_length())
+    w.f(wbits - 1, 4)
+    w.f(hbits - 1, 4)
+    w.f(sp.width - 1, wbits)
+    w.f(sp.height - 1, hbits)
+    w.f(0, 1)   # frame_id_numbers_present_flag
+    w.f(int(sp.use_128x128_superblock), 1)
+    w.f(int(sp.enable_filter_intra), 1)
+    w.f(int(sp.enable_intra_edge_filter), 1)
+    # (not reduced_still_picture_header path)
+    w.f(0, 1)   # enable_interintra_compound
+    w.f(0, 1)   # enable_masked_compound
+    w.f(0, 1)   # enable_warped_motion
+    w.f(0, 1)   # enable_dual_filter
+    w.f(int(sp.enable_order_hint), 1)
+    if sp.enable_order_hint:
+        w.f(0, 1)   # enable_jnt_comp
+        w.f(0, 1)   # enable_ref_frame_mvs
+    # screen content tools: fixed off at sequence level =>
+    # seq_force_screen_content_tools = 0 and force_integer_mv implied;
+    # frames then code no allow_screen_content_tools bit
+    w.f(0, 1)   # seq_choose_screen_content_tools
+    w.f(0, 1)   # seq_force_screen_content_tools = 0
+    if sp.enable_order_hint:
+        w.f(sp.order_hint_bits - 1, 3)
+    w.f(int(sp.enable_superres), 1)
+    w.f(int(sp.enable_cdef), 1)
+    w.f(int(sp.enable_restoration), 1)
+    # color_config
+    w.f(0 if sp.bit_depth == 8 else 1, 1)  # high_bitdepth
+    if sp.seq_profile == 2 and sp.bit_depth == 12:
+        raise NotImplementedError
+    w.f(int(sp.monochrome), 1)
+    w.f(0, 1)   # color_description_present_flag
+    if sp.monochrome:
+        w.f(0, 1)  # color_range
+    else:
+        w.f(0, 1)  # color_range
+        # profile 0 => 4:2:0: subsampling implied
+        w.f(0, 2)  # chroma_sample_position
+        w.f(0, 1)  # separate_uv_delta_q
+    w.f(int(sp.film_grain_params_present), 1)
+    w.trailing_bits()
+    return write_obu(OBU_SEQUENCE_HEADER, w.data())
+
+
+def write_frame_header_bits(w: BitWriter, sp: SequenceParams,
+                            fp: FrameParams):
+    """Uncompressed frame header (no OBU wrapper, no trailing bits)."""
+    is_intra = fp.frame_type in (KEY_FRAME, INTRA_ONLY_FRAME)
+    w.f(0, 1)   # show_existing_frame
+    w.f(fp.frame_type, 2)
+    w.f(int(fp.show_frame), 1)
+    if not fp.show_frame:
+        w.f(int(fp.showable_frame), 1)
+    error_resilient = True if (
+        fp.frame_type == S_FRAME or
+        (fp.frame_type == KEY_FRAME and fp.show_frame)) else \
+        fp.error_resilient_mode
+    if not (fp.frame_type == S_FRAME or
+            (fp.frame_type == KEY_FRAME and fp.show_frame)):
+        w.f(int(fp.error_resilient_mode), 1)
+    w.f(int(fp.disable_cdf_update), 1)
+    # seq_force_screen_content_tools == 0 => allow_sct = 0, not coded
+    assert not fp.allow_screen_content_tools, \
+        "screen content tools require SELECT at sequence level"
+    # frame_size_override_flag
+    if fp.frame_type != S_FRAME:
+        w.f(0, 1)
+    if sp.enable_order_hint:
+        w.f(fp.order_hint, sp.order_hint_bits)
+    if not (is_intra or error_resilient):
+        w.f(PRIMARY_REF_NONE, 3)
+    if fp.frame_type == KEY_FRAME:
+        if not fp.show_frame:
+            w.f(fp.refresh_frame_flags, 8)
+    elif fp.frame_type == INTRA_ONLY_FRAME:
+        w.f(fp.refresh_frame_flags, 8)
+    else:
+        raise NotImplementedError("inter frames: next milestone")
+    # frame_size(): override=0 => from sequence; render_size
+    if sp.enable_superres:
+        w.f(0, 1)  # use_superres
+    w.f(0, 1)   # render_and_frame_size_different
+    if fp.allow_screen_content_tools:
+        w.f(0, 1)  # allow_intrabc (UpscaledWidth == FrameWidth)
+    if not fp.disable_cdf_update:
+        w.f(int(fp.disable_frame_end_update_cdf), 1)
+    # tile_info(): single tile
+    _write_tile_info(w, sp)
+    # quantization_params
+    w.f(fp.base_q_idx, 8)
+    w.f(0, 1)   # delta_q_y_dc present
+    if not sp.monochrome:
+        w.f(0, 1)  # delta_q_u_dc
+        w.f(0, 1)  # delta_q_u_ac
+    w.f(0, 1)   # using_qmatrix
+    # segmentation_params
+    w.f(0, 1)   # segmentation_enabled
+    # delta_q_params
+    if fp.base_q_idx > 0:
+        w.f(0, 1)  # delta_q_present
+    # delta_lf_params: only when delta_q_present
+    # loop_filter_params (CodedLossless=False, allow_intrabc=False)
+    w.f(fp.filter_level[0], 6)
+    w.f(fp.filter_level[1], 6)
+    if not sp.monochrome:
+        if fp.filter_level[0] or fp.filter_level[1]:
+            w.f(fp.filter_level_uv[0], 6)
+            w.f(fp.filter_level_uv[1], 6)
+    w.f(fp.sharpness, 3)
+    w.f(0, 1)   # loop_filter_delta_enabled
+    # cdef_params: skipped (seq enable_cdef=0)
+    if sp.enable_cdef:
+        raise NotImplementedError
+    # lr_params: skipped (seq enable_restoration=0)
+    if sp.enable_restoration:
+        raise NotImplementedError
+    # read_tx_mode
+    w.f(int(fp.tx_mode_select), 1)
+    # frame_reference_mode: intra => nothing
+    if not is_intra:
+        raise NotImplementedError
+    # skip_mode_params: skipModeAllowed=0 for intra => nothing
+    # allow_warped_motion: intra => nothing
+    w.f(int(fp.reduced_tx_set), 1)
+    # global_motion_params: intra => nothing
+    # film_grain_params: not present
+
+
+def write_frame_obu(sp: SequenceParams, fp: FrameParams,
+                    tile_data: bytes) -> bytes:
+    """OBU_FRAME = frame_header + byte-align + tile group (single tile)."""
+    w = BitWriter()
+    write_frame_header_bits(w, sp, fp)
+    w.byte_align()
+    # tile_group: NumTiles == 1 => no start/end flags, no size fields
+    payload = w.data() + tile_data
+    return write_obu(OBU_FRAME, payload)
+
+
+def _write_tile_info(w: BitWriter, sp: SequenceParams):
+    """Single-tile tile_info().  Mirrors spec 5.9.15 computations."""
+    sb_size = 128 if sp.use_128x128_superblock else 64
+    sb_shift = 7 if sp.use_128x128_superblock else 6
+    sb_cols = (sp.width + sb_size - 1) >> sb_shift
+    sb_rows = (sp.height + sb_size - 1) >> sb_shift
+    sb_size_log2 = sb_shift
+    max_tile_width_sb = 4096 >> sb_size_log2
+    max_tile_area_sb = (4096 * 2304) >> (2 * sb_size_log2)
+    min_log2_tile_cols = _tile_log2(max_tile_width_sb, sb_cols)
+    max_log2_tile_cols = _tile_log2(1, min(sb_cols, 64))
+    max_log2_tile_rows = _tile_log2(1, min(sb_rows, 64))
+    min_log2_tiles = max(min_log2_tile_cols,
+                         _tile_log2(max_tile_area_sb, sb_rows * sb_cols))
+    w.f(1, 1)  # uniform_tile_spacing_flag
+    # tile cols: target log2 = min_log2_tile_cols (we want as few as legal)
+    log2_cols = min_log2_tile_cols
+    cur = min_log2_tile_cols
+    while cur < max_log2_tile_cols:
+        if cur < log2_cols:
+            w.f(1, 1)
+            cur += 1
+        else:
+            w.f(0, 1)
+            break
+    # tile rows
+    min_log2_tile_rows = max(min_log2_tiles - log2_cols, 0)
+    log2_rows = min_log2_tile_rows
+    cur = min_log2_tile_rows
+    while cur < max_log2_tile_rows:
+        if cur < log2_rows:
+            w.f(1, 1)
+            cur += 1
+        else:
+            w.f(0, 1)
+            break
+    if log2_cols > 0 or log2_rows > 0:
+        w.f(0, log2_rows + log2_cols)  # context_update_tile_id
+        w.f(3, 2)  # tile_size_bytes_minus_1
+    if log2_cols != 0 or log2_rows != 0:
+        raise NotImplementedError(
+            "frame too large for a single tile; multi-tile lands with the "
+            "tile-parallel EC stage")
+
+
+def _tile_log2(blk_size: int, target: int) -> int:
+    k = 0
+    while (blk_size << k) < target:
+        k += 1
+    return k
+
+
+# ---------------------------------------------------------------------------
+# readers (verification decoder)
+# ---------------------------------------------------------------------------
+
+def parse_obus(data: bytes) -> List[Tuple[int, bytes]]:
+    """Split a temporal unit into (obu_type, payload) list."""
+    out = []
+    pos = 0
+    while pos < len(data):
+        b0 = data[pos]
+        obu_type = (b0 >> 3) & 0xF
+        ext = (b0 >> 2) & 1
+        has_size = (b0 >> 1) & 1
+        pos += 1
+        if ext:
+            pos += 1
+        if not has_size:
+            raise ValueError("OBU without size field")
+        size, pos = read_leb128(data, pos)
+        out.append((obu_type, data[pos:pos + size]))
+        pos += size
+    return out
+
+
+def read_sequence_header(payload: bytes) -> SequenceParams:
+    r = BitReader(payload)
+    profile = r.f(3)
+    still = r.f(1)
+    reduced = r.f(1)
+    assert not reduced
+    assert r.f(1) == 0  # timing
+    assert r.f(1) == 0  # initial display delay
+    op_cnt = r.f(5)
+    assert op_cnt == 0
+    r.f(12)
+    level = r.f(5)
+    tier = r.f(1) if level > 7 else 0
+    wbits = r.f(4) + 1
+    hbits = r.f(4) + 1
+    width = r.f(wbits) + 1
+    height = r.f(hbits) + 1
+    assert r.f(1) == 0  # frame ids
+    use128 = r.f(1)
+    filter_intra = r.f(1)
+    intra_edge = r.f(1)
+    r.f(1)  # interintra
+    r.f(1)  # masked
+    r.f(1)  # warped
+    r.f(1)  # dual filter
+    order_hint = r.f(1)
+    order_hint_bits = 0
+    if order_hint:
+        r.f(1)
+        r.f(1)
+    choose_sct = r.f(1)
+    force_sct = 2 if choose_sct else r.f(1)
+    if force_sct > 0:
+        choose_imv = r.f(1)
+        force_imv = 2 if choose_imv else r.f(1)
+    assert force_sct == 0, "verifier assumes screen content off"
+    if order_hint:
+        order_hint_bits = r.f(3) + 1
+    superres = r.f(1)
+    cdef = r.f(1)
+    restoration = r.f(1)
+    high_bd = r.f(1)
+    bit_depth = 10 if high_bd else 8
+    mono = r.f(1)
+    desc = r.f(1)
+    assert not desc
+    r.f(1)  # color_range
+    if not mono:
+        r.f(2)  # chroma sample position
+        r.f(1)  # separate_uv_delta_q
+    fg = r.f(1)
+    return SequenceParams(
+        width=width, height=height, bit_depth=bit_depth,
+        monochrome=bool(mono), seq_profile=profile,
+        still_picture=bool(still), use_128x128_superblock=bool(use128),
+        enable_filter_intra=bool(filter_intra),
+        enable_intra_edge_filter=bool(intra_edge),
+        enable_order_hint=bool(order_hint), order_hint_bits=order_hint_bits,
+        enable_superres=bool(superres), enable_cdef=bool(cdef),
+        enable_restoration=bool(restoration),
+        film_grain_params_present=bool(fg), seq_level_idx=level,
+        seq_tier=tier)
+
+
+def read_frame_header(r: BitReader, sp: SequenceParams) -> FrameParams:
+    fp = FrameParams()
+    assert r.f(1) == 0, "show_existing_frame unsupported in verifier"
+    fp.frame_type = r.f(2)
+    fp.show_frame = bool(r.f(1))
+    if not fp.show_frame:
+        fp.showable_frame = bool(r.f(1))
+    is_intra = fp.frame_type in (KEY_FRAME, INTRA_ONLY_FRAME)
+    if fp.frame_type == S_FRAME or (fp.frame_type == KEY_FRAME
+                                    and fp.show_frame):
+        error_resilient = True
+    else:
+        error_resilient = bool(r.f(1))
+    fp.error_resilient_mode = error_resilient
+    fp.disable_cdf_update = bool(r.f(1))
+    fp.allow_screen_content_tools = False  # seq_force_sct == 0
+    if fp.frame_type != S_FRAME:
+        assert r.f(1) == 0  # frame_size_override
+    if sp.enable_order_hint:
+        fp.order_hint = r.f(sp.order_hint_bits)
+    if not (is_intra or error_resilient):
+        assert r.f(3) == PRIMARY_REF_NONE
+    if fp.frame_type == KEY_FRAME:
+        if not fp.show_frame:
+            fp.refresh_frame_flags = r.f(8)
+    elif fp.frame_type == INTRA_ONLY_FRAME:
+        fp.refresh_frame_flags = r.f(8)
+    else:
+        raise NotImplementedError
+    if sp.enable_superres:
+        assert r.f(1) == 0
+    assert r.f(1) == 0  # render size
+    if fp.allow_screen_content_tools:
+        assert r.f(1) == 0  # allow_intrabc
+    if not fp.disable_cdf_update:
+        fp.disable_frame_end_update_cdf = bool(r.f(1))
+    # tile info (single tile)
+    assert r.f(1) == 1  # uniform spacing
+    sb_cols = (sp.width + 63) >> 6
+    sb_rows = (sp.height + 63) >> 6
+    max_log2_tile_cols = _tile_log2(1, min(sb_cols, 64))
+    max_log2_tile_rows = _tile_log2(1, min(sb_rows, 64))
+    min_log2_tile_cols = _tile_log2(4096 >> 6, sb_cols)
+    assert min_log2_tile_cols == 0
+    if max_log2_tile_cols > 0:
+        assert r.f(1) == 0
+    if max_log2_tile_rows > 0:
+        assert r.f(1) == 0
+    fp.base_q_idx = r.f(8)
+    assert r.f(1) == 0  # y dc delta
+    if not sp.monochrome:
+        assert r.f(1) == 0
+        assert r.f(1) == 0
+    assert r.f(1) == 0  # qm
+    assert r.f(1) == 0  # segmentation
+    if fp.base_q_idx > 0:
+        assert r.f(1) == 0  # delta_q_present
+    l0 = r.f(6)
+    l1 = r.f(6)
+    fp.filter_level = (l0, l1)
+    if not sp.monochrome and (l0 or l1):
+        fp.filter_level_uv = (r.f(6), r.f(6))
+    fp.sharpness = r.f(3)
+    assert r.f(1) == 0  # lf delta enabled
+    fp.tx_mode_select = bool(r.f(1))
+    fp.reduced_tx_set = bool(r.f(1))
+    return fp

@@ -1,0 +1,595 @@
+"""Tile-level AV1 syntax: partition tree, intra mode info, residual
+coding, and all neighbor-context state.
+
+Behavioral reference: entropy_coding.c (write_modes_b / svt_aom_write_sb,
+partition + kf mode contexts) and the AV1 spec decode_partition /
+intra_frame_mode_info / residual.  Encoder (`TileEncoder`) and parser
+(`TileDecoder`) share the context machinery so they stay in lockstep by
+construction.
+
+Round-1 scope: key/intra frames, 4:2:0, single tile, square partitions
+(NONE / SPLIT), TX_MODE_LARGEST.  Frame dims must be multiples of 8.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from svt_av1_tpu.codec import constants as cc
+from svt_av1_tpu.codec import tables as tb
+from svt_av1_tpu.codec import coeff as coeff_mod
+from svt_av1_tpu.codec.cdf import FrameCDFs
+from svt_av1_tpu.codec.entropy import RangeDecoder, RangeEncoder, update_cdf
+
+# spec tables ---------------------------------------------------------------
+
+INTRA_MODE_CONTEXT = np.array([0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0],
+                              dtype=np.int32)
+
+# partition_context_lookup (above, left) per block size
+PARTITION_CTX_LOOKUP = np.array([
+    (31, 31), (31, 30), (30, 31), (30, 30), (30, 28), (28, 30), (28, 28),
+    (28, 24), (24, 28), (24, 24), (24, 16), (16, 24), (16, 16), (16, 0),
+    (0, 16), (0, 0), (31, 28), (28, 31), (30, 24), (24, 30), (28, 16),
+    (16, 28)], dtype=np.int32)
+
+# square block size per partition depth starting at 64x64
+SQ_BSIZE = {64: cc.BLOCK_64X64, 32: cc.BLOCK_32X32, 16: cc.BLOCK_16X16,
+            8: cc.BLOCK_8X8, 4: cc.BLOCK_4X4}
+# max rect tx size for square block sizes (TX_MODE_LARGEST)
+MAX_TX = {cc.BLOCK_8X8: cc.TX_8X8, cc.BLOCK_16X16: cc.TX_16X16,
+          cc.BLOCK_32X32: cc.TX_32X32, cc.BLOCK_64X64: cc.TX_64X64}
+
+# ext-tx signaling tables (definitions.h / cabac_context_model.h)
+EXT_TX_SET_DCTONLY = 0
+EXT_TX_SET_DCT_IDTX = 1
+EXT_TX_SET_DTT4_IDTX = 2
+EXT_TX_SET_DTT4_IDTX_1DDCT = 3
+EXT_TX_SET_DTT9_IDTX_1DDCT = 4
+EXT_TX_SET_ALL16 = 5
+
+AV1_NUM_EXT_TX_SET = [1, 2, 5, 7, 12, 16]
+AV1_EXT_TX_IND = np.array([
+    [0] * 16,
+    [1] + [0] * 8 + [0] + [0] * 6,
+    [1, 3, 4, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    [1, 5, 6, 4, 0, 0, 0, 0, 0, 0, 2, 3, 0, 0, 0, 0],
+    [3, 4, 5, 8, 6, 7, 9, 10, 11, 0, 1, 2, 0, 0, 0, 0],
+    [7, 8, 9, 12, 10, 11, 13, 14, 15, 0, 1, 2, 3, 4, 5, 6]],
+    dtype=np.int32)
+AV1_EXT_TX_USED = np.array([
+    [1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    [1, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0],
+    [1, 1, 1, 1, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0],
+    [1, 1, 1, 1, 0, 0, 0, 0, 0, 1, 1, 1, 0, 0, 0, 0],
+    [1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0],
+    [1] * 16], dtype=np.int32)
+EXT_TX_SET_INDEX_INTRA = {EXT_TX_SET_DCTONLY: 0,
+                          EXT_TX_SET_DTT4_IDTX_1DDCT: 1,
+                          EXT_TX_SET_DTT4_IDTX: 2}
+
+# intra mode -> implied tx type (chroma / unsignaled; common_utils.h)
+INTRA_MODE_TO_TX_TYPE = np.array([
+    cc.DCT_DCT, cc.ADST_DCT, cc.DCT_ADST, cc.DCT_DCT, cc.ADST_ADST,
+    cc.ADST_DCT, cc.DCT_ADST, cc.DCT_ADST, cc.ADST_DCT, cc.ADST_ADST,
+    cc.ADST_DCT, cc.DCT_ADST, cc.ADST_ADST], dtype=np.int32)
+
+
+def get_ext_tx_set_type(tx_size: int, is_inter: bool, reduced: bool) -> int:
+    sqr_up = int(cc.tx_size_sqr_up[tx_size])
+    if sqr_up > cc.TX_32X32:
+        return EXT_TX_SET_DCTONLY
+    if sqr_up == cc.TX_32X32:
+        return EXT_TX_SET_DCT_IDTX if is_inter else EXT_TX_SET_DCTONLY
+    if reduced:
+        return EXT_TX_SET_DCT_IDTX if is_inter else EXT_TX_SET_DTT4_IDTX
+    sqr = int(cc.tx_size_sqr[tx_size])
+    if is_inter:
+        return (EXT_TX_SET_DTT9_IDTX_1DDCT if sqr == cc.TX_16X16
+                else EXT_TX_SET_ALL16)
+    return (EXT_TX_SET_DTT4_IDTX if sqr == cc.TX_16X16
+            else EXT_TX_SET_DTT4_IDTX_1DDCT)
+
+
+def max_chroma_tx_size(luma_bsize: int) -> int:
+    """Chroma tx size for 4:2:0 blocks (TX_MODE_LARGEST, sq blocks)."""
+    return {cc.BLOCK_8X8: cc.TX_4X4, cc.BLOCK_16X16: cc.TX_8X8,
+            cc.BLOCK_32X32: cc.TX_16X16, cc.BLOCK_64X64: cc.TX_32X32}[
+                luma_bsize]
+
+
+@dataclasses.dataclass
+class BlockDecision:
+    """Leaf coding decisions for one square block."""
+    r4: int                 # mi row
+    c4: int                 # mi col
+    bsize: int
+    y_mode: int
+    uv_mode: int
+    tx_type: int            # luma tx type
+    qcoeff_y: np.ndarray    # (txh, txw) int32 levels
+    qcoeff_u: Optional[np.ndarray]
+    qcoeff_v: Optional[np.ndarray]
+
+    @property
+    def skip(self) -> bool:
+        return (not self.qcoeff_y.any()
+                and (self.qcoeff_u is None or not self.qcoeff_u.any())
+                and (self.qcoeff_v is None or not self.qcoeff_v.any()))
+
+
+class ContextState:
+    """All neighbor-context state for one tile."""
+
+    def __init__(self, mi_rows: int, mi_cols: int):
+        self.mi_rows = mi_rows
+        self.mi_cols = mi_cols
+        self.above_part = np.zeros(mi_cols, dtype=np.int32)
+        self.left_part = np.zeros(mi_rows, dtype=np.int32)
+        # entropy (cul_level | dc_sign<<6) per plane, in plane 4x4 units
+        self.above_coeff = [np.zeros((mi_cols + 1) >> s, dtype=np.int32)
+                            for s in (0, 1, 1)]
+        self.left_coeff = [np.zeros((mi_rows + 1) >> s, dtype=np.int32)
+                           for s in (0, 1, 1)]
+        # MI grids
+        self.mi_mode = np.full((mi_rows, mi_cols), cc.DC_PRED, np.int32)
+        self.mi_skip = np.zeros((mi_rows, mi_cols), np.int32)
+        self.mi_coded = np.zeros((mi_rows, mi_cols), bool)
+
+    def start_sb_row(self):
+        self.left_part[:] = 0
+        for p in range(3):
+            self.left_coeff[p][:] = 0
+
+    # ---- partition ----
+    def partition_ctx(self, r4, c4, bsize) -> int:
+        bsl = int(np.log2(cc.block_size_wide[bsize])) - 3
+        above = (int(self.above_part[c4]) >> bsl) & 1
+        left = (int(self.left_part[r4]) >> bsl) & 1
+        return (left * 2 + above) + bsl * 4
+
+    def update_partition(self, r4, c4, subsize, bsize):
+        w4 = int(cc.block_size_wide[bsize]) >> 2
+        h4 = int(cc.block_size_high[bsize]) >> 2
+        av, lv = PARTITION_CTX_LOOKUP[subsize]
+        self.above_part[c4:c4 + w4] = av
+        self.left_part[r4:r4 + h4] = lv
+
+    # ---- modes ----
+    def kf_y_ctx(self, r4, c4):
+        above = (int(self.mi_mode[r4 - 1, c4])
+                 if r4 > 0 and self.mi_coded[r4 - 1, c4] else cc.DC_PRED)
+        left = (int(self.mi_mode[r4, c4 - 1])
+                if c4 > 0 and self.mi_coded[r4, c4 - 1] else cc.DC_PRED)
+        return int(INTRA_MODE_CONTEXT[above]), int(INTRA_MODE_CONTEXT[left])
+
+    def skip_ctx(self, r4, c4):
+        above = (int(self.mi_skip[r4 - 1, c4])
+                 if r4 > 0 and self.mi_coded[r4 - 1, c4] else 0)
+        left = (int(self.mi_skip[r4, c4 - 1])
+                if c4 > 0 and self.mi_coded[r4, c4 - 1] else 0)
+        return above + left
+
+    def set_block(self, r4, c4, bsize, mode, skip):
+        w4 = int(cc.block_size_wide[bsize]) >> 2
+        h4 = int(cc.block_size_high[bsize]) >> 2
+        self.mi_mode[r4:r4 + h4, c4:c4 + w4] = mode
+        self.mi_skip[r4:r4 + h4, c4:c4 + w4] = int(skip)
+        self.mi_coded[r4:r4 + h4, c4:c4 + w4] = True
+
+    # ---- coefficients ----
+    def txb_ctx(self, plane: int, pr4: int, pc4: int, tx_size: int,
+                plane_bsize_eq_tx: bool):
+        """(txb_skip_ctx, dc_sign_ctx) at plane 4x4 coords.
+
+        Mirrors svt_aom_get_txb_ctx."""
+        _, tw, th = tb.txb_dims(tx_size)
+        w_unit = tw >> 2
+        h_unit = th >> 2
+        above = self.above_coeff[plane][pc4:pc4 + w_unit]
+        left = self.left_coeff[plane][pr4:pr4 + h_unit]
+        # dc sign
+        signs = np.array([0, -1, 1], dtype=np.int32)
+        dc_sign = int(signs[(above >> tb.COEFF_CONTEXT_BITS)].sum()
+                      + signs[(left >> tb.COEFF_CONTEXT_BITS)].sum())
+        dc_sign_ctx = 2 if dc_sign > 0 else (1 if dc_sign < 0 else 0)
+        if plane == 0:
+            if plane_bsize_eq_tx:
+                skip_ctx = 0
+            else:
+                skip_contexts = np.array(
+                    [[1, 2, 2, 2, 3], [1, 4, 4, 4, 5], [1, 4, 4, 4, 5],
+                     [1, 4, 4, 4, 5], [1, 4, 4, 4, 6]], dtype=np.int32)
+                top = int(np.bitwise_or.reduce(above)
+                          if len(above) else 0) & tb.COEFF_CONTEXT_MASK
+                lft = int(np.bitwise_or.reduce(left)
+                          if len(left) else 0) & tb.COEFF_CONTEXT_MASK
+                mx = min(top | lft, 4)
+                mn = min(min(top, lft), 4)
+                skip_ctx = int(skip_contexts[mn][mx])
+        else:
+            ca = int((above != 0).sum() != 0)
+            cl = int((left != 0).sum() != 0)
+            # ctx_offset: 7 when plane bsize == tx coverage else 10
+            skip_ctx = (7 if plane_bsize_eq_tx else 10) + ca + cl
+        return skip_ctx, dc_sign_ctx
+
+    def set_txb_ctx(self, plane: int, pr4: int, pc4: int, tx_size: int,
+                    cul_level: int):
+        _, tw, th = tb.txb_dims(tx_size)
+        self.above_coeff[plane][pc4:pc4 + (tw >> 2)] = cul_level
+        self.left_coeff[plane][pr4:pr4 + (th >> 2)] = cul_level
+
+
+class TileCoderBase:
+    def __init__(self, width: int, height: int, base_q_idx: int,
+                 reduced_tx_set: bool = False, update_cdfs: bool = True):
+        self.width = width
+        self.height = height
+        self.mi_rows = (height + 3) >> 2
+        self.mi_cols = (width + 3) >> 2
+        self.base_q_idx = base_q_idx
+        self.reduced_tx_set = reduced_tx_set
+        self.update = update_cdfs
+        self.cdfs = FrameCDFs(base_q_idx)
+        self.ctx = ContextState(self.mi_rows, self.mi_cols)
+        self.sb_cols = (self.mi_cols + 15) >> 4
+        self.sb_rows = (self.mi_rows + 15) >> 4
+
+    # shared helpers ---------------------------------------------------------
+    def tx_type_signaled(self, tx_size: int) -> bool:
+        set_type = get_ext_tx_set_type(tx_size, False, self.reduced_tx_set)
+        return (AV1_NUM_EXT_TX_SET[set_type] > 1) and (self.base_q_idx > 0)
+
+
+class TileEncoder(TileCoderBase):
+    """Encodes one tile's superblocks from leaf BlockDecisions."""
+
+    def encode(self, blocks: Dict[tuple, BlockDecision],
+               leaf_size: int = 16) -> bytes:
+        """blocks: {(r4, c4): BlockDecision} at fixed leaf_size luma dims."""
+        self.enc = RangeEncoder()
+        self.blocks = blocks
+        self.leaf4 = leaf_size >> 2
+        for sb_r in range(self.sb_rows):
+            self.ctx.start_sb_row()
+            for sb_c in range(self.sb_cols):
+                self._encode_partition(sb_r * 16, sb_c * 16, cc.BLOCK_64X64)
+        return self.enc.done()
+
+    # ---- partition tree ----
+    def _encode_partition(self, r4, c4, bsize):
+        if r4 >= self.mi_rows or c4 >= self.mi_cols:
+            return
+        w4 = int(cc.block_size_wide[bsize]) >> 2
+        half = w4 >> 1
+        has_rows = (r4 + half) < self.mi_rows
+        has_cols = (c4 + half) < self.mi_cols
+        size = int(cc.block_size_wide[bsize])
+        part = (cc.PARTITION_NONE if size <= (self.leaf4 << 2)
+                else cc.PARTITION_SPLIT)
+
+        ctx_id = self.ctx.partition_ctx(r4, c4, bsize)
+        cdf = self.cdfs.partition[ctx_id]
+        nsyms = _partition_nsyms(bsize)
+        if has_rows and has_cols:
+            self.enc.encode_symbol(part, cdf[:nsyms + 1])
+            if self.update:
+                update_cdf(cdf, part, nsyms)
+        elif has_cols:  # bottom edge: split_or_horz
+            assert part in (cc.PARTITION_SPLIT, cc.PARTITION_HORZ)
+            bit = int(part == cc.PARTITION_SPLIT)
+            self.enc.encode_bool(bit, _gather_horz_alike(cdf, bsize, nsyms))
+        elif has_rows:  # right edge: split_or_vert
+            assert part in (cc.PARTITION_SPLIT, cc.PARTITION_VERT)
+            bit = int(part == cc.PARTITION_SPLIT)
+            self.enc.encode_bool(bit, _gather_vert_alike(cdf, bsize, nsyms))
+        else:
+            part = cc.PARTITION_SPLIT  # implied, no bits
+
+        if part == cc.PARTITION_NONE:
+            self._encode_block(r4, c4, bsize)
+            self.ctx.update_partition(r4, c4, bsize, bsize)
+        elif part == cc.PARTITION_SPLIT:
+            sub = SQ_BSIZE[size >> 1]
+            self._encode_partition(r4, c4, sub)
+            self._encode_partition(r4, c4 + half, sub)
+            self._encode_partition(r4 + half, c4, sub)
+            self._encode_partition(r4 + half, c4 + half, sub)
+        else:
+            raise NotImplementedError("rect partitions: next milestone")
+
+    # ---- leaf block ----
+    def _encode_block(self, r4, c4, bsize):
+        d = self.blocks[(r4, c4)]
+        assert d.bsize == bsize
+        skip = d.skip
+        enc, cdfs, ctx = self.enc, self.cdfs, self.ctx
+
+        # skip flag
+        sctx = ctx.skip_ctx(r4, c4)
+        enc.encode_symbol(int(skip), cdfs.skip[sctx])
+        if self.update:
+            update_cdf(cdfs.skip[sctx], int(skip), 2)
+
+        # kf y mode
+        actx, lctx = ctx.kf_y_ctx(r4, c4)
+        cdf = cdfs.kf_y_mode[actx][lctx]
+        enc.encode_symbol(d.y_mode, cdf)
+        if self.update:
+            update_cdf(cdf, d.y_mode, cc.INTRA_MODES)
+        # angle delta (directional modes, bsize >= 8x8)
+        if cc.V_PRED <= d.y_mode <= cc.D67_PRED:
+            acdf = cdfs.angle_delta[d.y_mode - cc.V_PRED]
+            enc.encode_symbol(3, acdf)  # delta 0 (+MAX_ANGLE_DELTA)
+            if self.update:
+                update_cdf(acdf, 3, 7)
+
+        # chroma (always present for square blocks >= 8x8 in 4:2:0)
+        has_chroma = d.qcoeff_u is not None
+        if has_chroma:
+            cfl_allowed = int(cc.block_size_wide[bsize] <= 32
+                              and cc.block_size_high[bsize] <= 32)
+            ucdf = cdfs.uv_mode[cfl_allowed][d.y_mode]
+            nsyms = cc.UV_INTRA_MODES if cfl_allowed else cc.INTRA_MODES
+            enc.encode_symbol(d.uv_mode, ucdf[:nsyms + 1])
+            if self.update:
+                update_cdf(ucdf, d.uv_mode, nsyms)
+            if cc.V_PRED <= d.uv_mode <= cc.D67_PRED:
+                acdf = cdfs.angle_delta[d.uv_mode - cc.V_PRED]
+                enc.encode_symbol(3, acdf)
+                if self.update:
+                    update_cdf(acdf, 3, 7)
+
+        ctx.set_block(r4, c4, bsize, d.y_mode, skip)
+
+        # residual
+        tx_size = MAX_TX[bsize]
+        if skip:
+            self._reset_coeff_ctx(r4, c4, bsize, has_chroma)
+            return
+        # luma txb
+        tctx, dctx = ctx.txb_ctx(0, r4, c4, tx_size, True)
+        cul = coeff_mod.encode_txb(
+            enc, cdfs, d.qcoeff_y, tx_size, d.tx_type, 0, tctx, dctx,
+            write_tx_type=lambda: self._write_tx_type(
+                d.tx_type, tx_size, d.y_mode),
+            update=self.update)
+        ctx.set_txb_ctx(0, r4, c4, tx_size, cul)
+        if has_chroma:
+            ctx_r, ctx_c = r4 >> 1, c4 >> 1
+            ctx_tx = max_chroma_tx_size(bsize)
+            uv_tx_type = _chroma_tx_type(d.uv_mode, ctx_tx)
+            for plane, q in ((1, d.qcoeff_u), (2, d.qcoeff_v)):
+                tctx, dctx = ctx.txb_ctx(plane, ctx_r, ctx_c, ctx_tx, True)
+                cul = coeff_mod.encode_txb(
+                    enc, cdfs, q, ctx_tx, uv_tx_type, 1, tctx, dctx,
+                    update=self.update)
+                ctx.set_txb_ctx(plane, ctx_r, ctx_c, ctx_tx, cul)
+
+    def _write_tx_type(self, tx_type, tx_size, intra_mode):
+        if not self.tx_type_signaled(tx_size):
+            assert tx_type == cc.DCT_DCT
+            return
+        set_type = get_ext_tx_set_type(tx_size, False, self.reduced_tx_set)
+        eset = EXT_TX_SET_INDEX_INTRA[set_type]
+        assert eset > 0 and AV1_EXT_TX_USED[set_type][tx_type]
+        sqr = int(cc.tx_size_sqr[tx_size])
+        cdf = self.cdfs.intra_ext_tx[eset][sqr][intra_mode]
+        nsyms = AV1_NUM_EXT_TX_SET[set_type]
+        ind = int(AV1_EXT_TX_IND[set_type][tx_type])
+        self.enc.encode_symbol(ind, cdf[:nsyms + 1])
+        if self.update:
+            update_cdf(cdf, ind, nsyms)
+
+    def _reset_coeff_ctx(self, r4, c4, bsize, has_chroma):
+        w4 = int(cc.block_size_wide[bsize]) >> 2
+        h4 = int(cc.block_size_high[bsize]) >> 2
+        self.ctx.above_coeff[0][c4:c4 + w4] = 0
+        self.ctx.left_coeff[0][r4:r4 + h4] = 0
+        if has_chroma:
+            for p in (1, 2):
+                self.ctx.above_coeff[p][c4 >> 1:(c4 + w4) >> 1] = 0
+                self.ctx.left_coeff[p][r4 >> 1:(r4 + h4) >> 1] = 0
+
+
+class TileDecoder(TileCoderBase):
+    """Parses one tile; returns BlockDecisions (for recon by the shared
+    reconstruction pipeline) — the verification mirror of TileEncoder."""
+
+    def decode(self, data: bytes) -> Dict[tuple, BlockDecision]:
+        self.dec = RangeDecoder(data)
+        self.out: Dict[tuple, BlockDecision] = {}
+        for sb_r in range(self.sb_rows):
+            self.ctx.start_sb_row()
+            for sb_c in range(self.sb_cols):
+                self._decode_partition(sb_r * 16, sb_c * 16, cc.BLOCK_64X64)
+        return self.out
+
+    def _decode_partition(self, r4, c4, bsize):
+        if r4 >= self.mi_rows or c4 >= self.mi_cols:
+            return
+        w4 = int(cc.block_size_wide[bsize]) >> 2
+        half = w4 >> 1
+        has_rows = (r4 + half) < self.mi_rows
+        has_cols = (c4 + half) < self.mi_cols
+        size = int(cc.block_size_wide[bsize])
+
+        ctx_id = self.ctx.partition_ctx(r4, c4, bsize)
+        cdf = self.cdfs.partition[ctx_id]
+        nsyms = _partition_nsyms(bsize)
+        if size == 4:
+            part = cc.PARTITION_NONE
+        elif has_rows and has_cols:
+            part = self.dec.read_symbol(cdf[:nsyms + 1])
+            if self.update:
+                update_cdf(cdf, part, nsyms)
+        elif has_cols:
+            bit = self.dec.read_bool(_gather_horz_alike(cdf, bsize, nsyms))
+            part = cc.PARTITION_SPLIT if bit else cc.PARTITION_HORZ
+        elif has_rows:
+            bit = self.dec.read_bool(_gather_vert_alike(cdf, bsize, nsyms))
+            part = cc.PARTITION_SPLIT if bit else cc.PARTITION_VERT
+        else:
+            part = cc.PARTITION_SPLIT
+
+        if part == cc.PARTITION_NONE:
+            self._decode_block(r4, c4, bsize)
+            self.ctx.update_partition(r4, c4, bsize, bsize)
+        elif part == cc.PARTITION_SPLIT:
+            sub = SQ_BSIZE[size >> 1]
+            self._decode_partition(r4, c4, sub)
+            self._decode_partition(r4, c4 + half, sub)
+            self._decode_partition(r4 + half, c4, sub)
+            self._decode_partition(r4 + half, c4 + half, sub)
+        else:
+            raise NotImplementedError("rect partitions")
+
+    def _decode_block(self, r4, c4, bsize):
+        dec, cdfs, ctx = self.dec, self.cdfs, self.ctx
+        sctx = ctx.skip_ctx(r4, c4)
+        skip = dec.read_symbol(cdfs.skip[sctx])
+        if self.update:
+            update_cdf(cdfs.skip[sctx], skip, 2)
+
+        actx, lctx = ctx.kf_y_ctx(r4, c4)
+        cdf = cdfs.kf_y_mode[actx][lctx]
+        y_mode = dec.read_symbol(cdf)
+        if self.update:
+            update_cdf(cdf, y_mode, cc.INTRA_MODES)
+        if cc.V_PRED <= y_mode <= cc.D67_PRED:
+            acdf = cdfs.angle_delta[y_mode - cc.V_PRED]
+            delta = dec.read_symbol(acdf)
+            if self.update:
+                update_cdf(acdf, delta, 7)
+            assert delta == 3, "nonzero angle deltas unsupported (round 1)"
+
+        has_chroma = True
+        cfl_allowed = int(cc.block_size_wide[bsize] <= 32
+                          and cc.block_size_high[bsize] <= 32)
+        ucdf = cdfs.uv_mode[cfl_allowed][y_mode]
+        nsyms = cc.UV_INTRA_MODES if cfl_allowed else cc.INTRA_MODES
+        uv_mode = dec.read_symbol(ucdf[:nsyms + 1])
+        if self.update:
+            update_cdf(ucdf, uv_mode, nsyms)
+        if cc.V_PRED <= uv_mode <= cc.D67_PRED:
+            acdf = cdfs.angle_delta[uv_mode - cc.V_PRED]
+            delta = dec.read_symbol(acdf)
+            if self.update:
+                update_cdf(acdf, delta, 7)
+            assert delta == 3
+
+        ctx.set_block(r4, c4, bsize, y_mode, skip)
+
+        tx_size = MAX_TX[bsize]
+        _, tw, th = tb.txb_dims(tx_size)
+        ctx_tx = max_chroma_tx_size(bsize)
+        _, cw, ch = tb.txb_dims(ctx_tx)
+        tx_type = cc.DCT_DCT
+        if skip:
+            qy = np.zeros((th, tw), np.int32)
+            qu = np.zeros((ch, cw), np.int32)
+            qv = np.zeros((ch, cw), np.int32)
+            # mirror encoder context reset
+            w4 = int(cc.block_size_wide[bsize]) >> 2
+            h4 = int(cc.block_size_high[bsize]) >> 2
+            ctx.above_coeff[0][c4:c4 + w4] = 0
+            ctx.left_coeff[0][r4:r4 + h4] = 0
+            for p in (1, 2):
+                ctx.above_coeff[p][c4 >> 1:(c4 + w4) >> 1] = 0
+                ctx.left_coeff[p][r4 >> 1:(r4 + h4) >> 1] = 0
+        else:
+            tctx, dctx = ctx.txb_ctx(0, r4, c4, tx_size, True)
+            state = {}
+
+            def read_tx_type():
+                state["t"] = self._read_tx_type(tx_size, y_mode)
+                return state["t"]
+
+            qy, eob, cul = coeff_mod.decode_txb(
+                dec, cdfs, tx_size, 0, tctx, dctx,
+                read_tx_type=read_tx_type if self.tx_type_signaled(tx_size)
+                else None, update=self.update)
+            tx_type = state.get("t", cc.DCT_DCT)
+            ctx.set_txb_ctx(0, r4, c4, tx_size, cul)
+            ctx_r, ctx_c = r4 >> 1, c4 >> 1
+            uv_tx_type = _chroma_tx_type(uv_mode, ctx_tx)
+            qs = []
+            for plane in (1, 2):
+                tctx, dctx = ctx.txb_ctx(plane, ctx_r, ctx_c, ctx_tx, True)
+                q, eob, cul = coeff_mod.decode_txb(
+                    dec, cdfs, ctx_tx, 1, tctx, dctx,
+                    read_tx_type=lambda: uv_tx_type, update=self.update)
+                ctx.set_txb_ctx(plane, ctx_r, ctx_c, ctx_tx, cul)
+                qs.append(q)
+            qu, qv = qs
+
+        self.out[(r4, c4)] = BlockDecision(
+            r4=r4, c4=c4, bsize=bsize, y_mode=y_mode, uv_mode=uv_mode,
+            tx_type=tx_type, qcoeff_y=qy, qcoeff_u=qu, qcoeff_v=qv)
+
+    def _read_tx_type(self, tx_size, intra_mode):
+        set_type = get_ext_tx_set_type(tx_size, False, self.reduced_tx_set)
+        eset = EXT_TX_SET_INDEX_INTRA[set_type]
+        sqr = int(cc.tx_size_sqr[tx_size])
+        cdf = self.cdfs.intra_ext_tx[eset][sqr][intra_mode]
+        nsyms = AV1_NUM_EXT_TX_SET[set_type]
+        ind = self.dec.read_symbol(cdf[:nsyms + 1])
+        if self.update:
+            update_cdf(cdf, ind, nsyms)
+        inv = np.nonzero(AV1_EXT_TX_IND[set_type] == ind)[0]
+        used = [t for t in inv if AV1_EXT_TX_USED[set_type][t]]
+        return int(used[0])
+
+
+def _chroma_tx_type(uv_mode: int, tx_size: int) -> int:
+    """Implied chroma tx type: mode mapping, clamped to the legal set."""
+    mode = cc.DC_PRED if uv_mode == cc.UV_CFL_PRED else uv_mode
+    t = int(INTRA_MODE_TO_TX_TYPE[mode])
+    # must be legal for this tx size (ADST <= 16pt); 32pt+ -> DCT
+    if int(cc.tx_size_sqr_up[tx_size]) >= cc.TX_32X32:
+        return cc.DCT_DCT
+    return t
+
+
+def _partition_nsyms(bsize: int) -> int:
+    size = int(cc.block_size_wide[bsize])
+    if size == 8:
+        return 4
+    if size == 128:
+        return 8
+    return 10
+
+
+def _cdf_element_prob(icdf, elem: int) -> int:
+    prev = 32768 if elem == 0 else int(icdf[elem - 1])
+    return prev - int(icdf[elem])
+
+
+def _gather_horz_alike(cdf, bsize: int, nsyms: int) -> int:
+    """P(bit==1) Q15 for split_or_horz (spec partition gather)."""
+    p0 = 32768
+    p0 -= _cdf_element_prob(cdf, cc.PARTITION_HORZ)
+    p0 -= _cdf_element_prob(cdf, cc.PARTITION_SPLIT)
+    if nsyms > 4:
+        p0 -= _cdf_element_prob(cdf, cc.PARTITION_HORZ_A)
+        p0 -= _cdf_element_prob(cdf, cc.PARTITION_HORZ_B)
+        p0 -= _cdf_element_prob(cdf, cc.PARTITION_VERT_A)
+        if nsyms > 8:
+            p0 -= _cdf_element_prob(cdf, cc.PARTITION_HORZ_4)
+    return 32768 - p0
+
+
+def _gather_vert_alike(cdf, bsize: int, nsyms: int) -> int:
+    p0 = 32768
+    p0 -= _cdf_element_prob(cdf, cc.PARTITION_VERT)
+    p0 -= _cdf_element_prob(cdf, cc.PARTITION_SPLIT)
+    if nsyms > 4:
+        p0 -= _cdf_element_prob(cdf, cc.PARTITION_VERT_A)
+        p0 -= _cdf_element_prob(cdf, cc.PARTITION_VERT_B)
+        p0 -= _cdf_element_prob(cdf, cc.PARTITION_HORZ_A)
+        if nsyms > 8:
+            p0 -= _cdf_element_prob(cdf, cc.PARTITION_VERT_4)
+    return 32768 - p0

@@ -106,7 +106,8 @@ def quantize(coeffs: jnp.ndarray, qp: QuantParams, tx_size: int,
     sel = dc_mask[None].astype(jnp.int32)  # 1 at DC
 
     def pick(arr):
-        return jnp.where(sel == 1, int(arr[0]), int(arr[1]))
+        arr = jnp.asarray(arr)
+        return jnp.where(sel == 1, arr[0], arr[1])
 
     # zbin/round are rounded down by the tx scale (ROUND_POWER_OF_TWO)
     zbin = pick(qp.zbin)
@@ -136,6 +137,7 @@ def dequantize(qcoeff: jnp.ndarray, qp: QuantParams, tx_size: int):
     m = np.zeros((h, w), dtype=bool)
     m[0, 0] = True
     sel = jnp.asarray(m)[None]
-    deq = jnp.where(sel, int(qp.dequant[0]), int(qp.dequant[1]))
+    dq_arr = jnp.asarray(qp.dequant)
+    deq = jnp.where(sel, dq_arr[0], dq_arr[1])
     sign = jnp.where(qcoeff < 0, -1, 1)
     return sign * ((jnp.abs(qcoeff) * deq) >> log_scale)
