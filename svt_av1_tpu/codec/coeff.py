@@ -169,7 +169,7 @@ def encode_txb(enc: RangeEncoder, cdfs: FrameCDFs, qcoeff: np.ndarray,
     eob = 0 if len(nz) == 0 else int(nz[-1]) + 1
 
     cdf = cdfs.txb_skip[sctx][txb_skip_ctx]
-    enc.encode_symbol(int(eob == 0), cdf)
+    enc.encode_symbol(int(eob == 0), cdf, 2)
     if update:
         update_cdf(cdf, int(eob == 0), 2)
     if eob == 0:
@@ -177,6 +177,11 @@ def encode_txb(enc: RangeEncoder, cdfs: FrameCDFs, qcoeff: np.ndarray,
 
     if write_tx_type is not None:
         write_tx_type()
+
+    if getattr(enc, "is_native", False):
+        # whole-block C fast path (bit-identical; tested vs this function)
+        return enc.encode_coeffs(qcoeff, tx_size, tx_type, plane_type,
+                                 dc_sign_ctx, eob, cdfs, update)
 
     levels = init_levels(qcoeff)
 
@@ -187,7 +192,7 @@ def encode_txb(enc: RangeEncoder, cdfs: FrameCDFs, qcoeff: np.ndarray,
     ncoeffs = 16 << eob_multi_size
     ecdf = cdfs.eob_flag[ncoeffs][plane_type][eob_multi_ctx]
     nsyms = eob_multi_size + 5
-    enc.encode_symbol(eob_pt - 1, ecdf[:nsyms + 1])
+    enc.encode_symbol(eob_pt - 1, ecdf, nsyms)
     if update:
         update_cdf(ecdf, eob_pt - 1, nsyms)
 
@@ -196,7 +201,7 @@ def encode_txb(enc: RangeEncoder, cdfs: FrameCDFs, qcoeff: np.ndarray,
         eob_shift = eob_offset_bits - 1
         bit = (eob_extra >> eob_shift) & 1
         xcdf = cdfs.eob_extra[sctx][plane_type][eob_pt]
-        enc.encode_symbol(bit, xcdf)
+        enc.encode_symbol(bit, xcdf, 2)
         if update:
             update_cdf(xcdf, bit, 2)
         for i in range(1, eob_offset_bits):
@@ -213,13 +218,13 @@ def encode_txb(enc: RangeEncoder, cdfs: FrameCDFs, qcoeff: np.ndarray,
         if c == eob - 1:
             s = min(level, 3) - 1
             bcdf = cdfs.coeff_base_eob[sctx][plane_type][ctx]
-            enc.encode_symbol(s, bcdf)
+            enc.encode_symbol(s, bcdf, 3)
             if update:
                 update_cdf(bcdf, s, 3)
         else:
             s = min(level, 3)
             bcdf = cdfs.coeff_base[sctx][plane_type][ctx]
-            enc.encode_symbol(s, bcdf)
+            enc.encode_symbol(s, bcdf, 4)
             if update:
                 update_cdf(bcdf, s, 4)
         if level > tb.NUM_BASE_LEVELS:
@@ -228,7 +233,7 @@ def encode_txb(enc: RangeEncoder, cdfs: FrameCDFs, qcoeff: np.ndarray,
             rcdf = cdfs.coeff_br[brc][plane_type][bctx]
             for idx in range(0, tb.COEFF_BASE_RANGE, tb.BR_CDF_SIZE - 1):
                 k = min(base_range - idx, tb.BR_CDF_SIZE - 1)
-                enc.encode_symbol(k, rcdf)
+                enc.encode_symbol(k, rcdf, tb.BR_CDF_SIZE)
                 if update:
                     update_cdf(rcdf, k, tb.BR_CDF_SIZE)
                 if k < tb.BR_CDF_SIZE - 1:
@@ -245,7 +250,7 @@ def encode_txb(enc: RangeEncoder, cdfs: FrameCDFs, qcoeff: np.ndarray,
             sign = 1 if v < 0 else 0
             if c == 0:
                 scdf = cdfs.dc_sign[plane_type][dc_sign_ctx]
-                enc.encode_symbol(sign, scdf)
+                enc.encode_symbol(sign, scdf, 2)
                 if update:
                     update_cdf(scdf, sign, 2)
             else:
@@ -294,7 +299,7 @@ def decode_txb(dec: RangeDecoder, cdfs: FrameCDFs, tx_size: int,
     unsigned-level*sign, eob, cul_level)."""
     sctx = tb.txs_ctx(tx_size)
     cdf = cdfs.txb_skip[sctx][txb_skip_ctx]
-    all_zero = dec.read_symbol(cdf)
+    all_zero = dec.read_symbol(cdf, 2)
     if update:
         update_cdf(cdf, all_zero, 2)
     bwl, w, h = tb.txb_dims(tx_size)
@@ -311,14 +316,14 @@ def decode_txb(dec: RangeDecoder, cdfs: FrameCDFs, tx_size: int,
     ncoeffs = 16 << eob_multi_size
     ecdf = cdfs.eob_flag[ncoeffs][plane_type][eob_multi_ctx]
     nsyms = eob_multi_size + 5
-    eob_pt = dec.read_symbol(ecdf[:nsyms + 1]) + 1
+    eob_pt = dec.read_symbol(ecdf, nsyms) + 1
     if update:
         update_cdf(ecdf, eob_pt - 1, nsyms)
     eob = int(tb.K_EOB_GROUP_START[eob_pt])
     eob_offset_bits = int(tb.K_EOB_OFFSET_BITS[eob_pt])
     if eob_offset_bits > 0:
         xcdf = cdfs.eob_extra[sctx][plane_type][eob_pt]
-        bit = dec.read_symbol(xcdf)
+        bit = dec.read_symbol(xcdf, 2)
         if update:
             update_cdf(xcdf, bit, 2)
         eob_extra = bit << (eob_offset_bits - 1)
@@ -344,20 +349,20 @@ def decode_txb(dec: RangeDecoder, cdfs: FrameCDFs, tx_size: int,
             else:
                 ctx = 3
             bcdf = cdfs.coeff_base_eob[sctx][plane_type][ctx]
-            level = dec.read_symbol(bcdf) + 1
+            level = dec.read_symbol(bcdf, 3) + 1
             if update:
                 update_cdf(bcdf, level - 1, 3)
         else:
             ctx = _nz_ctx_single(levels, pos, bwl, w, tx_size, tx_class)
             bcdf = cdfs.coeff_base[sctx][plane_type][ctx]
-            level = dec.read_symbol(bcdf)
+            level = dec.read_symbol(bcdf, 4)
             if update:
                 update_cdf(bcdf, level, 4)
         if level > tb.NUM_BASE_LEVELS:
             bctx = br_ctx(levels, pos, bwl, tx_class)
             rcdf = cdfs.coeff_br[brc][plane_type][bctx]
             for idx in range(0, tb.COEFF_BASE_RANGE, tb.BR_CDF_SIZE - 1):
-                k = dec.read_symbol(rcdf)
+                k = dec.read_symbol(rcdf, tb.BR_CDF_SIZE)
                 if update:
                     update_cdf(rcdf, k, tb.BR_CDF_SIZE)
                 level += k
@@ -374,7 +379,7 @@ def decode_txb(dec: RangeDecoder, cdfs: FrameCDFs, tx_size: int,
         if level:
             if c == 0:
                 scdf = cdfs.dc_sign[plane_type][dc_sign_ctx]
-                sign = dec.read_symbol(scdf)
+                sign = dec.read_symbol(scdf, 2)
                 if update:
                     update_cdf(scdf, sign, 2)
             else:

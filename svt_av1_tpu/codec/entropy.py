@@ -33,6 +33,16 @@ def _ilog_nz(x: int) -> int:
     return x.bit_length()
 
 
+def infer_nsyms(icdf) -> int:
+    """Symbol count from a *default* (never-adapted) table: trailing slots
+    are zero (icdf[nsyms-1] == 0, counter == 0).  NOT valid once the
+    counter slot is nonzero — pass nsyms explicitly in that case."""
+    nsyms = len(icdf)
+    while nsyms > 1 and icdf[nsyms - 1] == 0 and icdf[nsyms - 2] == 0:
+        nsyms -= 1
+    return nsyms
+
+
 class RangeEncoder:
     """daala range encoder producing AV1-conformant entropy-coded bytes."""
 
@@ -87,16 +97,16 @@ class RangeEncoder:
 
     # -- public API ---------------------------------------------------------
 
-    def encode_symbol(self, s: int, icdf) -> None:
+    def encode_symbol(self, s: int, icdf, nsyms: Optional[int] = None
+                      ) -> None:
         """Encode symbol index ``s`` with inverted CDF ``icdf``.
 
-        ``icdf`` must have nsyms entries with icdf[nsyms-1] == 0 (a trailing
-        adaptation-counter slot is permitted and ignored).
+        ``nsyms`` should be passed explicitly for adapted tables — the
+        trailing-zero inference below is only valid for *default* tables
+        (the adaptation counter slot becomes nonzero after updates).
         """
-        nsyms = len(icdf)
-        # tolerate tables with the trailing counter slot
-        while nsyms > 1 and icdf[nsyms - 1] == 0 and icdf[nsyms - 2] == 0:
-            nsyms -= 1
+        if nsyms is None:
+            nsyms = infer_nsyms(icdf)
         fl = CDF_PROB_TOP if s == 0 else int(icdf[s - 1])
         fh = int(icdf[s])
         self._encode_q15(fl, fh, s, nsyms)
@@ -185,10 +195,9 @@ class RangeDecoder:
         if self.cnt < 0:
             self._refill()
 
-    def read_symbol(self, icdf) -> int:
-        nsyms = len(icdf)
-        while nsyms > 1 and icdf[nsyms - 1] == 0 and icdf[nsyms - 2] == 0:
-            nsyms -= 1
+    def read_symbol(self, icdf, nsyms: Optional[int] = None) -> int:
+        if nsyms is None:
+            nsyms = infer_nsyms(icdf)
         dif = self.dif
         r = self.rng
         n = nsyms - 1

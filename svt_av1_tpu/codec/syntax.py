@@ -248,9 +248,13 @@ class TileEncoder(TileCoderBase):
     """Encodes one tile's superblocks from leaf BlockDecisions."""
 
     def encode(self, blocks: Dict[tuple, BlockDecision],
-               leaf_size: int = 16) -> bytes:
+               leaf_size: int = 16, use_native: bool = True) -> bytes:
         """blocks: {(r4, c4): BlockDecision} at fixed leaf_size luma dims."""
-        self.enc = RangeEncoder()
+        from svt_av1_tpu.codec import fast_ec
+        if use_native and fast_ec.available():
+            self.enc = fast_ec.HybridEncoder()
+        else:
+            self.enc = RangeEncoder()
         self.blocks = blocks
         self.leaf4 = leaf_size >> 2
         for sb_r in range(self.sb_rows):
@@ -275,7 +279,7 @@ class TileEncoder(TileCoderBase):
         cdf = self.cdfs.partition[ctx_id]
         nsyms = _partition_nsyms(bsize)
         if has_rows and has_cols:
-            self.enc.encode_symbol(part, cdf[:nsyms + 1])
+            self.enc.encode_symbol(part, cdf, nsyms)
             if self.update:
                 update_cdf(cdf, part, nsyms)
         elif has_cols:  # bottom edge: split_or_horz
@@ -310,20 +314,20 @@ class TileEncoder(TileCoderBase):
 
         # skip flag
         sctx = ctx.skip_ctx(r4, c4)
-        enc.encode_symbol(int(skip), cdfs.skip[sctx])
+        enc.encode_symbol(int(skip), cdfs.skip[sctx], 2)
         if self.update:
             update_cdf(cdfs.skip[sctx], int(skip), 2)
 
         # kf y mode
         actx, lctx = ctx.kf_y_ctx(r4, c4)
         cdf = cdfs.kf_y_mode[actx][lctx]
-        enc.encode_symbol(d.y_mode, cdf)
+        enc.encode_symbol(d.y_mode, cdf, cc.INTRA_MODES)
         if self.update:
             update_cdf(cdf, d.y_mode, cc.INTRA_MODES)
         # angle delta (directional modes, bsize >= 8x8)
         if cc.V_PRED <= d.y_mode <= cc.D67_PRED:
             acdf = cdfs.angle_delta[d.y_mode - cc.V_PRED]
-            enc.encode_symbol(3, acdf)  # delta 0 (+MAX_ANGLE_DELTA)
+            enc.encode_symbol(3, acdf, 7)  # delta 0 (+MAX_ANGLE_DELTA)
             if self.update:
                 update_cdf(acdf, 3, 7)
 
@@ -334,12 +338,12 @@ class TileEncoder(TileCoderBase):
                               and cc.block_size_high[bsize] <= 32)
             ucdf = cdfs.uv_mode[cfl_allowed][d.y_mode]
             nsyms = cc.UV_INTRA_MODES if cfl_allowed else cc.INTRA_MODES
-            enc.encode_symbol(d.uv_mode, ucdf[:nsyms + 1])
+            enc.encode_symbol(d.uv_mode, ucdf, nsyms)
             if self.update:
                 update_cdf(ucdf, d.uv_mode, nsyms)
             if cc.V_PRED <= d.uv_mode <= cc.D67_PRED:
                 acdf = cdfs.angle_delta[d.uv_mode - cc.V_PRED]
-                enc.encode_symbol(3, acdf)
+                enc.encode_symbol(3, acdf, 7)
                 if self.update:
                     update_cdf(acdf, 3, 7)
 
@@ -380,7 +384,7 @@ class TileEncoder(TileCoderBase):
         cdf = self.cdfs.intra_ext_tx[eset][sqr][intra_mode]
         nsyms = AV1_NUM_EXT_TX_SET[set_type]
         ind = int(AV1_EXT_TX_IND[set_type][tx_type])
-        self.enc.encode_symbol(ind, cdf[:nsyms + 1])
+        self.enc.encode_symbol(ind, cdf, nsyms)
         if self.update:
             update_cdf(cdf, ind, nsyms)
 
@@ -423,7 +427,7 @@ class TileDecoder(TileCoderBase):
         if size == 4:
             part = cc.PARTITION_NONE
         elif has_rows and has_cols:
-            part = self.dec.read_symbol(cdf[:nsyms + 1])
+            part = self.dec.read_symbol(cdf, nsyms)
             if self.update:
                 update_cdf(cdf, part, nsyms)
         elif has_cols:
@@ -450,18 +454,18 @@ class TileDecoder(TileCoderBase):
     def _decode_block(self, r4, c4, bsize):
         dec, cdfs, ctx = self.dec, self.cdfs, self.ctx
         sctx = ctx.skip_ctx(r4, c4)
-        skip = dec.read_symbol(cdfs.skip[sctx])
+        skip = dec.read_symbol(cdfs.skip[sctx], 2)
         if self.update:
             update_cdf(cdfs.skip[sctx], skip, 2)
 
         actx, lctx = ctx.kf_y_ctx(r4, c4)
         cdf = cdfs.kf_y_mode[actx][lctx]
-        y_mode = dec.read_symbol(cdf)
+        y_mode = dec.read_symbol(cdf, cc.INTRA_MODES)
         if self.update:
             update_cdf(cdf, y_mode, cc.INTRA_MODES)
         if cc.V_PRED <= y_mode <= cc.D67_PRED:
             acdf = cdfs.angle_delta[y_mode - cc.V_PRED]
-            delta = dec.read_symbol(acdf)
+            delta = dec.read_symbol(acdf, 7)
             if self.update:
                 update_cdf(acdf, delta, 7)
             assert delta == 3, "nonzero angle deltas unsupported (round 1)"
@@ -471,12 +475,12 @@ class TileDecoder(TileCoderBase):
                           and cc.block_size_high[bsize] <= 32)
         ucdf = cdfs.uv_mode[cfl_allowed][y_mode]
         nsyms = cc.UV_INTRA_MODES if cfl_allowed else cc.INTRA_MODES
-        uv_mode = dec.read_symbol(ucdf[:nsyms + 1])
+        uv_mode = dec.read_symbol(ucdf, nsyms)
         if self.update:
             update_cdf(ucdf, uv_mode, nsyms)
         if cc.V_PRED <= uv_mode <= cc.D67_PRED:
             acdf = cdfs.angle_delta[uv_mode - cc.V_PRED]
-            delta = dec.read_symbol(acdf)
+            delta = dec.read_symbol(acdf, 7)
             if self.update:
                 update_cdf(acdf, delta, 7)
             assert delta == 3
@@ -536,7 +540,7 @@ class TileDecoder(TileCoderBase):
         sqr = int(cc.tx_size_sqr[tx_size])
         cdf = self.cdfs.intra_ext_tx[eset][sqr][intra_mode]
         nsyms = AV1_NUM_EXT_TX_SET[set_type]
-        ind = self.dec.read_symbol(cdf[:nsyms + 1])
+        ind = self.dec.read_symbol(cdf, nsyms)
         if self.update:
             update_cdf(cdf, ind, nsyms)
         inv = np.nonzero(AV1_EXT_TX_IND[set_type] == ind)[0]

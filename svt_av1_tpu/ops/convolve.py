@@ -1,0 +1,92 @@
+"""AV1 sub-pixel convolution (inter motion compensation), JAX batched.
+
+Normative prediction path (behavioral reference: inter_prediction.c
+svt_av1_convolve_2d_sr_c + sub_pel_filters_* kernels stored as data in
+codec/data/av1_interp_filters.npz).  The 8-tap separable filter runs as
+8 shifted multiply-accumulates per axis over the whole block batch —
+pure VPU elementwise work with exact integer rounding, no gathers in the
+inner loop.
+
+Layout convention: callers provide padded reference windows of shape
+(B, h + 7, w + 7) whose (3, 3) offset is the integer-aligned position
+(fo_vert/fo_horiz = 3 for 8 taps).
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+_DATA = os.path.join(os.path.dirname(__file__), "..", "codec", "data",
+                     "av1_interp_filters.npz")
+
+FILTER_BITS = 7
+ROUND0 = 3       # conv_params->round_0 (8-bit single-ref)
+ROUND1 = 11      # 2 * FILTER_BITS - ROUND0
+
+EIGHTTAP_REGULAR = 0
+EIGHTTAP_SMOOTH = 1
+MULTITAP_SHARP = 2
+BILINEAR = 3
+
+
+@functools.lru_cache(maxsize=1)
+def _filters():
+    return dict(np.load(_DATA))
+
+
+@functools.lru_cache(maxsize=None)
+def filter_table(kind: int, small: bool = False) -> np.ndarray:
+    """(16, 8) int32 kernel table for a filter kind.  ``small`` selects the
+    4-tap variants used for w/h <= 4 blocks."""
+    d = _filters()
+    name = {EIGHTTAP_REGULAR: "sub_pel_filters_4" if small
+            else "sub_pel_filters_8",
+            EIGHTTAP_SMOOTH: "sub_pel_filters_4smooth" if small
+            else "sub_pel_filters_8smooth",
+            MULTITAP_SHARP: "sub_pel_filters_8sharp",
+            BILINEAR: "bilinear_filters"}[kind]
+    return d[name].astype(np.int32)
+
+
+def _round_pow2(x, n):
+    return (x + (1 << (n - 1))) >> n if n > 0 else x
+
+
+def convolve_2d_sr(windows: jnp.ndarray, subpel_x: jnp.ndarray,
+                   subpel_y: jnp.ndarray, w: int, h: int,
+                   kind_x: int = EIGHTTAP_REGULAR,
+                   kind_y: int = EIGHTTAP_REGULAR,
+                   bd: int = 8) -> jnp.ndarray:
+    """Bit-exact svt_av1_convolve_2d_sr over a block batch.
+
+    windows: (B, h+7, w+7) int32 reference samples; the output block's
+             integer position maps to windows[:, 3, 3].
+    subpel_x/subpel_y: (B,) int32 in [0, 16) (q4 phase).
+    Returns (B, h, w) int32 predicted samples in [0, 2^bd).
+    """
+    tab_x = jnp.asarray(filter_table(kind_x))
+    tab_y = jnp.asarray(filter_table(kind_y))
+    fx = tab_x[subpel_x]  # (B, 8)
+    fy = tab_y[subpel_y]
+    im_h = h + 7
+    x = windows.astype(jnp.int32)
+    # horizontal: 8 shifted MACs over columns
+    acc = jnp.full((x.shape[0], im_h, w), 1 << (bd + FILTER_BITS - 1),
+                   jnp.int32)
+    for k in range(8):
+        acc = acc + fx[:, k][:, None, None] * x[:, :, k:k + w]
+    im = _round_pow2(acc, ROUND0)  # (B, im_h, w) fits int16 range
+    # vertical
+    offset_bits = bd + 2 * FILTER_BITS - ROUND0
+    acc2 = jnp.full((x.shape[0], h, w), 1 << offset_bits, jnp.int32)
+    for k in range(8):
+        acc2 = acc2 + fy[:, k][:, None, None] * im[:, k:k + h, :]
+    res = _round_pow2(acc2, ROUND1) - (
+        (1 << (offset_bits - ROUND1)) + (1 << (offset_bits - ROUND1 - 1)))
+    bits = 2 * FILTER_BITS - ROUND0 - ROUND1
+    out = _round_pow2(res, bits) if bits > 0 else res
+    return jnp.clip(out, 0, (1 << bd) - 1)
