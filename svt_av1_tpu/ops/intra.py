@@ -132,6 +132,66 @@ def smooth_h_pred(above, left, h: int, w: int):
     return jnp.broadcast_to(pred, (b, h, w))
 
 
+MODE_TO_ANGLE = {cc.V_PRED: 90, cc.H_PRED: 180, cc.D45_PRED: 45,
+                 cc.D135_PRED: 135, cc.D113_PRED: 113, cc.D157_PRED: 157,
+                 cc.D203_PRED: 203, cc.D67_PRED: 67}
+
+
+@functools.lru_cache(maxsize=1)
+def dr_derivative() -> np.ndarray:
+    return _tables()["dr_intra_derivative"].astype(np.int32)
+
+
+def get_dx(angle: int) -> int:
+    d = dr_derivative()
+    if 0 < angle < 90:
+        return int(d[angle])
+    if 90 < angle < 180:
+        return int(d[180 - angle])
+    return 1
+
+
+def get_dy(angle: int) -> int:
+    d = dr_derivative()
+    if 90 < angle < 180:
+        return int(d[angle - 90])
+    if 180 < angle < 270:
+        return int(d[270 - angle])
+    return 1
+
+
+def z2_pred(above, left, above_left, h: int, w: int, angle: int):
+    """Directional prediction, zone 2 (90 < angle < 180), upsample off
+    (normative dr_prediction_z2 with enable_intra_edge_filter = 0).
+
+    Uses only above[0..w-1], left[0..h-1] and the corner — no
+    above-right / below-left samples."""
+    assert 90 < angle < 180
+    dx = get_dx(angle)
+    dy = get_dy(angle)
+    b = above.shape[0]
+    # arrays with the corner at index 0
+    atab = jnp.concatenate([above_left[:, None], above], axis=1)  # (B, w+1)
+    ltab = jnp.concatenate([above_left[:, None], left], axis=1)   # (B, h+1)
+    r = np.arange(h)[:, None]
+    c = np.arange(w)[None, :]
+    x = -(r + 1) * dx                        # (h, 1)
+    base1 = (x >> 6) + c                     # (h, w)
+    shift1 = ((x & 63) >> 1) * np.ones_like(c)
+    y = (r << 6) - (c + 1) * dy
+    base2 = y >> 6
+    shift2 = (y & 63) >> 1
+    use_above = base1 >= -1
+    # clamp gather indices into valid range; selection masks out the rest
+    ia = np.clip(base1 + 1, 0, w - 1)
+    il = np.clip(base2 + 1, 0, h - 1)
+    av = (atab[:, ia] * (32 - shift1)[None]
+          + atab[:, ia + 1] * shift1[None] + 16) >> 5
+    lv = (ltab[:, il] * (32 - shift2)[None]
+          + ltab[:, il + 1] * shift2[None] + 16) >> 5
+    return jnp.where(jnp.asarray(use_above)[None], av, lv)
+
+
 def predict(mode: int, above, left, above_left, h: int, w: int,
             have_above=None, have_left=None, bd: int = 8):
     """Dispatch a single intra mode (static) over a batch.
@@ -165,4 +225,6 @@ def predict(mode: int, above, left, above_left, h: int, w: int,
         return smooth_h_pred(above, left, h, w)
     if mode == cc.PAETH_PRED:
         return paeth_pred(above, left, above_left)
+    if mode in (cc.D135_PRED, cc.D113_PRED, cc.D157_PRED):
+        return z2_pred(above, left, above_left, h, w, MODE_TO_ANGLE[mode])
     raise NotImplementedError(f"intra mode {mode}")

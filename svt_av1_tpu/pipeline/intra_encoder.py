@@ -27,7 +27,11 @@ from svt_av1_tpu.codec import constants as cc
 from svt_av1_tpu.codec.syntax import BlockDecision
 from svt_av1_tpu.ops import intra, quant, transforms as tf
 
-MODES = (cc.DC_PRED, cc.V_PRED, cc.H_PRED, cc.SMOOTH_PRED, cc.PAETH_PRED)
+MODES = (cc.DC_PRED, cc.V_PRED, cc.H_PRED, cc.SMOOTH_PRED, cc.PAETH_PRED,
+         cc.D135_PRED, cc.D113_PRED, cc.D157_PRED)
+# chroma mode set; each uses its implied (unsignaled) transform type
+UV_MODES = (cc.DC_PRED, cc.V_PRED, cc.H_PRED, cc.SMOOTH_PRED)
+UV_TX_TYPES = (cc.DCT_DCT, cc.ADST_DCT, cc.DCT_ADST, cc.ADST_ADST)
 BLK = 16
 CBLK = 8
 
@@ -64,9 +68,13 @@ def _gather_neighbors(recon, ys, xs, n, have_above, have_left, bd=8):
 
 
 def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
-             qp_arrays, lam, n, tx_size, modes, plane_type):
+             qp_arrays, lam, n, tx_size, modes, plane_type,
+             tx_types=None):
     """One wave step for one plane: returns (best_mode (B,), qcoeff
-    (B,kh,kw), new recon)."""
+    (B,kh,kw), new recon).  ys/xs: (B,) pixel coords (traced ok).
+
+    tx_types: optional per-mode tx type (chroma uses the mode-implied
+    type; luma signals DCT_DCT in round 1)."""
     b = ys.shape[0]
     above, left, corner = _gather_neighbors(recon, ys, xs, n,
                                             have_above, have_left)
@@ -80,13 +88,14 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
 
     best_cost = None
     best = None
-    for mode in modes:
+    for mi, mode in enumerate(modes):
+        tx_type = cc.DCT_DCT if tx_types is None else tx_types[mi]
         pred = intra.predict(mode, above, left, corner, n, n,
                              have_above=have_above, have_left=have_left)
         resid = src_blk - pred
-        coeffs = tf.fwd_txfm2d(resid, cc.DCT_DCT, tx_size)
+        coeffs = tf.fwd_txfm2d(resid, tx_type, tx_size)
         qcoeff, dqcoeff = quant.quantize(coeffs, qp, tx_size)
-        rec = tf.inv_txfm2d_add(dqcoeff, pred, cc.DCT_DCT, tx_size)
+        rec = tf.inv_txfm2d_add(dqcoeff, pred, tx_type, tx_size)
         dist = jnp.sum((rec - src_blk) ** 2, axis=(1, 2)).astype(jnp.float32)
         aq = jnp.abs(qcoeff)
         bits = (jnp.sum(jnp.log2(1.0 + aq.astype(jnp.float32)), axis=(1, 2))
@@ -120,6 +129,105 @@ def _jit_wave_step(n, tx_size, modes, maxb):
     return jax.jit(step)
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_frame_program(nw, maxb, modes):
+    """One jitted program for a whole key frame: fori_loop over waves,
+    each iteration runs luma (16x16, all modes) + chroma (8x8 DC) MD and
+    scatters recon in place.  Compiled once per frame geometry."""
+
+    def frame(recon_y, recon_u, recon_v, src_y, src_u, src_v,
+              bys, bxs, valid, zbin, rnd, qv, qshift, deq, lam):
+        qp = (zbin, rnd, qv, qshift, deq)
+        modes_acc = jnp.zeros((nw, maxb), jnp.int32)
+        uv_modes_acc = jnp.zeros((nw, maxb), jnp.int32)
+        qy_acc = jnp.zeros((nw, maxb, BLK, BLK), jnp.int32)
+        qu_acc = jnp.zeros((nw, maxb, CBLK, CBLK), jnp.int32)
+        qv_acc = jnp.zeros((nw, maxb, CBLK, CBLK), jnp.int32)
+
+        def body(i, carry):
+            ry, ru, rv, ma, uma, qya, qua, qva = carry
+            by = bys[i]
+            bx = bxs[i]
+            va = valid[i]
+            ha = (by > 0) & va
+            hl = (bx > 0) & va
+            m, q, ry = _rd_step(ry, src_y, by * BLK, bx * BLK, va, ha, hl,
+                                qp, lam, BLK, cc.TX_16X16, modes, 0)
+            # chroma: joint mode decision over U+V (one signaled uv_mode)
+            um, qu, qvq, ru, rv = _rd_step_chroma(
+                ru, rv, src_u, src_v, by * CBLK, bx * CBLK, va, ha, hl,
+                qp, lam)
+            return (ry, ru, rv, ma.at[i].set(m), uma.at[i].set(um),
+                    qya.at[i].set(q), qua.at[i].set(qu),
+                    qva.at[i].set(qvq))
+
+        init = (recon_y, recon_u, recon_v, modes_acc, uv_modes_acc,
+                qy_acc, qu_acc, qv_acc)
+        return jax.lax.fori_loop(0, nw, body, init)
+
+    return jax.jit(frame)
+
+
+def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
+                    have_above, have_left, qp_arrays, lam):
+    """Joint U+V mode decision (uv_mode is signaled once per block); the
+    chroma transform type is implied by the mode (not signaled)."""
+    n = CBLK
+    tx_size = cc.TX_8X8
+    zbin, rnd, qv_, qshift, deq = qp_arrays
+    qp = quant.QuantParams(zbin, rnd, qv_, qshift, deq)
+    offs = jnp.arange(n)
+    rows = ys[:, None, None] + offs[None, :, None]
+    cols = xs[:, None, None] + offs[None, None, :]
+    nb_u = _gather_neighbors(recon_u, ys, xs, n, have_above, have_left)
+    nb_v = _gather_neighbors(recon_v, ys, xs, n, have_above, have_left)
+    src_ub = src_u[rows, cols]
+    src_vb = src_v[rows, cols]
+
+    best = None
+    for mode, tx_type in zip(UV_MODES, UV_TX_TYPES):
+        tot_cost = 0.0
+        outs = []
+        for (nb, src_blk) in ((nb_u, src_ub), (nb_v, src_vb)):
+            above, left, corner = nb
+            pred = intra.predict(mode, above, left, corner, n, n,
+                                 have_above=have_above,
+                                 have_left=have_left)
+            resid = src_blk - pred
+            coeffs = tf.fwd_txfm2d(resid, tx_type, tx_size)
+            qcoeff, dqcoeff = quant.quantize(coeffs, qp, tx_size)
+            rec = tf.inv_txfm2d_add(dqcoeff, pred, tx_type, tx_size)
+            dist = jnp.sum((rec - src_blk) ** 2,
+                           axis=(1, 2)).astype(jnp.float32)
+            aq = jnp.abs(qcoeff)
+            bits = (jnp.sum(jnp.log2(1.0 + aq.astype(jnp.float32)),
+                            axis=(1, 2)) * 2.0
+                    + jnp.sum((aq > 0), axis=(1, 2)) + 4.0)
+            tot_cost = tot_cost + dist + lam * bits
+            outs.append((qcoeff, rec))
+        pack = (tot_cost, jnp.full(ys.shape, mode, jnp.int32),
+                outs[0][0], outs[1][0], outs[0][1], outs[1][1])
+        if best is None:
+            best = pack
+        else:
+            take = tot_cost < best[0]
+            t3 = take[:, None, None]
+            best = (jnp.where(take, tot_cost, best[0]),
+                    jnp.where(take, pack[1], best[1]),
+                    jnp.where(t3, pack[2], best[2]),
+                    jnp.where(t3, pack[3], best[3]),
+                    jnp.where(t3, pack[4], best[4]),
+                    jnp.where(t3, pack[5], best[5]))
+
+    _, um, qu, qvq, rec_u, rec_v = best
+    cur_u = recon_u[rows, cols]
+    cur_v = recon_v[rows, cols]
+    vmask = valid[:, None, None]
+    recon_u = recon_u.at[rows, cols].add(jnp.where(vmask, rec_u - cur_u, 0))
+    recon_v = recon_v.at[rows, cols].add(jnp.where(vmask, rec_v - cur_v, 0))
+    return um, qu, qvq, recon_u, recon_v
+
+
 def _wave_schedule(gh: int, gw: int, maxb: int):
     """List of waves; each is (ys4, xs4 block indices, count)."""
     waves = []
@@ -134,7 +242,11 @@ def _wave_schedule(gh: int, gw: int, maxb: int):
 def encode_intra_frame(src_y: np.ndarray, src_u: np.ndarray,
                        src_v: np.ndarray, qindex: int,
                        modes=MODES) -> Tuple[Dict, Dict[str, np.ndarray]]:
-    """Encode one key frame.  Returns ({(r4,c4): BlockDecision}, recon)."""
+    """Encode one key frame.  Returns ({(r4,c4): BlockDecision}, recon).
+
+    The entire frame is ONE device program (fori_loop over waves); the
+    only host work is building the static wave schedule and pulling the
+    per-block results for entropy coding."""
     h, w = src_y.shape
     assert h % BLK == 0 and w % BLK == 0, "round 1: dims multiple of 16"
     gh, gw = h // BLK, w // BLK
@@ -144,59 +256,46 @@ def encode_intra_frame(src_y: np.ndarray, src_u: np.ndarray,
     qstep = quant.dc_q(qindex) / 8.0
     lam = np.float32(0.7 * qstep * qstep)
 
-    recon_y = jnp.asarray(src_y.astype(np.int32)) * 0
-    src_y_j = jnp.asarray(src_y.astype(np.int32))
-    recon_u = jnp.zeros_like(jnp.asarray(src_u.astype(np.int32)))
-    recon_v = jnp.zeros_like(recon_u)
-    src_u_j = jnp.asarray(src_u.astype(np.int32))
-    src_v_j = jnp.asarray(src_v.astype(np.int32))
-
-    step_y = _jit_wave_step(BLK, cc.TX_16X16, tuple(modes), maxb)
-    step_c = _jit_wave_step(CBLK, cc.TX_8X8, (cc.DC_PRED,), maxb)
-
     waves = _wave_schedule(gh, gw, maxb)
+    nw = len(waves)
+    bys = np.zeros((nw, maxb), np.int32)
+    bxs = np.zeros((nw, maxb), np.int32)
+    valid = np.zeros((nw, maxb), bool)
+    for i, wave in enumerate(waves):
+        nb = len(wave)
+        bys[i, :nb] = [b[0] for b in wave]
+        bxs[i, :nb] = [b[1] for b in wave]
+        valid[i, :nb] = True
+
+    prog = _jit_frame_program(nw, maxb, tuple(modes))
+    out = prog(jnp.zeros((h, w), jnp.int32),
+               jnp.zeros((h // 2, w // 2), jnp.int32),
+               jnp.zeros((h // 2, w // 2), jnp.int32),
+               jnp.asarray(src_y.astype(np.int32)),
+               jnp.asarray(src_u.astype(np.int32)),
+               jnp.asarray(src_v.astype(np.int32)),
+               jnp.asarray(bys), jnp.asarray(bxs), jnp.asarray(valid),
+               *(jnp.asarray(a) for a in qp_y), lam)
+    (recon_y, recon_u, recon_v, modes_acc, uv_modes_acc, qy_acc, qu_acc,
+     qv_acc) = out
+
     y_modes = np.zeros((gh, gw), np.int32)
+    uv_modes = np.zeros((gh, gw), np.int32)
     qy = np.zeros((gh, gw, BLK, BLK), np.int32)
     qu = np.zeros((gh, gw, CBLK, CBLK), np.int32)
     qv_ = np.zeros((gh, gw, CBLK, CBLK), np.int32)
-
-    qp_arr = tuple(jnp.asarray(a) for a in qp_y)
-    results = []
-    for wave in waves:
-        nb = len(wave)
-        bys = np.zeros(maxb, np.int32)
-        bxs = np.zeros(maxb, np.int32)
-        bys[:nb] = [b[0] for b in wave]
-        bxs[:nb] = [b[1] for b in wave]
-        valid = np.zeros(maxb, bool)
-        valid[:nb] = True
-        ys = jnp.asarray(bys * BLK)
-        xs = jnp.asarray(bxs * BLK)
-        va = jnp.asarray(valid)
-        hva = jnp.asarray((bys > 0) & valid)
-        hvl = jnp.asarray((bxs > 0) & valid)
-        m, q, recon_y = step_y(recon_y, src_y_j, ys, xs, va, hva, hvl,
-                               *qp_arr, lam)
-        # chroma (DC only), same wave
-        cys = jnp.asarray(bys * CBLK)
-        cxs = jnp.asarray(bxs * CBLK)
-        mu, quc, recon_u = step_c(recon_u, src_u_j, cys, cxs, va, hva, hvl,
-                                  *qp_arr, lam)
-        mv, qvc, recon_v = step_c(recon_v, src_v_j, cys, cxs, va, hva, hvl,
-                                  *qp_arr, lam)
-        results.append((wave, m, q, quc, qvc))
-
-    for wave, m, q, quc, qvc in results:
-        nb = len(wave)
-        m = np.asarray(m)[:nb]
-        q = np.asarray(q)[:nb]
-        quc = np.asarray(quc)[:nb]
-        qvc = np.asarray(qvc)[:nb]
-        for i, (by, bx) in enumerate(wave):
-            y_modes[by, bx] = m[i]
-            qy[by, bx] = q[i]
-            qu[by, bx] = quc[i]
-            qv_[by, bx] = qvc[i]
+    modes_np = np.asarray(modes_acc)
+    uv_modes_np = np.asarray(uv_modes_acc)
+    qy_np = np.asarray(qy_acc)
+    qu_np = np.asarray(qu_acc)
+    qv_np = np.asarray(qv_acc)
+    for i, wave in enumerate(waves):
+        for j, (by, bx) in enumerate(wave):
+            y_modes[by, bx] = modes_np[i, j]
+            uv_modes[by, bx] = uv_modes_np[i, j]
+            qy[by, bx] = qy_np[i, j]
+            qu[by, bx] = qu_np[i, j]
+            qv_[by, bx] = qv_np[i, j]
 
     decisions = {}
     for by in range(gh):
@@ -204,7 +303,8 @@ def encode_intra_frame(src_y: np.ndarray, src_u: np.ndarray,
             r4, c4 = by * (BLK >> 2), bx * (BLK >> 2)
             decisions[(r4, c4)] = BlockDecision(
                 r4=r4, c4=c4, bsize=cc.BLOCK_16X16,
-                y_mode=int(y_modes[by, bx]), uv_mode=cc.DC_PRED,
+                y_mode=int(y_modes[by, bx]),
+                uv_mode=int(uv_modes[by, bx]),
                 tx_type=cc.DCT_DCT, qcoeff_y=qy[by, bx],
                 qcoeff_u=qu[by, bx], qcoeff_v=qv_[by, bx])
     recon = dict(y=np.asarray(recon_y).astype(np.uint8),
@@ -223,15 +323,17 @@ def reconstruct_from_decisions(decisions: Dict, width: int, height: int,
     recon_u = jnp.zeros((height // 2, width // 2), jnp.int32)
     recon_v = jnp.zeros_like(recon_u)
 
+    from svt_av1_tpu.codec.syntax import _chroma_tx_type
     for by in range(gh):
         for bx in range(gw):
             d = decisions[(by * 4, bx * 4)]
             recon_y = _recon_block(recon_y, d.qcoeff_y, d.y_mode, by * BLK,
                                    bx * BLK, BLK, cc.TX_16X16, d.tx_type, qp)
+            uv_tx = _chroma_tx_type(d.uv_mode, cc.TX_8X8)
             recon_u = _recon_block(recon_u, d.qcoeff_u, d.uv_mode, by * CBLK,
-                                   bx * CBLK, CBLK, cc.TX_8X8, cc.DCT_DCT, qp)
+                                   bx * CBLK, CBLK, cc.TX_8X8, uv_tx, qp)
             recon_v = _recon_block(recon_v, d.qcoeff_v, d.uv_mode, by * CBLK,
-                                   bx * CBLK, CBLK, cc.TX_8X8, cc.DCT_DCT, qp)
+                                   bx * CBLK, CBLK, cc.TX_8X8, uv_tx, qp)
     return dict(y=np.asarray(recon_y).astype(np.uint8),
                 u=np.asarray(recon_u).astype(np.uint8),
                 v=np.asarray(recon_v).astype(np.uint8))

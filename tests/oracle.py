@@ -22,7 +22,17 @@ ORACLE_PATHS = [
 def load():
     for p in ORACLE_PATHS:
         if p and os.path.exists(p):
-            return ctypes.CDLL(p)
+            lib = ctypes.CDLL(p)
+            # bind the library's internal function-pointer tables
+            # (svt_memcpy and the ~850 rtcd kernel pointers) — normally
+            # done by svt_av1_enc_init; flags=0 selects the C kernels
+            for setup in ("svt_aom_setup_common_rtcd_internal",
+                          "svt_aom_setup_rtcd_internal"):
+                try:
+                    getattr(lib, setup)(ctypes.c_uint64(0))
+                except AttributeError:
+                    pass
+            return lib
     return None
 
 

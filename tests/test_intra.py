@@ -52,3 +52,33 @@ def test_intra_bitexact(mode):
                             np.array([corner], dtype=np.int32), h, w)
         got = np.asarray(got)[0]
         assert np.array_equal(got, dst.astype(np.int32)), (mode, w, h)
+
+
+@pytest.mark.skipif(not oracle.available(), reason="reference oracle not built")
+@pytest.mark.parametrize("mode", [cc.D135_PRED, cc.D113_PRED, cc.D157_PRED])
+def test_z2_directional_bitexact(mode):
+    lib = oracle.load()
+    rng = np.random.default_rng(mode)
+    angle = intra.MODE_TO_ANGLE[mode]
+    dx, dy = intra.get_dx(angle), intra.get_dy(angle)
+    for (w, h) in [(4, 4), (8, 8), (16, 16), (32, 32), (8, 16), (16, 8)]:
+        full = rng.integers(0, 256, size=w + 1).astype(np.uint8)
+        above_ptr = full[1:]
+        leftbuf = rng.integers(0, 256, size=h + 1).astype(np.uint8)
+        leftbuf[0] = full[0]  # shared corner at left[-1] == above[-1]
+        left_ptr = leftbuf[1:]
+        corner = full[0]
+        dst = np.zeros((h, w), dtype=np.uint8)
+        fn = lib.svt_av1_dr_prediction_z2_c
+        fn.restype = None
+        fn(dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+           ctypes.c_ssize_t(w), ctypes.c_int32(w), ctypes.c_int32(h),
+           above_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+           left_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+           ctypes.c_int32(0), ctypes.c_int32(0),
+           ctypes.c_int32(dx), ctypes.c_int32(dy))
+        got = np.asarray(intra.predict(
+            mode, above_ptr[None].astype(np.int32),
+            left_ptr[None].astype(np.int32),
+            np.array([corner], dtype=np.int32), h, w))[0]
+        assert np.array_equal(got, dst.astype(np.int32)), (mode, w, h)
