@@ -8,7 +8,7 @@ from svt_av1_tpu.ops import cdef
 
 import oracle
 
-CDEF_BSTRIDE = 80  # ALIGN_POWER_OF_TWO(64 + 2*8, 3)
+CDEF_BSTRIDE = 144  # ALIGN_POWER_OF_TWO(128 + 2*8, 3)
 BLOCK_8X8 = 3
 
 

@@ -1,0 +1,59 @@
+"""Loop filter bit-exactness vs reference lpf kernels."""
+import ctypes
+
+import numpy as np
+import pytest
+
+from svt_av1_tpu.ops import dlf
+
+import oracle
+
+
+@pytest.mark.skipif(not oracle.available(), reason="reference oracle not built")
+@pytest.mark.parametrize("flen", [4, 6, 8, 14])
+@pytest.mark.parametrize("level", [4, 12, 32, 63])
+def test_filter_lines_bitexact(flen, level):
+    lib = oracle.load()
+    rng = np.random.default_rng(flen * 100 + level)
+    blimit_v, limit_v, thresh_v = dlf.loop_filter_thresholds(level, 0)
+    blimit = np.array([blimit_v], dtype=np.uint8)
+    limit = np.array([limit_v], dtype=np.uint8)
+    thresh = np.array([thresh_v], dtype=np.uint8)
+    fn = getattr(lib, f"svt_aom_lpf_horizontal_{flen}_c")
+    fn.restype = None
+
+    all_lines = []
+    all_refs = []
+    for trial in range(32):
+        # 14 rows x 4 cols patch; horizontal edge between rows 6|7
+        patch = rng.integers(0, 256, (14, 4)).astype(np.uint8)
+        if trial % 3 == 0:
+            # smooth content to trigger the wide (flat) paths
+            base = int(rng.integers(30, 220))
+            patch = np.clip(base + rng.integers(-1, 2, (14, 4)), 0,
+                            255).astype(np.uint8)
+        ref = patch.copy()
+        s_ptr = ref[7:, :]  # q0 row
+        fn(s_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+           ctypes.c_int32(4),
+           blimit.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+           limit.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+           thresh.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        for c in range(4):
+            all_lines.append(patch[:, c].astype(np.int32))
+            all_refs.append(ref[:, c].astype(np.int32))
+
+    got = np.asarray(dlf.filter_lines(np.stack(all_lines), blimit_v,
+                                      limit_v, thresh_v, flen))
+    for i in range(len(all_lines)):
+        assert np.array_equal(got[i], all_refs[i]), (flen, level, i)
+
+
+def test_plane_uniform_smoke():
+    rng = np.random.default_rng(0)
+    plane = rng.integers(0, 256, (64, 64)).astype(np.int32)
+    out = np.asarray(dlf.loop_filter_plane_uniform(plane, 16, 24, 0, 14))
+    assert out.shape == plane.shape
+    # interior far from edges untouched
+    assert np.array_equal(out[0:8, 0:8], plane[0:8, 0:8])
+    assert not np.array_equal(out, plane)
