@@ -27,6 +27,12 @@ def qp_to_qindex(qp: int) -> int:
     return min(255, max(1, qp * 4))
 
 
+def default_filter_level(qindex: int) -> int:
+    """Simple qindex->deblock level heuristic (the reference searches
+    levels per frame, dlf_process.c; search lands with the DLF stage)."""
+    return int(np.clip((qindex * 3) // 32, 0, 63)) >> 1
+
+
 @dataclasses.dataclass
 class Packet:
     data: bytes
@@ -76,6 +82,12 @@ class Encoder:
             np.asarray(y), np.asarray(u), np.asarray(v), qindex)
         fp = obu.FrameParams(frame_type=obu.KEY_FRAME, show_frame=True,
                              base_q_idx=qindex)
+        if self.cfg.enable_dlf_flag:
+            lvl_y = default_filter_level(qindex)
+            fp.filter_level = (lvl_y, lvl_y)
+            lvl_uv = max(0, lvl_y - 2)
+            fp.filter_level_uv = (lvl_uv, lvl_uv)
+            recon = intra_encoder.apply_loop_filter(recon, fp)
         tenc = TileEncoder(self.sp.width, self.sp.height, qindex,
                            reduced_tx_set=fp.reduced_tx_set,
                            update_cdfs=not fp.disable_cdf_update)

@@ -12,7 +12,8 @@ import numpy as np
 
 from svt_av1_tpu.codec import obu
 from svt_av1_tpu.codec.syntax import TileDecoder
-from svt_av1_tpu.pipeline.intra_encoder import reconstruct_from_decisions
+from svt_av1_tpu.pipeline.intra_encoder import (apply_loop_filter,
+                                                reconstruct_from_decisions)
 from svt_av1_tpu.utils.bitio import BitReader
 
 
@@ -45,5 +46,6 @@ class Decoder:
         decisions = tdec.decode(tile_data)
         recon = reconstruct_from_decisions(decisions, self.sp.width,
                                            self.sp.height, fp.base_q_idx)
+        recon = apply_loop_filter(recon, fp)
         recon["decisions"] = decisions
         return recon
