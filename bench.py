@@ -42,16 +42,24 @@ def main():
     frames = synth_frames(FRAMES)
     cfg = EncoderConfig(source_width=W, source_height=H, qp=35)
     enc = Encoder(cfg)
-    # warmup (first frame compiles all wave steps)
-    enc.send_picture(*frames[0])
-    enc.get_packet()
+    batch = 8
+    # warmup (compile the batched frame program)
+    enc.send_pictures(frames[:batch])
+    while enc.get_packet():
+        pass
     t0 = time.time()
     nbytes = 0
-    for f in frames[1:]:
-        enc.send_picture(*f)
-        nbytes += len(enc.get_packet().data)
+    done = 0
+    for i in range(0, len(frames), batch):
+        enc.send_pictures(frames[i:i + batch])
+        while True:
+            p = enc.get_packet()
+            if p is None:
+                break
+            nbytes += len(p.data)
+            done += 1
     dt = time.time() - t0
-    fps = (len(frames) - 1) / dt
+    fps = done / dt
     print(json.dumps({
         "metric": "cif_intra_encode_fps",
         "value": round(fps, 3),

@@ -63,6 +63,21 @@ class Encoder:
         if eos:
             self._eos_sent = True
 
+    def send_pictures(self, frames, eos: bool = False):
+        """Batched submit: frames = [(y, u, v), ...].  All frames run as
+        one device program (all-intra); EC still per frame on the host.
+        The TPU-native analog of the reference's picture parallelism."""
+        qindex = qp_to_qindex(self.cfg.qp)
+        results = intra_encoder.encode_intra_frames(
+            [(np.asarray(y), np.asarray(u), np.asarray(v))
+             for (y, u, v) in frames], qindex)
+        for decisions, recon in results:
+            self._packets.append(
+                self._packetize(decisions, recon, qindex, self._pts))
+            self._pts += 1
+        if eos:
+            self._eos_sent = True
+
     def send_eos(self):
         self._eos_sent = True
 
@@ -80,6 +95,9 @@ class Encoder:
         qindex = qp_to_qindex(self.cfg.qp)
         decisions, recon = intra_encoder.encode_intra_frame(
             np.asarray(y), np.asarray(u), np.asarray(v), qindex)
+        return self._packetize(decisions, recon, qindex, pts)
+
+    def _packetize(self, decisions, recon, qindex, pts) -> Packet:
         fp = obu.FrameParams(frame_type=obu.KEY_FRAME, show_frame=True,
                              base_q_idx=qindex)
         if self.cfg.enable_dlf_flag:

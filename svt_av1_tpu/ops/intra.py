@@ -192,6 +192,46 @@ def z2_pred(above, left, above_left, h: int, w: int, angle: int):
     return jnp.where(jnp.asarray(use_above)[None], av, lv)
 
 
+def z1_pred(above_ext, h: int, w: int, angle: int):
+    """Directional zone 1 (angle < 90), upsample off.
+
+    above_ext: (B, w+h+1) — above row extended across the top-right
+    (prepared with availability replication); last entry duplicates
+    above_ext[w+h-1] so idx+1 gathers stay in range."""
+    assert 0 < angle < 90
+    dx = get_dx(angle)
+    max_base_x = w + h - 1
+    r = np.arange(h)[:, None]
+    c = np.arange(w)[None, :]
+    x = (r + 1) * dx
+    base = (x >> 6) + c
+    shift = ((x & 63) >> 1) * np.ones_like(c)
+    idx = np.minimum(base, max_base_x)
+    val = (above_ext[:, idx] * (32 - shift)[None]
+           + above_ext[:, idx + 1] * shift[None] + 16) >> 5
+    return jnp.where(jnp.asarray(base >= max_base_x)[None],
+                     above_ext[:, max_base_x][:, None, None], val)
+
+
+def z3_pred(left_ext, h: int, w: int, angle: int):
+    """Directional zone 3 (angle > 180), upsample off.
+
+    left_ext: (B, w+h+1) — left column extended across the bottom-left."""
+    assert 180 < angle < 270
+    dy = get_dy(angle)
+    max_base_y = w + h - 1
+    r = np.arange(h)[:, None]
+    c = np.arange(w)[None, :]
+    y = (c + 1) * dy
+    base = (y >> 6) + r
+    shift = ((y & 63) >> 1) * np.ones_like(r)
+    idx = np.minimum(base, max_base_y)
+    val = (left_ext[:, idx] * (32 - shift)[None]
+           + left_ext[:, idx + 1] * shift[None] + 16) >> 5
+    return jnp.where(jnp.asarray(base >= max_base_y)[None],
+                     left_ext[:, max_base_y][:, None, None], val)
+
+
 def predict(mode: int, above, left, above_left, h: int, w: int,
             have_above=None, have_left=None, bd: int = 8):
     """Dispatch a single intra mode (static) over a batch.

@@ -28,12 +28,63 @@ from svt_av1_tpu.codec.syntax import BlockDecision
 from svt_av1_tpu.ops import intra, quant, transforms as tf
 
 MODES = (cc.DC_PRED, cc.V_PRED, cc.H_PRED, cc.SMOOTH_PRED, cc.PAETH_PRED,
-         cc.D135_PRED, cc.D113_PRED, cc.D157_PRED)
+         cc.D135_PRED, cc.D113_PRED, cc.D157_PRED, cc.D45_PRED,
+         cc.D67_PRED, cc.D203_PRED)
 # chroma mode set; each uses its implied (unsignaled) transform type
 UV_MODES = (cc.DC_PRED, cc.V_PRED, cc.H_PRED, cc.SMOOTH_PRED)
 UV_TX_TYPES = (cc.DCT_DCT, cc.ADST_DCT, cc.DCT_ADST, cc.ADST_ADST)
 BLK = 16
 CBLK = 8
+
+
+def _morton(r: int, c: int) -> int:
+    """z-order (coding order) index of a block within its superblock."""
+    return (((r & 2) << 2) | ((c & 2) << 1) | ((r & 1) << 1) | (c & 1))
+
+
+def tr_bl_avail(by: int, bx: int, gh: int, gw: int):
+    """(top-right, bottom-left) reconstructed-sample availability for a
+    16x16 block in the 64x64-SB z-order (spec intra edge availability;
+    exact for uniform square grids: a neighbor is available iff its
+    coding (z) order precedes ours)."""
+    r, c = by & 3, bx & 3
+    if by == 0 or bx + 1 >= gw:
+        tr = False
+    elif r == 0:
+        tr = True
+    elif c == 3:
+        tr = False
+    else:
+        tr = _morton(r - 1, c + 1) < _morton(r, c)
+    if bx == 0 or by + 1 >= gh:
+        bl = False
+    elif c == 0:
+        bl = r < 3
+    elif r == 3:
+        bl = False
+    else:
+        bl = _morton(r + 1, c - 1) < _morton(r, c)
+    return tr, bl
+
+
+def _gather_ext_neighbors(recon, ys, xs, n, above, left, tr_avail,
+                          bl_avail):
+    """Extended (2n+1) above/left arrays for zone-1/3 directional modes:
+    second half gathered from recon when available, else replicated."""
+    b = ys.shape[0]
+    h, w = recon.shape
+    offs2 = jnp.arange(n)
+    ay = jnp.maximum(ys - 1, 0)
+    tr_cols = jnp.minimum(xs[:, None] + n + offs2[None], w - 1)
+    tr = recon[ay[:, None], tr_cols]
+    tr = jnp.where(tr_avail[:, None], tr, above[:, n - 1][:, None])
+    above_ext = jnp.concatenate([above, tr, tr[:, -1:]], axis=1)
+    lx = jnp.maximum(xs - 1, 0)
+    bl_rows = jnp.minimum(ys[:, None] + n + offs2[None], h - 1)
+    bl = recon[bl_rows, lx[:, None]]
+    bl = jnp.where(bl_avail[:, None], bl, left[:, n - 1][:, None])
+    left_ext = jnp.concatenate([left, bl, bl[:, -1:]], axis=1)
+    return above_ext, left_ext
 
 
 def _gather_neighbors(recon, ys, xs, n, have_above, have_left, bd=8):
@@ -69,15 +120,22 @@ def _gather_neighbors(recon, ys, xs, n, have_above, have_left, bd=8):
 
 def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
              qp_arrays, lam, n, tx_size, modes, plane_type,
-             tx_types=None):
+             tx_types=None, tr_avail=None, bl_avail=None):
     """One wave step for one plane: returns (best_mode (B,), qcoeff
     (B,kh,kw), new recon).  ys/xs: (B,) pixel coords (traced ok).
 
     tx_types: optional per-mode tx type (chroma uses the mode-implied
-    type; luma signals DCT_DCT in round 1)."""
+    type; luma signals DCT_DCT in round 1).
+    tr_avail/bl_avail: (B,) bool, required when modes include zone-1/3
+    directional modes."""
     b = ys.shape[0]
     above, left, corner = _gather_neighbors(recon, ys, xs, n,
                                             have_above, have_left)
+    z13 = any(m in (cc.D45_PRED, cc.D67_PRED, cc.D203_PRED)
+              for m in modes)
+    if z13:
+        above_ext, left_ext = _gather_ext_neighbors(
+            recon, ys, xs, n, above, left, tr_avail, bl_avail)
     offs = jnp.arange(n)
     rows = ys[:, None, None] + offs[None, :, None]
     cols = xs[:, None, None] + offs[None, None, :]
@@ -90,8 +148,16 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
     best = None
     for mi, mode in enumerate(modes):
         tx_type = cc.DCT_DCT if tx_types is None else tx_types[mi]
-        pred = intra.predict(mode, above, left, corner, n, n,
-                             have_above=have_above, have_left=have_left)
+        if mode in (cc.D45_PRED, cc.D67_PRED):
+            pred = intra.z1_pred(above_ext, n, n,
+                                 intra.MODE_TO_ANGLE[mode])
+        elif mode == cc.D203_PRED:
+            pred = intra.z3_pred(left_ext, n, n,
+                                 intra.MODE_TO_ANGLE[mode])
+        else:
+            pred = intra.predict(mode, above, left, corner, n, n,
+                                 have_above=have_above,
+                                 have_left=have_left)
         resid = src_blk - pred
         coeffs = tf.fwd_txfm2d(resid, tx_type, tx_size)
         qcoeff, dqcoeff = quant.quantize(coeffs, qp, tx_size)
@@ -129,14 +195,12 @@ def _jit_wave_step(n, tx_size, modes, maxb):
     return jax.jit(step)
 
 
-@functools.lru_cache(maxsize=None)
-def _jit_frame_program(nw, maxb, modes):
-    """One jitted program for a whole key frame: fori_loop over waves,
-    each iteration runs luma (16x16, all modes) + chroma (8x8 DC) MD and
-    scatters recon in place.  Compiled once per frame geometry."""
+def _frame_program_fn(nw, maxb, modes):
+    """Whole-key-frame program: fori_loop over waves, each iteration runs
+    luma MD (all modes) + chroma MD and scatters recon in place."""
 
     def frame(recon_y, recon_u, recon_v, src_y, src_u, src_v,
-              bys, bxs, valid, zbin, rnd, qv, qshift, deq, lam):
+              bys, bxs, valid, trs, bls, zbin, rnd, qv, qshift, deq, lam):
         qp = (zbin, rnd, qv, qshift, deq)
         modes_acc = jnp.zeros((nw, maxb), jnp.int32)
         uv_modes_acc = jnp.zeros((nw, maxb), jnp.int32)
@@ -152,7 +216,8 @@ def _jit_frame_program(nw, maxb, modes):
             ha = (by > 0) & va
             hl = (bx > 0) & va
             m, q, ry = _rd_step(ry, src_y, by * BLK, bx * BLK, va, ha, hl,
-                                qp, lam, BLK, cc.TX_16X16, modes, 0)
+                                qp, lam, BLK, cc.TX_16X16, modes, 0,
+                                tr_avail=trs[i] & va, bl_avail=bls[i] & va)
             # chroma: joint mode decision over U+V (one signaled uv_mode)
             um, qu, qvq, ru, rv = _rd_step_chroma(
                 ru, rv, src_u, src_v, by * CBLK, bx * CBLK, va, ha, hl,
@@ -165,7 +230,12 @@ def _jit_frame_program(nw, maxb, modes):
                 qy_acc, qu_acc, qv_acc)
         return jax.lax.fori_loop(0, nw, body, init)
 
-    return jax.jit(frame)
+    return frame
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_frame_program(nw, maxb, modes):
+    return jax.jit(_frame_program_fn(nw, maxb, modes))
 
 
 def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
@@ -239,6 +309,91 @@ def _wave_schedule(gh: int, gw: int, maxb: int):
     return waves
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_frame_program_batch(nw, maxb, modes):
+    """vmap of the frame program over a leading frame axis — all-intra
+    frames are independent, so a batch shares one device dispatch
+    (amortizes host<->device transfers; also the multi-stream shape)."""
+    single = _frame_program_fn(nw, maxb, modes)
+
+    def batched(ry, ru, rv, sy, su, sv, bys, bxs, valid, trs, bls,
+                zbin, rnd, qv, qshift, deq, lam):
+        return jax.vmap(
+            lambda a, b, c, d, e, f: single(
+                a, b, c, d, e, f, bys, bxs, valid, trs, bls,
+                zbin, rnd, qv, qshift, deq, lam)
+        )(ry, ru, rv, sy, su, sv)
+
+    return jax.jit(batched)
+
+
+def encode_intra_frames(frames, qindex: int, modes=MODES):
+    """Batched all-intra encode: frames = [(y, u, v), ...] (same dims).
+    Returns [(decisions, recon), ...].  One device program for the whole
+    batch."""
+    h, w = frames[0][0].shape
+    assert h % BLK == 0 and w % BLK == 0
+    gh, gw = h // BLK, w // BLK
+    maxb = min(gh, gw)
+    nf = len(frames)
+
+    qp_y = quant.make_quant_params(qindex)
+    qstep = quant.dc_q(qindex) / 8.0
+    lam = np.float32(0.7 * qstep * qstep)
+    waves, bys, bxs, valid, trs, bls = _schedule_arrays(gh, gw, maxb)
+    nw = len(waves)
+    prog = _jit_frame_program_batch(nw, maxb, tuple(modes))
+    sy = np.stack([f[0] for f in frames]).astype(np.int32)
+    su = np.stack([f[1] for f in frames]).astype(np.int32)
+    sv = np.stack([f[2] for f in frames]).astype(np.int32)
+    out = prog(np.zeros_like(sy), np.zeros_like(su), np.zeros_like(su),
+               sy, su, sv, bys, bxs, valid, trs, bls,
+               *(np.asarray(a) for a in qp_y), lam)
+    (ry, ru, rv, modes_acc, uv_acc, qy_acc, qu_acc, qv_acc) = \
+        [np.asarray(o) for o in out]
+    results = []
+    for fi in range(nf):
+        decisions = _collect_decisions(
+            waves, gh, gw, modes_acc[fi], uv_acc[fi], qy_acc[fi],
+            qu_acc[fi], qv_acc[fi])
+        recon = dict(y=ry[fi].astype(np.uint8), u=ru[fi].astype(np.uint8),
+                     v=rv[fi].astype(np.uint8))
+        results.append((decisions, recon))
+    return results
+
+
+def _schedule_arrays(gh, gw, maxb):
+    waves = _wave_schedule(gh, gw, maxb)
+    nw = len(waves)
+    bys = np.zeros((nw, maxb), np.int32)
+    bxs = np.zeros((nw, maxb), np.int32)
+    valid = np.zeros((nw, maxb), bool)
+    trs = np.zeros((nw, maxb), bool)
+    bls = np.zeros((nw, maxb), bool)
+    for i, wave in enumerate(waves):
+        nb = len(wave)
+        bys[i, :nb] = [b[0] for b in wave]
+        bxs[i, :nb] = [b[1] for b in wave]
+        valid[i, :nb] = True
+        for j, (by, bx) in enumerate(wave):
+            trs[i, j], bls[i, j] = tr_bl_avail(by, bx, gh, gw)
+    return waves, bys, bxs, valid, trs, bls
+
+
+def _collect_decisions(waves, gh, gw, modes_np, uv_modes_np, qy_np, qu_np,
+                       qv_np):
+    decisions = {}
+    for i, wave in enumerate(waves):
+        for j, (by, bx) in enumerate(wave):
+            r4, c4 = by * (BLK >> 2), bx * (BLK >> 2)
+            decisions[(r4, c4)] = BlockDecision(
+                r4=r4, c4=c4, bsize=cc.BLOCK_16X16,
+                y_mode=int(modes_np[i, j]), uv_mode=int(uv_modes_np[i, j]),
+                tx_type=cc.DCT_DCT, qcoeff_y=qy_np[i, j],
+                qcoeff_u=qu_np[i, j], qcoeff_v=qv_np[i, j])
+    return decisions
+
+
 def encode_intra_frame(src_y: np.ndarray, src_u: np.ndarray,
                        src_v: np.ndarray, qindex: int,
                        modes=MODES) -> Tuple[Dict, Dict[str, np.ndarray]]:
@@ -261,11 +416,15 @@ def encode_intra_frame(src_y: np.ndarray, src_u: np.ndarray,
     bys = np.zeros((nw, maxb), np.int32)
     bxs = np.zeros((nw, maxb), np.int32)
     valid = np.zeros((nw, maxb), bool)
+    trs = np.zeros((nw, maxb), bool)
+    bls = np.zeros((nw, maxb), bool)
     for i, wave in enumerate(waves):
         nb = len(wave)
         bys[i, :nb] = [b[0] for b in wave]
         bxs[i, :nb] = [b[1] for b in wave]
         valid[i, :nb] = True
+        for j, (by, bx) in enumerate(wave):
+            trs[i, j], bls[i, j] = tr_bl_avail(by, bx, gh, gw)
 
     prog = _jit_frame_program(nw, maxb, tuple(modes))
     out = prog(jnp.zeros((h, w), jnp.int32),
@@ -275,6 +434,7 @@ def encode_intra_frame(src_y: np.ndarray, src_u: np.ndarray,
                jnp.asarray(src_u.astype(np.int32)),
                jnp.asarray(src_v.astype(np.int32)),
                jnp.asarray(bys), jnp.asarray(bxs), jnp.asarray(valid),
+               jnp.asarray(trs), jnp.asarray(bls),
                *(jnp.asarray(a) for a in qp_y), lam)
     (recon_y, recon_u, recon_v, modes_acc, uv_modes_acc, qy_acc, qu_acc,
      qv_acc) = out
@@ -349,8 +509,10 @@ def reconstruct_from_decisions(decisions: Dict, width: int, height: int,
     for by in range(gh):
         for bx in range(gw):
             d = decisions[(by * 4, bx * 4)]
+            tr, bl = tr_bl_avail(by, bx, gh, gw)
             recon_y = _recon_block(recon_y, d.qcoeff_y, d.y_mode, by * BLK,
-                                   bx * BLK, BLK, cc.TX_16X16, d.tx_type, qp)
+                                   bx * BLK, BLK, cc.TX_16X16, d.tx_type,
+                                   qp, tr, bl)
             uv_tx = _chroma_tx_type(d.uv_mode, cc.TX_8X8)
             recon_u = _recon_block(recon_u, d.qcoeff_u, d.uv_mode, by * CBLK,
                                    bx * CBLK, CBLK, cc.TX_8X8, uv_tx, qp)
@@ -363,22 +525,35 @@ def reconstruct_from_decisions(decisions: Dict, width: int, height: int,
 
 @functools.lru_cache(maxsize=None)
 def _jit_recon_block(n, tx_size, tx_type, mode):
-    def f(recon, q, ys, xs, have_above, have_left,
+    def f(recon, q, ys, xs, have_above, have_left, tr_avail, bl_avail,
           zbin, rnd, qv, qshift, deq):
         qp = quant.QuantParams(zbin, rnd, qv, qshift, deq)
         above, left, corner = _gather_neighbors(recon, ys, xs, n,
                                                 have_above, have_left)
-        pred = intra.predict(mode, above, left, corner, n, n,
-                             have_above=have_above, have_left=have_left)
+        if mode in (cc.D45_PRED, cc.D67_PRED, cc.D203_PRED):
+            above_ext, left_ext = _gather_ext_neighbors(
+                recon, ys, xs, n, above, left, tr_avail, bl_avail)
+            if mode == cc.D203_PRED:
+                pred = intra.z3_pred(left_ext, n, n,
+                                     intra.MODE_TO_ANGLE[mode])
+            else:
+                pred = intra.z1_pred(above_ext, n, n,
+                                     intra.MODE_TO_ANGLE[mode])
+        else:
+            pred = intra.predict(mode, above, left, corner, n, n,
+                                 have_above=have_above,
+                                 have_left=have_left)
         dq = quant.dequantize(q[None], qp, tx_size)
         rec = tf.inv_txfm2d_add(dq, pred, tx_type, tx_size)[0]
         return jax.lax.dynamic_update_slice(recon, rec, (ys[0], xs[0]))
     return jax.jit(f)
 
 
-def _recon_block(recon, q, mode, y, x, n, tx_size, tx_type, qp):
+def _recon_block(recon, q, mode, y, x, n, tx_size, tx_type, qp,
+                 tr=False, bl=False):
     f = _jit_recon_block(n, tx_size, tx_type, int(mode))
     return f(recon, jnp.asarray(q),
              jnp.full((1,), y, jnp.int32), jnp.full((1,), x, jnp.int32),
              jnp.full((1,), y > 0), jnp.full((1,), x > 0),
+             jnp.full((1,), tr), jnp.full((1,), bl),
              *(jnp.asarray(a) for a in qp))

@@ -50,8 +50,10 @@ def test_filter_lines_bitexact(flen, level):
 
 
 def test_plane_uniform_smoke():
-    rng = np.random.default_rng(0)
-    plane = rng.integers(0, 256, (64, 64)).astype(np.int32)
+    # smooth plane with a step at a 16-aligned edge: the filter engages
+    plane = np.full((64, 64), 80, dtype=np.int32)
+    plane[:, 16:] = 90
+    plane[32:, :] = 70
     out = np.asarray(dlf.loop_filter_plane_uniform(plane, 16, 24, 0, 14))
     assert out.shape == plane.shape
     # interior far from edges untouched

@@ -66,3 +66,19 @@ def test_two_frames_stream():
         pkt = enc.get_packet()
         frames = dec.decode_temporal_unit(pkt.data)
         assert np.array_equal(frames[0]["y"], pkt.recon["y"])
+
+
+def test_batched_frames_match_single():
+    """send_pictures (batched device program) must produce identical
+    bitstreams to the per-frame path."""
+    w, h = 64, 64
+    frames = [synth_frame(w, h, seed=i) for i in range(2)]
+    cfg = EncoderConfig(source_width=w, source_height=h, qp=35)
+    e1 = Encoder(cfg)
+    for i, f in enumerate(frames):
+        e1.send_picture(*f, eos=(i == 1))
+    singles = [e1.get_packet().data for _ in range(2)]
+    e2 = Encoder(cfg)
+    e2.send_pictures(frames, eos=True)
+    batched = [e2.get_packet().data for _ in range(2)]
+    assert singles == batched

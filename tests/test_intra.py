@@ -82,3 +82,34 @@ def test_z2_directional_bitexact(mode):
             left_ptr[None].astype(np.int32),
             np.array([corner], dtype=np.int32), h, w))[0]
         assert np.array_equal(got, dst.astype(np.int32)), (mode, w, h)
+
+
+@pytest.mark.skipif(not oracle.available(), reason="reference oracle not built")
+@pytest.mark.parametrize("mode", [cc.D45_PRED, cc.D67_PRED, cc.D203_PRED])
+def test_z1_z3_directional_bitexact(mode):
+    lib = oracle.load()
+    rng = np.random.default_rng(mode)
+    angle = intra.MODE_TO_ANGLE[mode]
+    dx, dy = intra.get_dx(angle), intra.get_dy(angle)
+    for (w, h) in [(4, 4), (8, 8), (16, 16), (32, 32), (16, 8)]:
+        n_ext = w + h
+        above = rng.integers(0, 256, size=n_ext).astype(np.uint8)
+        left = rng.integers(0, 256, size=n_ext).astype(np.uint8)
+        dst = np.zeros((h, w), dtype=np.uint8)
+        if mode == cc.D203_PRED:
+            fn = lib.svt_av1_dr_prediction_z3_c
+        else:
+            fn = lib.svt_av1_dr_prediction_z1_c
+        fn.restype = None
+        fn(dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+           ctypes.c_ssize_t(w), ctypes.c_int32(w), ctypes.c_int32(h),
+           above.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+           left.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+           ctypes.c_int32(0), ctypes.c_int32(dx), ctypes.c_int32(dy))
+        ext = np.concatenate([above, above[-1:]]).astype(np.int32)
+        lext = np.concatenate([left, left[-1:]]).astype(np.int32)
+        if mode == cc.D203_PRED:
+            got = np.asarray(intra.z3_pred(lext[None], h, w, angle))[0]
+        else:
+            got = np.asarray(intra.z1_pred(ext[None], h, w, angle))[0]
+        assert np.array_equal(got, dst.astype(np.int32)), (mode, w, h)
