@@ -1,0 +1,27 @@
+"""Pallas fused fwd-txfm+quant kernel matches the unfused ops path
+(interpret mode on CPU; compiled on TPU)."""
+import numpy as np
+import jax
+
+from svt_av1_tpu.codec import constants as cc
+from svt_av1_tpu.ops import quant, transforms as tf
+from svt_av1_tpu.ops.pallas import fused_txq
+
+
+def test_fused_matches_unfused():
+    rng = np.random.default_rng(0)
+    b = 100  # exercises padding to TILE_B
+    resid = rng.integers(-200, 200, (b, 16, 16)).astype(np.int32)
+    qindex = 120
+
+    interpret = jax.devices()[0].platform == "cpu"
+    qc, dqc = fused_txq.fwd_txfm_quant_16x16(resid, qindex,
+                                             interpret=interpret)
+    qc = np.asarray(qc)
+    dqc = np.asarray(dqc)
+
+    coeffs = tf.fwd_txfm2d(resid, cc.DCT_DCT, cc.TX_16X16)
+    qp = quant.make_quant_params(qindex)
+    qc_ref, dqc_ref = quant.quantize(coeffs, qp, cc.TX_16X16)
+    assert np.array_equal(qc, np.asarray(qc_ref))
+    assert np.array_equal(dqc, np.asarray(dqc_ref))
