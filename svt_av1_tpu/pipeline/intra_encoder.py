@@ -144,10 +144,12 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
     zbin, rnd, qv, qshift, deq = qp_arrays
     qp = quant.QuantParams(zbin, rnd, qv, qshift, deq)
 
-    best_cost = None
-    best = None
+    # predictions for every mode (mode-specific gathers, cheap), then ONE
+    # stacked transform/quant/recon pass over (n_modes*B) blocks — a much
+    # smaller trace and a bigger MXU batch than per-mode pipelines
+    preds = []
+    same_tx = tx_types is None or len(set(tx_types)) == 1
     for mi, mode in enumerate(modes):
-        tx_type = cc.DCT_DCT if tx_types is None else tx_types[mi]
         if mode in (cc.D45_PRED, cc.D67_PRED):
             pred = intra.z1_pred(above_ext, n, n,
                                  intra.MODE_TO_ANGLE[mode])
@@ -158,26 +160,39 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
             pred = intra.predict(mode, above, left, corner, n, n,
                                  have_above=have_above,
                                  have_left=have_left)
-        resid = src_blk - pred
-        coeffs = tf.fwd_txfm2d(resid, tx_type, tx_size)
-        qcoeff, dqcoeff = quant.quantize(coeffs, qp, tx_size)
-        rec = tf.inv_txfm2d_add(dqcoeff, pred, tx_type, tx_size)
-        dist = jnp.sum((rec - src_blk) ** 2, axis=(1, 2)).astype(jnp.float32)
-        aq = jnp.abs(qcoeff)
-        bits = (jnp.sum(jnp.log2(1.0 + aq.astype(jnp.float32)), axis=(1, 2))
-                * 2.0 + jnp.sum((aq > 0), axis=(1, 2)) + 8.0)
-        cost = dist + lam * bits
-        pack = (cost, jnp.full((b,), mode, jnp.int32), qcoeff, rec)
-        if best is None:
-            best = pack
-        else:
-            take = cost < best[0]
-            best = (jnp.where(take, cost, best[0]),
-                    jnp.where(take, pack[1], best[1]),
-                    jnp.where(take[:, None, None], qcoeff, best[2]),
-                    jnp.where(take[:, None, None], rec, best[3]))
-
-    _, best_mode, best_q, best_rec = best
+        preds.append(pred)
+    nm = len(modes)
+    pred_all = jnp.concatenate(preds, axis=0)        # (nm*B, n, n)
+    src_all = jnp.tile(src_blk, (nm, 1, 1))
+    resid_all = src_all - pred_all
+    if same_tx:
+        tx0 = cc.DCT_DCT if tx_types is None else tx_types[0]
+        coeffs = tf.fwd_txfm2d(resid_all, tx0, tx_size)
+        qcoeff_all, dq_all = quant.quantize(coeffs, qp, tx_size)
+        rec_all = tf.inv_txfm2d_add(dq_all, pred_all, tx0, tx_size)
+    else:
+        qcs, recs = [], []
+        for mi in range(nm):
+            sl = slice(mi * b, (mi + 1) * b)
+            coeffs = tf.fwd_txfm2d(resid_all[sl], tx_types[mi], tx_size)
+            qc, dq = quant.quantize(coeffs, qp, tx_size)
+            recs.append(tf.inv_txfm2d_add(dq, pred_all[sl], tx_types[mi],
+                                          tx_size))
+            qcs.append(qc)
+        qcoeff_all = jnp.concatenate(qcs, axis=0)
+        rec_all = jnp.concatenate(recs, axis=0)
+    dist = jnp.sum((rec_all - src_all) ** 2,
+                   axis=(1, 2)).astype(jnp.float32)
+    aq = jnp.abs(qcoeff_all)
+    bits = (jnp.sum(jnp.log2(1.0 + aq.astype(jnp.float32)), axis=(1, 2))
+            * 2.0 + jnp.sum((aq > 0), axis=(1, 2)) + 8.0)
+    cost = (dist + lam * bits).reshape(nm, b)
+    mode_arr = jnp.asarray(np.array(modes, np.int32))
+    mi_best = jnp.argmin(cost, axis=0)               # (B,)
+    best_mode = mode_arr[mi_best]
+    sel = mi_best * b + jnp.arange(b)
+    best_q = qcoeff_all.reshape(nm * b, n, n)[sel]
+    best_rec = rec_all.reshape(nm * b, n, n)[sel]
     # scatter chosen recon (masked lanes add zero delta)
     cur = recon[rows, cols]
     delta = jnp.where(valid[:, None, None], best_rec - cur, 0)
