@@ -74,3 +74,60 @@ def test_wiener_bitexact():
         np.stack(wins), np.stack(fxs), np.stack(fys), w, h))
     for i in range(8):
         assert np.array_equal(got[i], refs[i]), i
+
+
+@pytest.mark.skipif(not oracle.available(), reason="reference oracle not built")
+@pytest.mark.parametrize("eps", [0, 5, 9, 11, 14])
+def test_selfguided_bitexact(eps):
+    lib = oracle.load()
+    fn = lib.svt_av1_selfguided_restoration_c
+    fn.restype = None
+    rng = np.random.default_rng(eps)
+    w = h = 16
+    for trial in range(4):
+        ext = rng.integers(0, 256, (h + 6, w + 6)).astype(np.uint8)
+        flt0 = np.zeros((h, w), dtype=np.int32)
+        flt1 = np.zeros((h, w), dtype=np.int32)
+        src = np.ascontiguousarray(ext)
+        origin = src[3:, 3:]
+        fn(origin.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+           ctypes.c_int32(w), ctypes.c_int32(h), ctypes.c_int32(w + 6),
+           flt0.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+           flt1.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+           ctypes.c_int32(w), ctypes.c_int32(eps), ctypes.c_int32(8),
+           ctypes.c_int32(0))
+        g0, g1 = restoration.selfguided_restoration(
+            ext[None].astype(np.int32), eps, h, w)
+        r0, r1 = [int(v) for v in
+                  restoration._sgr_tables()["sgr_params"][eps][:2]]
+        if r0 > 0:
+            assert np.array_equal(np.asarray(g0)[0], flt0), (eps, trial, 0)
+        if r1 > 0:
+            assert np.array_equal(np.asarray(g1)[0], flt1), (eps, trial, 1)
+
+
+@pytest.mark.skipif(not oracle.available(), reason="reference oracle not built")
+def test_apply_selfguided_bitexact():
+    lib = oracle.load()
+    fn = lib.svt_apply_selfguided_restoration_c
+    fn.restype = None
+    rng = np.random.default_rng(42)
+    w = h = 16
+    for eps, xqd in [(3, (12, 50)), (11, (0, 60)), (15, (30, 0))]:
+        ext = rng.integers(0, 256, (h + 6, w + 6)).astype(np.uint8)
+        src = np.ascontiguousarray(ext)
+        origin = src[3:, 3:]
+        dst = np.zeros((h, w), dtype=np.uint8)
+        xq = (ctypes.c_int32 * 2)(*xqd)
+        tmp = np.zeros(2 * 64 * 64 + 1024, dtype=np.int32)
+        fn(origin.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+           ctypes.c_int32(w), ctypes.c_int32(h), ctypes.c_int32(w + 6),
+           ctypes.c_int32(eps), xq,
+           dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+           ctypes.c_int32(w),
+           tmp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+           ctypes.c_int32(8), ctypes.c_int32(0))
+        got = np.asarray(restoration.apply_selfguided(
+            ext[None].astype(np.int32), eps,
+            np.array([xqd[0]]), np.array([xqd[1]]), h, w))[0]
+        assert np.array_equal(got, dst.astype(np.int32)), eps
