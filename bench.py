@@ -9,10 +9,16 @@ this container) on the same synthetic 352x288 clip, all-intra
 15.94 fps (measured 2026-08-16; see BASELINE.md).
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent XLA compile cache (first bench run on a machine pays the
+# compile; reruns start hot)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 BASELINE_FPS = 15.94
 FRAMES = 16
