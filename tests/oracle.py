@@ -85,7 +85,7 @@ class OracleRangeEncoder:
         return bytes(bytearray(ptr[i] for i in range(nbytes.value)))
 
     def __del__(self):
-        try:
-            self.lib.svt_od_ec_enc_clear(ctypes.byref(self.enc))
-        except Exception:
-            pass
+        # deliberately do NOT call svt_od_ec_enc_clear: freeing from a
+        # teardown-ordered ctypes handle can corrupt the allocator at
+        # interpreter exit; the small leak is test-only.
+        pass
