@@ -1,0 +1,107 @@
+"""Hierarchical motion estimation (open-loop HME/ME), TPU-batched.
+
+Redesign of the reference's open-loop ME (motion_estimation.c:
+prehme/hme_level0/1/2 + fullpel search, run by ~20 threads over segment
+grids; Docs/Appendix-Open-Loop-Motion-Estimation.md): here every level
+is one batched device call over ALL search blocks of the frame:
+
+  level 2 (1/16 res): dense SSD search over a wide window (MXU conv)
+  level 1 (1/4  res): dense refinement around the level-2 winner
+  level 0 (full res): dense refinement around the level-1 winner
+
+Candidate costs use SSD (the conv-form cost; see ops/me.ssd_search).
+Returns integer MVs per 16x16 block, the input to the inter MD stage
+(next milestone: subpel refinement via ops/convolve + MV costing).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svt_av1_tpu.ops import me as me_ops
+
+BLK = 16
+
+
+def _block_grid(plane: jnp.ndarray, blk: int):
+    h, w = plane.shape
+    gh, gw = h // blk, w // blk
+    blocks = plane.reshape(gh, blk, gw, blk).transpose(0, 2, 1, 3)
+    return blocks.reshape(gh * gw, blk, blk), gh, gw
+
+
+def _gather_windows(ref: jnp.ndarray, cys, cxs, blk: int, rad: int):
+    """(B, blk+2*rad, blk+2*rad) windows centered at (cys, cxs) with edge
+    clamping."""
+    size = blk + 2 * rad
+    offs = jnp.arange(size)
+    rows = jnp.clip(cys[:, None] - rad + offs[None], 0, ref.shape[0] - 1)
+    cols = jnp.clip(cxs[:, None] - rad + offs[None], 0, ref.shape[1] - 1)
+    return ref[rows[:, :, None], cols[:, None, :]]
+
+
+def _search_level(src_blocks, ref, base_y, base_x, blk: int, rad: int):
+    """Dense SSD search of radius ``rad`` around (base_y, base_x) block
+    positions.  Returns (mv_y, mv_x) relative to the co-located pos."""
+    wins = _gather_windows(ref, base_y, base_x, blk, rad)
+    cost = me_ops.ssd_search(src_blocks, wins)
+    b = cost.shape[0]
+    flat = cost.reshape(b, -1)
+    idx = jnp.argmin(flat, axis=1)
+    span = 2 * rad + 1
+    mv_y = idx // span - rad
+    mv_x = idx % span - rad
+    return mv_y, mv_x
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_hme(h, w, rad2, rad1, rad0):
+    def run(src, ref):
+        # pyramid
+        src4 = me_ops.downsample2(me_ops.downsample2(src))
+        ref4 = me_ops.downsample2(me_ops.downsample2(ref))
+        # level 2 on 1/4-res 16x16 blocks == 64x64 superblocks at full res
+        sb4, g4h, g4w = _block_grid(src4, BLK)
+        cy = (jnp.arange(g4h * g4w) // g4w) * BLK
+        cx = (jnp.arange(g4h * g4w) % g4w) * BLK
+        my2, mx2 = _search_level(sb4, ref4, cy, cx, BLK, rad2)
+        # upscale level-2 MVs (per 64x64) to 16x16 grid at full res
+        gh, gw = h // BLK, w // BLK
+        by = jnp.arange(gh * gw) // gw
+        bx = jnp.arange(gh * gw) % gw
+        sb_of_blk = (by // 4) * g4w + (bx // 4)
+        seed_y = my2[sb_of_blk] * 4
+        seed_x = mx2[sb_of_blk] * 4
+        # level 0: full-res refinement around the seed
+        blocks, _, _ = _block_grid(src, BLK)
+        base_y = by * BLK + seed_y
+        base_x = bx * BLK + seed_x
+        my0, mx0 = _search_level(blocks, ref, base_y, base_x, BLK, rad0)
+        mv_y = seed_y + my0
+        mv_x = seed_x + mx0
+        # final SSD at the chosen MV
+        wins = _gather_windows(ref, by * BLK + mv_y, bx * BLK + mv_x,
+                               BLK, 0)
+        ssd = jnp.sum((wins - blocks) ** 2, axis=(1, 2))
+        return (mv_y.reshape(gh, gw), mv_x.reshape(gh, gw),
+                ssd.reshape(gh, gw))
+    return jax.jit(run)
+
+
+def hierarchical_me(src: np.ndarray, ref: np.ndarray,
+                    rad2: int = 8, rad0: int = 7
+                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Open-loop ME: per-16x16 integer MVs src->ref.
+
+    Returns (mv_y, mv_x, ssd) as (gh, gw) arrays.  Effective search
+    range: +-(4*rad2 + rad0) full-res pels."""
+    h, w = src.shape
+    assert h % 64 == 0 and w % 64 == 0, "HME round 1: dims multiple of 64"
+    run = _jit_hme(h, w, rad2, 0, rad0)
+    mv_y, mv_x, ssd = run(jnp.asarray(src.astype(np.int32)),
+                          jnp.asarray(ref.astype(np.int32)))
+    return np.asarray(mv_y), np.asarray(mv_x), np.asarray(ssd)
