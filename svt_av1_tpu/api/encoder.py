@@ -20,6 +20,7 @@ from svt_av1_tpu.api.config import EncoderConfig
 from svt_av1_tpu.codec import obu
 from svt_av1_tpu.codec.syntax import TileEncoder
 from svt_av1_tpu.pipeline import intra_encoder
+from svt_av1_tpu.pipeline.rate_control import RateControlState
 
 
 # mapping from CRF/QP (0..63) to AV1 qindex (0..255): qindex = qp * 4
@@ -50,6 +51,9 @@ class Encoder:
         self._packets: Deque[Packet] = deque()
         self._pts = 0
         self._eos_sent = False
+        fps = (config.frame_rate_numerator
+               / max(config.frame_rate_denominator, 1))
+        self._rc = RateControlState.create(config, fps)
 
     # -- API surface ---------------------------------------------------------
     def stream_header(self) -> bytes:
@@ -67,7 +71,7 @@ class Encoder:
         """Batched submit: frames = [(y, u, v), ...].  All frames run as
         one device program (all-intra); EC still per frame on the host.
         The TPU-native analog of the reference's picture parallelism."""
-        qindex = qp_to_qindex(self.cfg.qp)
+        qindex = self._rc.frame_qindex()
         results = intra_encoder.encode_intra_frames(
             [(np.asarray(y), np.asarray(u), np.asarray(v))
              for (y, u, v) in frames], qindex)
@@ -92,10 +96,12 @@ class Encoder:
 
     # -- internals -----------------------------------------------------------
     def _encode_frame(self, y, u, v, pts) -> Packet:
-        qindex = qp_to_qindex(self.cfg.qp)
+        qindex = self._rc.frame_qindex()
         decisions, recon = intra_encoder.encode_intra_frame(
             np.asarray(y), np.asarray(u), np.asarray(v), qindex)
-        return self._packetize(decisions, recon, qindex, pts)
+        pkt = self._packetize(decisions, recon, qindex, pts)
+        self._rc.update(len(pkt.data) * 8)
+        return pkt
 
     def _packetize(self, decisions, recon, qindex, pts) -> Packet:
         fp = obu.FrameParams(frame_type=obu.KEY_FRAME, show_frame=True,
