@@ -2,24 +2,23 @@
 
 The reference scales by running many pthread pipelines on one host
 (enc_handle.c level_of_parallelism).  The TPU-native analog (BASELINE
-config 5) shards *independent streams* across chips over ICI with
-``jax.sharding`` — each device runs the same fixed-shape wave program on
-its own streams, no cross-device traffic in steady state; collectives
-only aggregate encoder stats.  A second mesh axis ("spatial") is reserved
-for tile-sharded single-stream encodes of large frames.
+config 5) shards *independent streams/frames* across chips over ICI with
+``jax.sharding``: every device runs the same fixed-shape whole-frame
+program on its shard of the stream batch — no cross-device traffic in
+steady state.  A second mesh axis ("spatial") is reserved for
+tile-sharded single-stream encodes of large frames.
 """
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from svt_av1_tpu.codec import constants as cc
-from svt_av1_tpu.ops import intra, quant, transforms as tf
+from svt_av1_tpu.ops import quant
 from svt_av1_tpu.pipeline import intra_encoder as ie
 
 
@@ -28,59 +27,70 @@ def make_mesh(n_devices: int, devices=None) -> Mesh:
     return Mesh(np.array(devices), axis_names=("stream",))
 
 
-def multi_stream_wave_step(recon, src, ys, xs, valid, have_above, have_left,
-                           zbin, rnd, qv, qshift, deq, lam):
-    """One MD+recon wave step over a leading stream axis.
+@functools.lru_cache(maxsize=None)
+def _sharded_frame_program(mesh: Mesh, nw: int, maxb: int, modes):
+    """The full per-frame MD+recon program, vmapped over frames and
+    sharded over the mesh's stream axis."""
+    single = ie._frame_program_fn(nw, maxb, modes)
 
-    recon/src: (S, H, W); ys/xs/valid/have_*: (S, B).  All per-stream work
-    is independent — vmap over streams, shard the stream axis."""
-    fn = functools.partial(_single_stream_step,
-                           zbin=zbin, rnd=rnd, qv=qv, qshift=qshift,
-                           deq=deq, lam=lam)
-    return jax.vmap(fn)(recon, src, ys, xs, valid, have_above, have_left)
+    def batched(ry, ru, rv, sy, su, sv, bys, bxs, valid, trs, bls,
+                zbin, rnd, qv, qshift, deq, lam):
+        return jax.vmap(
+            lambda a, b, c, d, e, f: single(
+                a, b, c, d, e, f, bys, bxs, valid, trs, bls,
+                zbin, rnd, qv, qshift, deq, lam)
+        )(ry, ru, rv, sy, su, sv)
 
-
-def _single_stream_step(recon, src, ys, xs, valid, have_above, have_left,
-                        *, zbin, rnd, qv, qshift, deq, lam):
-    mode, q, recon = ie._rd_step(
-        recon, src, ys, xs, valid, have_above, have_left,
-        (zbin, rnd, qv, qshift, deq), lam, ie.BLK, cc.TX_16X16,
-        ie.MODES, 0)
-    return mode, q, recon
-
-
-def sharded_step(mesh: Mesh):
-    """jit the multi-stream step with stream-axis sharding over the mesh."""
     s = NamedSharding(mesh, P("stream"))
     rep = NamedSharding(mesh, P())
-    return jax.jit(
-        multi_stream_wave_step,
-        in_shardings=(s, s, s, s, s, s, s, rep, rep, rep, rep, rep, rep),
-        out_shardings=(s, s, s))
+    return jax.jit(batched,
+                   in_shardings=(s,) * 6 + (rep,) * 11,
+                   out_shardings=(s,) * 8)
+
+
+def encode_intra_frames_sharded(frames: List[Tuple], qindex: int,
+                                mesh: Mesh, modes=ie.MODES):
+    """Multi-stream all-intra encode: len(frames) must be a multiple of
+    the mesh size.  Same results as pipeline.encode_intra_frames, with
+    the frame batch sharded across devices."""
+    h, w = frames[0][0].shape
+    gh, gw = h // ie.BLK, w // ie.BLK
+    maxb = min(gh, gw)
+    qp_y = quant.make_quant_params(qindex)
+    qstep = quant.dc_q(qindex) / 8.0
+    lam = np.float32(0.7 * qstep * qstep)
+    waves, bys, bxs, valid, trs, bls = ie._schedule_arrays(gh, gw, maxb)
+    prog = _sharded_frame_program(mesh, len(waves), maxb, tuple(modes))
+    sy = np.stack([f[0] for f in frames]).astype(np.int32)
+    su = np.stack([f[1] for f in frames]).astype(np.int32)
+    sv = np.stack([f[2] for f in frames]).astype(np.int32)
+    with mesh:
+        out = prog(np.zeros_like(sy), np.zeros_like(su),
+                   np.zeros_like(su), sy, su, sv, bys, bxs, valid, trs,
+                   bls, *(np.asarray(a) for a in qp_y), lam)
+    (ry, ru, rv, modes_acc, uv_acc, qy_acc, qu_acc, qv_acc) = \
+        [np.asarray(o) for o in out]
+    results = []
+    for fi in range(len(frames)):
+        decisions = ie._collect_decisions(
+            waves, gh, gw, modes_acc[fi], uv_acc[fi], qy_acc[fi],
+            qu_acc[fi], qv_acc[fi])
+        recon = dict(y=ry[fi].astype(np.uint8), u=ru[fi].astype(np.uint8),
+                     v=rv[fi].astype(np.uint8))
+        results.append((decisions, recon))
+    return results
 
 
 def demo_multi_stream(n_devices: int, height: int = 64, width: int = 64,
-                      qindex: int = 140) -> Tuple:
-    """Build tiny per-stream inputs, run ONE sharded wave step end-to-end.
-
-    Used by __graft_entry__.dryrun_multichip to validate the multi-chip
-    path compiles and executes."""
+                      qindex: int = 140):
+    """One sharded multi-stream encode step end-to-end (used by
+    __graft_entry__.dryrun_multichip)."""
     mesh = make_mesh(n_devices)
-    S = n_devices
     rng = np.random.default_rng(0)
-    src = rng.integers(0, 256, (S, height, width)).astype(np.int32)
-    recon = np.zeros_like(src)
-    maxb = min(height, width) // ie.BLK
-    ys = np.zeros((S, maxb), np.int32)
-    xs = np.tile(np.arange(maxb, dtype=np.int32) * ie.BLK, (S, 1))
-    valid = np.ones((S, maxb), bool)
-    have_above = np.zeros((S, maxb), bool)
-    have_left = np.tile(np.arange(maxb) > 0, (S, 1))
-    qp = quant.make_quant_params(qindex)
-    lam = np.float32(100.0)
-    step = sharded_step(mesh)
-    with mesh:
-        mode, q, recon2 = step(recon, src, ys, xs, valid, have_above,
-                               have_left, *(np.asarray(a) for a in qp), lam)
-        jax.block_until_ready((mode, q, recon2))
-    return mode, q, recon2
+    frames = []
+    for _ in range(n_devices):
+        y = rng.integers(0, 256, (height, width)).astype(np.uint8)
+        u = rng.integers(0, 256, (height // 2, width // 2)).astype(np.uint8)
+        v = rng.integers(0, 256, (height // 2, width // 2)).astype(np.uint8)
+        frames.append((y, u, v))
+    return encode_intra_frames_sharded(frames, qindex, mesh)
