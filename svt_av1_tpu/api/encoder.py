@@ -74,7 +74,8 @@ class Encoder:
         qindex = self._rc.frame_qindex()
         results = intra_encoder.encode_intra_frames(
             [(np.asarray(y), np.asarray(u), np.asarray(v))
-             for (y, u, v) in frames], qindex)
+             for (y, u, v) in frames], qindex,
+            bd=self.cfg.encoder_bit_depth)
         for decisions, recon in results:
             self._packets.append(
                 self._packetize(decisions, recon, qindex, self._pts))
@@ -98,7 +99,8 @@ class Encoder:
     def _encode_frame(self, y, u, v, pts) -> Packet:
         qindex = self._rc.frame_qindex()
         decisions, recon = intra_encoder.encode_intra_frame(
-            np.asarray(y), np.asarray(u), np.asarray(v), qindex)
+            np.asarray(y), np.asarray(u), np.asarray(v), qindex,
+            bd=self.cfg.encoder_bit_depth)
         pkt = self._packetize(decisions, recon, qindex, pts)
         self._rc.update(len(pkt.data) * 8)
         return pkt
@@ -107,6 +109,8 @@ class Encoder:
         fp = obu.FrameParams(frame_type=obu.KEY_FRAME, show_frame=True,
                              base_q_idx=qindex)
         if self.cfg.enable_dlf_flag:
+            assert self.cfg.encoder_bit_depth == 8, \
+                "deblocking wired for 8-bit only (10-bit lands next)"
             lvl_y = default_filter_level(qindex)
             fp.filter_level = (lvl_y, lvl_y)
             lvl_uv = max(0, lvl_y - 2)

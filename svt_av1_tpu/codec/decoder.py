@@ -45,7 +45,8 @@ class Decoder:
                            update_cdfs=not fp.disable_cdf_update)
         decisions = tdec.decode(tile_data)
         recon = reconstruct_from_decisions(decisions, self.sp.width,
-                                           self.sp.height, fp.base_q_idx)
+                                           self.sp.height, fp.base_q_idx,
+                                           bd=self.sp.bit_depth)
         recon = apply_loop_filter(recon, fp)
         recon["decisions"] = decisions
         return recon

@@ -120,7 +120,7 @@ def _gather_neighbors(recon, ys, xs, n, have_above, have_left, bd=8):
 
 def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
              qp_arrays, lam, n, tx_size, modes, plane_type,
-             tx_types=None, tr_avail=None, bl_avail=None):
+             tx_types=None, tr_avail=None, bl_avail=None, bd=8):
     """One wave step for one plane: returns (best_mode (B,), qcoeff
     (B,kh,kw), new recon).  ys/xs: (B,) pixel coords (traced ok).
 
@@ -130,7 +130,7 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
     directional modes."""
     b = ys.shape[0]
     above, left, corner = _gather_neighbors(recon, ys, xs, n,
-                                            have_above, have_left)
+                                            have_above, have_left, bd=bd)
     z13 = any(m in (cc.D45_PRED, cc.D67_PRED, cc.D203_PRED)
               for m in modes)
     if z13:
@@ -159,7 +159,7 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
         else:
             pred = intra.predict(mode, above, left, corner, n, n,
                                  have_above=have_above,
-                                 have_left=have_left)
+                                 have_left=have_left, bd=bd)
         preds.append(pred)
     nm = len(modes)
     pred_all = jnp.concatenate(preds, axis=0)        # (nm*B, n, n)
@@ -169,7 +169,7 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
         tx0 = cc.DCT_DCT if tx_types is None else tx_types[0]
         coeffs = tf.fwd_txfm2d(resid_all, tx0, tx_size)
         qcoeff_all, dq_all = quant.quantize(coeffs, qp, tx_size)
-        rec_all = tf.inv_txfm2d_add(dq_all, pred_all, tx0, tx_size)
+        rec_all = tf.inv_txfm2d_add(dq_all, pred_all, tx0, tx_size, bd=bd)
     else:
         qcs, recs = [], []
         for mi in range(nm):
@@ -177,7 +177,7 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
             coeffs = tf.fwd_txfm2d(resid_all[sl], tx_types[mi], tx_size)
             qc, dq = quant.quantize(coeffs, qp, tx_size)
             recs.append(tf.inv_txfm2d_add(dq, pred_all[sl], tx_types[mi],
-                                          tx_size))
+                                          tx_size, bd=bd))
             qcs.append(qc)
         qcoeff_all = jnp.concatenate(qcs, axis=0)
         rec_all = jnp.concatenate(recs, axis=0)
@@ -210,7 +210,7 @@ def _jit_wave_step(n, tx_size, modes, maxb):
     return jax.jit(step)
 
 
-def _frame_program_fn(nw, maxb, modes):
+def _frame_program_fn(nw, maxb, modes, bd=8):
     """Whole-key-frame program: fori_loop over waves, each iteration runs
     luma MD (all modes) + chroma MD and scatters recon in place."""
 
@@ -232,11 +232,12 @@ def _frame_program_fn(nw, maxb, modes):
             hl = (bx > 0) & va
             m, q, ry = _rd_step(ry, src_y, by * BLK, bx * BLK, va, ha, hl,
                                 qp, lam, BLK, cc.TX_16X16, modes, 0,
-                                tr_avail=trs[i] & va, bl_avail=bls[i] & va)
+                                tr_avail=trs[i] & va, bl_avail=bls[i] & va,
+                                bd=bd)
             # chroma: joint mode decision over U+V (one signaled uv_mode)
             um, qu, qvq, ru, rv = _rd_step_chroma(
                 ru, rv, src_u, src_v, by * CBLK, bx * CBLK, va, ha, hl,
-                qp, lam)
+                qp, lam, bd=bd)
             return (ry, ru, rv, ma.at[i].set(m), uma.at[i].set(um),
                     qya.at[i].set(q), qua.at[i].set(qu),
                     qva.at[i].set(qvq))
@@ -249,12 +250,12 @@ def _frame_program_fn(nw, maxb, modes):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_frame_program(nw, maxb, modes):
-    return jax.jit(_frame_program_fn(nw, maxb, modes))
+def _jit_frame_program(nw, maxb, modes, bd=8):
+    return jax.jit(_frame_program_fn(nw, maxb, modes, bd))
 
 
 def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
-                    have_above, have_left, qp_arrays, lam):
+                    have_above, have_left, qp_arrays, lam, bd=8):
     """Joint U+V mode decision (uv_mode is signaled once per block); the
     chroma transform type is implied by the mode (not signaled)."""
     n = CBLK
@@ -264,8 +265,10 @@ def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
     offs = jnp.arange(n)
     rows = ys[:, None, None] + offs[None, :, None]
     cols = xs[:, None, None] + offs[None, None, :]
-    nb_u = _gather_neighbors(recon_u, ys, xs, n, have_above, have_left)
-    nb_v = _gather_neighbors(recon_v, ys, xs, n, have_above, have_left)
+    nb_u = _gather_neighbors(recon_u, ys, xs, n, have_above, have_left,
+                             bd=bd)
+    nb_v = _gather_neighbors(recon_v, ys, xs, n, have_above, have_left,
+                             bd=bd)
     src_ub = src_u[rows, cols]
     src_vb = src_v[rows, cols]
 
@@ -277,11 +280,11 @@ def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
             above, left, corner = nb
             pred = intra.predict(mode, above, left, corner, n, n,
                                  have_above=have_above,
-                                 have_left=have_left)
+                                 have_left=have_left, bd=bd)
             resid = src_blk - pred
             coeffs = tf.fwd_txfm2d(resid, tx_type, tx_size)
             qcoeff, dqcoeff = quant.quantize(coeffs, qp, tx_size)
-            rec = tf.inv_txfm2d_add(dqcoeff, pred, tx_type, tx_size)
+            rec = tf.inv_txfm2d_add(dqcoeff, pred, tx_type, tx_size, bd=bd)
             dist = jnp.sum((rec - src_blk) ** 2,
                            axis=(1, 2)).astype(jnp.float32)
             aq = jnp.abs(qcoeff)
@@ -325,11 +328,11 @@ def _wave_schedule(gh: int, gw: int, maxb: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_frame_program_batch(nw, maxb, modes):
+def _jit_frame_program_batch(nw, maxb, modes, bd=8):
     """vmap of the frame program over a leading frame axis — all-intra
     frames are independent, so a batch shares one device dispatch
     (amortizes host<->device transfers; also the multi-stream shape)."""
-    single = _frame_program_fn(nw, maxb, modes)
+    single = _frame_program_fn(nw, maxb, modes, bd)
 
     def batched(ry, ru, rv, sy, su, sv, bys, bxs, valid, trs, bls,
                 zbin, rnd, qv, qshift, deq, lam):
@@ -342,7 +345,7 @@ def _jit_frame_program_batch(nw, maxb, modes):
     return jax.jit(batched)
 
 
-def encode_intra_frames(frames, qindex: int, modes=MODES):
+def encode_intra_frames(frames, qindex: int, modes=MODES, bd: int = 8):
     """Batched all-intra encode: frames = [(y, u, v), ...] (same dims).
     Returns [(decisions, recon), ...].  One device program for the whole
     batch."""
@@ -352,12 +355,12 @@ def encode_intra_frames(frames, qindex: int, modes=MODES):
     maxb = min(gh, gw)
     nf = len(frames)
 
-    qp_y = quant.make_quant_params(qindex)
-    qstep = quant.dc_q(qindex) / 8.0
+    qp_y = quant.make_quant_params(qindex, bd=bd)
+    qstep = quant.dc_q(qindex, bd=bd) / 8.0
     lam = np.float32(0.7 * qstep * qstep)
     waves, bys, bxs, valid, trs, bls = _schedule_arrays(gh, gw, maxb)
     nw = len(waves)
-    prog = _jit_frame_program_batch(nw, maxb, tuple(modes))
+    prog = _jit_frame_program_batch(nw, maxb, tuple(modes), bd)
     sy = np.stack([f[0] for f in frames]).astype(np.int32)
     su = np.stack([f[1] for f in frames]).astype(np.int32)
     sv = np.stack([f[2] for f in frames]).astype(np.int32)
@@ -366,13 +369,14 @@ def encode_intra_frames(frames, qindex: int, modes=MODES):
                *(np.asarray(a) for a in qp_y), lam)
     (ry, ru, rv, modes_acc, uv_acc, qy_acc, qu_acc, qv_acc) = \
         [np.asarray(o) for o in out]
+    dt = np.uint8 if bd == 8 else np.uint16
     results = []
     for fi in range(nf):
         decisions = _collect_decisions(
             waves, gh, gw, modes_acc[fi], uv_acc[fi], qy_acc[fi],
             qu_acc[fi], qv_acc[fi])
-        recon = dict(y=ry[fi].astype(np.uint8), u=ru[fi].astype(np.uint8),
-                     v=rv[fi].astype(np.uint8))
+        recon = dict(y=ry[fi].astype(dt), u=ru[fi].astype(dt),
+                     v=rv[fi].astype(dt))
         results.append((decisions, recon))
     return results
 
@@ -410,8 +414,8 @@ def _collect_decisions(waves, gh, gw, modes_np, uv_modes_np, qy_np, qu_np,
 
 
 def encode_intra_frame(src_y: np.ndarray, src_u: np.ndarray,
-                       src_v: np.ndarray, qindex: int,
-                       modes=MODES) -> Tuple[Dict, Dict[str, np.ndarray]]:
+                       src_v: np.ndarray, qindex: int, modes=MODES,
+                       bd: int = 8) -> Tuple[Dict, Dict[str, np.ndarray]]:
     """Encode one key frame.  Returns ({(r4,c4): BlockDecision}, recon).
 
     The entire frame is ONE device program (fori_loop over waves); the
@@ -422,8 +426,8 @@ def encode_intra_frame(src_y: np.ndarray, src_u: np.ndarray,
     gh, gw = h // BLK, w // BLK
     maxb = min(gh, gw)
 
-    qp_y = quant.make_quant_params(qindex)
-    qstep = quant.dc_q(qindex) / 8.0
+    qp_y = quant.make_quant_params(qindex, bd=bd)
+    qstep = quant.dc_q(qindex, bd=bd) / 8.0
     lam = np.float32(0.7 * qstep * qstep)
 
     waves = _wave_schedule(gh, gw, maxb)
@@ -441,7 +445,7 @@ def encode_intra_frame(src_y: np.ndarray, src_u: np.ndarray,
         for j, (by, bx) in enumerate(wave):
             trs[i, j], bls[i, j] = tr_bl_avail(by, bx, gh, gw)
 
-    prog = _jit_frame_program(nw, maxb, tuple(modes))
+    prog = _jit_frame_program(nw, maxb, tuple(modes), bd)
     out = prog(jnp.zeros((h, w), jnp.int32),
                jnp.zeros((h // 2, w // 2), jnp.int32),
                jnp.zeros((h // 2, w // 2), jnp.int32),
@@ -482,9 +486,10 @@ def encode_intra_frame(src_y: np.ndarray, src_u: np.ndarray,
                 uv_mode=int(uv_modes[by, bx]),
                 tx_type=cc.DCT_DCT, qcoeff_y=qy[by, bx],
                 qcoeff_u=qu[by, bx], qcoeff_v=qv_[by, bx])
-    recon = dict(y=np.asarray(recon_y).astype(np.uint8),
-                 u=np.asarray(recon_u).astype(np.uint8),
-                 v=np.asarray(recon_v).astype(np.uint8))
+    dt = np.uint8 if bd == 8 else np.uint16
+    recon = dict(y=np.asarray(recon_y).astype(dt),
+                 u=np.asarray(recon_u).astype(dt),
+                 v=np.asarray(recon_v).astype(dt))
     return decisions, recon
 
 
@@ -511,11 +516,12 @@ def apply_loop_filter(recon: Dict[str, np.ndarray], fp) -> Dict[str, np.ndarray]
 
 
 def reconstruct_from_decisions(decisions: Dict, width: int, height: int,
-                               qindex: int) -> Dict[str, np.ndarray]:
+                               qindex: int, bd: int = 8
+                               ) -> Dict[str, np.ndarray]:
     """Decoder-side reconstruction from parsed BlockDecisions — shares the
     same wave pipeline ops (used by the verification decoder)."""
     gh, gw = height // BLK, width // BLK
-    qp = quant.make_quant_params(qindex)
+    qp = quant.make_quant_params(qindex, bd=bd)
     recon_y = jnp.zeros((height, width), jnp.int32)
     recon_u = jnp.zeros((height // 2, width // 2), jnp.int32)
     recon_v = jnp.zeros_like(recon_u)
@@ -527,24 +533,28 @@ def reconstruct_from_decisions(decisions: Dict, width: int, height: int,
             tr, bl = tr_bl_avail(by, bx, gh, gw)
             recon_y = _recon_block(recon_y, d.qcoeff_y, d.y_mode, by * BLK,
                                    bx * BLK, BLK, cc.TX_16X16, d.tx_type,
-                                   qp, tr, bl)
+                                   qp, tr, bl, bd)
             uv_tx = _chroma_tx_type(d.uv_mode, cc.TX_8X8)
             recon_u = _recon_block(recon_u, d.qcoeff_u, d.uv_mode, by * CBLK,
-                                   bx * CBLK, CBLK, cc.TX_8X8, uv_tx, qp)
+                                   bx * CBLK, CBLK, cc.TX_8X8, uv_tx, qp,
+                                   bd=bd)
             recon_v = _recon_block(recon_v, d.qcoeff_v, d.uv_mode, by * CBLK,
-                                   bx * CBLK, CBLK, cc.TX_8X8, uv_tx, qp)
-    return dict(y=np.asarray(recon_y).astype(np.uint8),
-                u=np.asarray(recon_u).astype(np.uint8),
-                v=np.asarray(recon_v).astype(np.uint8))
+                                   bx * CBLK, CBLK, cc.TX_8X8, uv_tx, qp,
+                                   bd=bd)
+    dt = np.uint8 if bd == 8 else np.uint16
+    return dict(y=np.asarray(recon_y).astype(dt),
+                u=np.asarray(recon_u).astype(dt),
+                v=np.asarray(recon_v).astype(dt))
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_recon_block(n, tx_size, tx_type, mode):
+def _jit_recon_block(n, tx_size, tx_type, mode, bd=8):
     def f(recon, q, ys, xs, have_above, have_left, tr_avail, bl_avail,
           zbin, rnd, qv, qshift, deq):
         qp = quant.QuantParams(zbin, rnd, qv, qshift, deq)
         above, left, corner = _gather_neighbors(recon, ys, xs, n,
-                                                have_above, have_left)
+                                                have_above, have_left,
+                                                bd=bd)
         if mode in (cc.D45_PRED, cc.D67_PRED, cc.D203_PRED):
             above_ext, left_ext = _gather_ext_neighbors(
                 recon, ys, xs, n, above, left, tr_avail, bl_avail)
@@ -557,16 +567,16 @@ def _jit_recon_block(n, tx_size, tx_type, mode):
         else:
             pred = intra.predict(mode, above, left, corner, n, n,
                                  have_above=have_above,
-                                 have_left=have_left)
+                                 have_left=have_left, bd=bd)
         dq = quant.dequantize(q[None], qp, tx_size)
-        rec = tf.inv_txfm2d_add(dq, pred, tx_type, tx_size)[0]
+        rec = tf.inv_txfm2d_add(dq, pred, tx_type, tx_size, bd=bd)[0]
         return jax.lax.dynamic_update_slice(recon, rec, (ys[0], xs[0]))
     return jax.jit(f)
 
 
 def _recon_block(recon, q, mode, y, x, n, tx_size, tx_type, qp,
-                 tr=False, bl=False):
-    f = _jit_recon_block(n, tx_size, tx_type, int(mode))
+                 tr=False, bl=False, bd=8):
+    f = _jit_recon_block(n, tx_size, tx_type, int(mode), bd)
     return f(recon, jnp.asarray(q),
              jnp.full((1,), y, jnp.int32), jnp.full((1,), x, jnp.int32),
              jnp.full((1,), y > 0), jnp.full((1,), x > 0),
