@@ -42,11 +42,22 @@ class Packet:
     recon: Optional[Dict[str, np.ndarray]] = None
 
 
+def _align16(x: int) -> int:
+    return (x + 15) & ~15
+
+
 class Encoder:
     def __init__(self, config: EncoderConfig):
         self.cfg = config.validate()
-        self.sp = obu.SequenceParams(width=config.source_width,
-                                     height=config.source_height,
+        # round 1 codes full 16x16 blocks: pad the coded size up and
+        # signal the true size as the render size (edge-partition blocks
+        # land with the variable-partition MD)
+        self.render_w = config.source_width
+        self.render_h = config.source_height
+        self.coded_w = _align16(config.source_width)
+        self.coded_h = _align16(config.source_height)
+        self.sp = obu.SequenceParams(width=self.coded_w,
+                                     height=self.coded_h,
                                      bit_depth=config.encoder_bit_depth)
         self._packets: Deque[Packet] = deque()
         self._pts = 0
@@ -73,8 +84,7 @@ class Encoder:
         The TPU-native analog of the reference's picture parallelism."""
         qindex = self._rc.frame_qindex()
         results = intra_encoder.encode_intra_frames(
-            [(np.asarray(y), np.asarray(u), np.asarray(v))
-             for (y, u, v) in frames], qindex,
+            [self._pad(y, u, v) for (y, u, v) in frames], qindex,
             bd=self.cfg.encoder_bit_depth)
         for decisions, recon in results:
             self._packets.append(
@@ -96,18 +106,34 @@ class Encoder:
         return self._eos_sent and not self._packets
 
     # -- internals -----------------------------------------------------------
+    def _pad(self, y, u, v):
+        """Edge-replicate to the coded (16-aligned) size."""
+        if (self.coded_w == self.render_w
+                and self.coded_h == self.render_h):
+            return np.asarray(y), np.asarray(u), np.asarray(v)
+        py = self.coded_h - self.render_h
+        px = self.coded_w - self.render_w
+        y = np.pad(np.asarray(y), ((0, py), (0, px)), mode="edge")
+        u = np.pad(np.asarray(u), ((0, py // 2), (0, px // 2)),
+                   mode="edge")
+        v = np.pad(np.asarray(v), ((0, py // 2), (0, px // 2)),
+                   mode="edge")
+        return y, u, v
+
     def _encode_frame(self, y, u, v, pts) -> Packet:
         qindex = self._rc.frame_qindex()
+        y, u, v = self._pad(y, u, v)
         decisions, recon = intra_encoder.encode_intra_frame(
-            np.asarray(y), np.asarray(u), np.asarray(v), qindex,
-            bd=self.cfg.encoder_bit_depth)
+            y, u, v, qindex, bd=self.cfg.encoder_bit_depth)
         pkt = self._packetize(decisions, recon, qindex, pts)
         self._rc.update(len(pkt.data) * 8)
         return pkt
 
     def _packetize(self, decisions, recon, qindex, pts) -> Packet:
         fp = obu.FrameParams(frame_type=obu.KEY_FRAME, show_frame=True,
-                             base_q_idx=qindex)
+                             base_q_idx=qindex,
+                             render_width=self.render_w,
+                             render_height=self.render_h)
         if self.cfg.enable_dlf_flag:
             assert self.cfg.encoder_bit_depth == 8, \
                 "deblocking wired for 8-bit only (10-bit lands next)"
@@ -124,5 +150,11 @@ class Encoder:
         if pts == 0:
             tu += obu.write_sequence_header(self.sp)
         tu += obu.write_frame_obu(self.sp, fp, tile_data)
+        recon_out = dict(
+            y=recon["y"][:self.render_h, :self.render_w],
+            u=recon["u"][:(self.render_h + 1) // 2,
+                         :(self.render_w + 1) // 2],
+            v=recon["v"][:(self.render_h + 1) // 2,
+                         :(self.render_w + 1) // 2])
         return Packet(data=tu, pts=pts, frame_type=obu.KEY_FRAME,
-                      recon=recon)
+                      recon=recon_out)

@@ -88,6 +88,9 @@ class FrameParams:
     error_resilient_mode: bool = False
     disable_cdf_update: bool = False
     base_q_idx: int = 50
+    # display (render) size when different from the coded size
+    render_width: int = 0
+    render_height: int = 0
     tx_mode_select: bool = False   # False => TX_MODE_LARGEST
     reduced_tx_set: bool = False
     allow_screen_content_tools: bool = False
@@ -216,7 +219,13 @@ def write_frame_header_bits(w: BitWriter, sp: SequenceParams,
     # frame_size(): override=0 => from sequence; render_size
     if sp.enable_superres:
         w.f(0, 1)  # use_superres
-    w.f(0, 1)   # render_and_frame_size_different
+    render_diff = (fp.render_width and fp.render_height and
+                   (fp.render_width != sp.width or
+                    fp.render_height != sp.height))
+    w.f(int(bool(render_diff)), 1)  # render_and_frame_size_different
+    if render_diff:
+        w.f(fp.render_width - 1, 16)
+        w.f(fp.render_height - 1, 16)
     if fp.allow_screen_content_tools:
         w.f(0, 1)  # allow_intrabc (UpscaledWidth == FrameWidth)
     if not fp.disable_cdf_update:
@@ -445,7 +454,9 @@ def read_frame_header(r: BitReader, sp: SequenceParams) -> FrameParams:
         raise NotImplementedError
     if sp.enable_superres:
         assert r.f(1) == 0
-    assert r.f(1) == 0  # render size
+    if r.f(1):  # render_and_frame_size_different
+        fp.render_width = r.f(16) + 1
+        fp.render_height = r.f(16) + 1
     if fp.allow_screen_content_tools:
         assert r.f(1) == 0  # allow_intrabc
     if not fp.disable_cdf_update:

@@ -82,3 +82,21 @@ def test_batched_frames_match_single():
     e2.send_pictures(frames, eos=True)
     batched = [e2.get_packet().data for _ in range(2)]
     assert singles == batched
+
+
+def test_unaligned_dims_1080_style():
+    """Non-16-aligned heights are coded padded with a signaled render
+    size; recon is cropped to the true size."""
+    w, h = 80, 56  # height not multiple of 16
+    y, u, v = synth_frame(w, h, seed=9)
+    cfg = EncoderConfig(source_width=w, source_height=h, qp=40)
+    enc = Encoder(cfg)
+    enc.send_picture(y, u, v, eos=True)
+    pkt = enc.get_packet()
+    assert pkt.recon["y"].shape == (h, w)
+    dec = Decoder()
+    rec = dec.decode_temporal_unit(pkt.data)[0]
+    # decoder returns the coded (padded) size; crop to compare
+    assert rec["y"].shape[0] == 64
+    assert np.array_equal(rec["y"][:h, :w], pkt.recon["y"])
+    assert psnr(rec["y"][:h, :w], y) > 26.0
