@@ -119,7 +119,8 @@ def test_apply_selfguided_bitexact():
         origin = src[3:, 3:]
         dst = np.zeros((h, w), dtype=np.uint8)
         xq = (ctypes.c_int32 * 2)(*xqd)
-        tmp = np.zeros(2 * 64 * 64 + 1024, dtype=np.int32)
+        # 2 x RESTORATION_UNITPELS_MAX (~406x398) with slack
+        tmp = np.zeros(2 * 420 * 420, dtype=np.int32)
         fn(origin.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
            ctypes.c_int32(w), ctypes.c_int32(h), ctypes.c_int32(w + 6),
            ctypes.c_int32(eps), xq,
