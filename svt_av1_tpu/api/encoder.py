@@ -56,9 +56,11 @@ class Encoder:
         self.render_h = config.source_height
         self.coded_w = _align16(config.source_width)
         self.coded_h = _align16(config.source_height)
-        self.sp = obu.SequenceParams(width=self.coded_w,
-                                     height=self.coded_h,
-                                     bit_depth=config.encoder_bit_depth)
+        self.sp = obu.SequenceParams(
+            width=self.coded_w, height=self.coded_h,
+            bit_depth=config.encoder_bit_depth,
+            film_grain_params_present=(
+                config.film_grain_denoise_strength > 0))
         self._packets: Deque[Packet] = deque()
         self._pts = 0
         self._eos_sent = False
@@ -134,6 +136,10 @@ class Encoder:
                              base_q_idx=qindex,
                              render_width=self.render_w,
                              render_height=self.render_h)
+        if self.cfg.film_grain_denoise_strength > 0:
+            from svt_av1_tpu.codec.film_grain import default_grain_params
+            fp.film_grain = default_grain_params(
+                self.cfg.film_grain_denoise_strength)
         if self.cfg.enable_dlf_flag:
             assert self.cfg.encoder_bit_depth == 8, \
                 "deblocking wired for 8-bit only (10-bit lands next)"

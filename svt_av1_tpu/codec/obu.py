@@ -91,6 +91,7 @@ class FrameParams:
     # display (render) size when different from the coded size
     render_width: int = 0
     render_height: int = 0
+    film_grain = None  # Optional[film_grain.FilmGrainParams]
     tx_mode_select: bool = False   # False => TX_MODE_LARGEST
     reduced_tx_set: bool = False
     allow_screen_content_tools: bool = False
@@ -269,7 +270,10 @@ def write_frame_header_bits(w: BitWriter, sp: SequenceParams,
     # allow_warped_motion: intra => nothing
     w.f(int(fp.reduced_tx_set), 1)
     # global_motion_params: intra => nothing
-    # film_grain_params: not present
+    if sp.film_grain_params_present and fp.show_frame:
+        from svt_av1_tpu.codec.film_grain import write_film_grain_params
+        write_film_grain_params(w, fp.film_grain,
+                                frame_type_key=fp.frame_type == KEY_FRAME)
 
 
 def write_frame_obu(sp: SequenceParams, fp: FrameParams,
@@ -491,4 +495,8 @@ def read_frame_header(r: BitReader, sp: SequenceParams) -> FrameParams:
     assert r.f(1) == 0  # lf delta enabled
     fp.tx_mode_select = bool(r.f(1))
     fp.reduced_tx_set = bool(r.f(1))
+    if sp.film_grain_params_present and fp.show_frame:
+        from svt_av1_tpu.codec.film_grain import read_film_grain_params
+        fp.film_grain = read_film_grain_params(
+            r, frame_type_key=fp.frame_type == KEY_FRAME)
     return fp
