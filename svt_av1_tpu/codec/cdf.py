@@ -74,6 +74,7 @@ class FrameCDFs:
         self.zeromv = d["zeromv_cdf"].copy()
         self.refmv = d["refmv_cdf"].copy()
         self.drl = d["drl_cdf"].copy()
+        self.single_ref = d["single_ref_cdf"].copy()
         # coefficient CDFs (qindex-dependent defaults)
         self.txb_skip = d["txb_skip_cdfs"][q].copy()
         self.eob_extra = d["eob_extra_cdfs"][q].copy()

@@ -81,10 +81,26 @@ def _clamp(v, lo, hi):
     return max(lo, min(hi, v))
 
 
+@dataclasses.dataclass
+class MvStack:
+    mvs: List[Tuple[int, int]]      # clamped, padded to >= 2
+    weights: List[int]
+    count: int                      # true refmv_count (>= 2 after fill)
+    mode_context: int
+
+    def drl_ctx(self, idx: int) -> int:
+        """av1_drl_ctx (rd_cost.h:69)."""
+        w0 = self.weights[idx]
+        w1 = self.weights[idx + 1]
+        if w0 >= REF_CAT_LEVEL:
+            return 0 if w1 >= REF_CAT_LEVEL else 1
+        return 2 if w1 < REF_CAT_LEVEL else 0
+
+
 def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int,
                   bh4: int, ref: int = LAST_FRAME, sb_mi: int = 16
-                  ) -> Tuple[List[Tuple[int, int]], int]:
-    """Returns (ref MV stack [(row, col) * >=2], mode_context)."""
+                  ) -> MvStack:
+    """Returns the ranked, clamped reference-MV stack + mode context."""
     st = _Stack()
     mi_rows, mi_cols = grid.mi_rows, grid.mi_cols
     up = mi_row > 0
@@ -215,6 +231,7 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int,
         ln = nr
 
     # light rescan to fill 2 candidates (single-ref path)
+    count = n
     if n < MAX_MV_REF_CANDIDATES:
         mi_size = min(min(16, bw4), min(16, bh4),
                       mi_cols - mi_col, mi_rows - mi_row)
@@ -241,6 +258,7 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int,
         while len(mvs) < MAX_MV_REF_CANDIDATES:
             mvs.append((0, 0))
             weights.append(2)
+        count = len(mvs)
 
     # clamp
     bw_px = bw4 * 4
@@ -256,7 +274,8 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int,
         cc = _clamp(c, to_left - bw_px * 8 - MV_BORDER,
                     to_right + bw_px * 8 + MV_BORDER)
         out.append((rr, cc))
-    return out, mode_context
+    return MvStack(mvs=out, weights=weights, count=count,
+                   mode_context=mode_context)
 
 
 def _has_top_right(mi_row, mi_col, bw4, bh4, sb_mi, mi_cols) -> int:

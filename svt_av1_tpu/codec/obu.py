@@ -103,6 +103,12 @@ class FrameParams:
     order_hint: int = 0
     refresh_frame_flags: int = 0xFF
     disable_frame_end_update_cdf: bool = False
+    # inter frames (single LAST reference; all idx slots point at slot 0)
+    ref_frame_idx: Tuple[int, ...] = (0, 0, 0, 0, 0, 0, 0)
+    allow_high_precision_mv: bool = False
+    interpolation_filter: int = 0   # EIGHTTAP
+    is_motion_mode_switchable: bool = False
+    reference_select: bool = False  # single-reference mode
 
 
 def write_obu(obu_type: int, payload: bytes, temporal_id: int = 0,
@@ -213,10 +219,14 @@ def write_frame_header_bits(w: BitWriter, sp: SequenceParams,
     if fp.frame_type == KEY_FRAME:
         if not fp.show_frame:
             w.f(fp.refresh_frame_flags, 8)
-    elif fp.frame_type == INTRA_ONLY_FRAME:
-        w.f(fp.refresh_frame_flags, 8)
     else:
-        raise NotImplementedError("inter frames: next milestone")
+        w.f(fp.refresh_frame_flags, 8)
+    if not is_intra:
+        # frame_refs_short_signaling absent (enable_order_hint == 0)
+        assert not sp.enable_order_hint, \
+            "short ref signaling path not implemented"
+        for i in range(7):
+            w.f(fp.ref_frame_idx[i], 3)
     # frame_size(): override=0 => from sequence; render_size
     if sp.enable_superres:
         w.f(0, 1)  # use_superres
@@ -227,8 +237,16 @@ def write_frame_header_bits(w: BitWriter, sp: SequenceParams,
     if render_diff:
         w.f(fp.render_width - 1, 16)
         w.f(fp.render_height - 1, 16)
-    if fp.allow_screen_content_tools:
-        w.f(0, 1)  # allow_intrabc (UpscaledWidth == FrameWidth)
+    if is_intra:
+        if fp.allow_screen_content_tools:
+            w.f(0, 1)  # allow_intrabc (UpscaledWidth == FrameWidth)
+    else:
+        # force_integer_mv == 0 (screen content off at sequence level)
+        w.f(int(fp.allow_high_precision_mv), 1)
+        w.f(0, 1)  # is_filter_switchable = 0
+        w.f(fp.interpolation_filter, 2)
+        w.f(int(fp.is_motion_mode_switchable), 1)
+        # use_ref_frame_mvs absent (enable_order_hint == 0)
     if not fp.disable_cdf_update:
         w.f(int(fp.disable_frame_end_update_cdf), 1)
     # tile_info(): single tile
@@ -263,13 +281,18 @@ def write_frame_header_bits(w: BitWriter, sp: SequenceParams,
         raise NotImplementedError
     # read_tx_mode
     w.f(int(fp.tx_mode_select), 1)
-    # frame_reference_mode: intra => nothing
+    # frame_reference_mode
     if not is_intra:
-        raise NotImplementedError
-    # skip_mode_params: skipModeAllowed=0 for intra => nothing
-    # allow_warped_motion: intra => nothing
+        w.f(int(fp.reference_select), 1)
+        assert not fp.reference_select, "compound mode: later round"
+    # skip_mode_params: skipModeAllowed=0 (no reference_select / order
+    # hints) => no bit
+    # allow_warped_motion: seq enable_warped_motion == 0 => no bit
     w.f(int(fp.reduced_tx_set), 1)
-    # global_motion_params: intra => nothing
+    # global_motion_params: identity for every reference
+    if not is_intra:
+        for _ in range(7):
+            w.f(0, 1)  # is_global
     if sp.film_grain_params_present and fp.show_frame:
         from svt_av1_tpu.codec.film_grain import write_film_grain_params
         write_film_grain_params(w, fp.film_grain,
@@ -452,17 +475,24 @@ def read_frame_header(r: BitReader, sp: SequenceParams) -> FrameParams:
     if fp.frame_type == KEY_FRAME:
         if not fp.show_frame:
             fp.refresh_frame_flags = r.f(8)
-    elif fp.frame_type == INTRA_ONLY_FRAME:
-        fp.refresh_frame_flags = r.f(8)
     else:
-        raise NotImplementedError
+        fp.refresh_frame_flags = r.f(8)
+    if not is_intra:
+        assert not sp.enable_order_hint
+        fp.ref_frame_idx = tuple(r.f(3) for _ in range(7))
     if sp.enable_superres:
         assert r.f(1) == 0
     if r.f(1):  # render_and_frame_size_different
         fp.render_width = r.f(16) + 1
         fp.render_height = r.f(16) + 1
-    if fp.allow_screen_content_tools:
-        assert r.f(1) == 0  # allow_intrabc
+    if is_intra:
+        if fp.allow_screen_content_tools:
+            assert r.f(1) == 0  # allow_intrabc
+    else:
+        fp.allow_high_precision_mv = bool(r.f(1))
+        assert r.f(1) == 0  # is_filter_switchable
+        fp.interpolation_filter = r.f(2)
+        fp.is_motion_mode_switchable = bool(r.f(1))
     if not fp.disable_cdf_update:
         fp.disable_frame_end_update_cdf = bool(r.f(1))
     # tile info (single tile)
@@ -494,7 +524,13 @@ def read_frame_header(r: BitReader, sp: SequenceParams) -> FrameParams:
     fp.sharpness = r.f(3)
     assert r.f(1) == 0  # lf delta enabled
     fp.tx_mode_select = bool(r.f(1))
+    if not is_intra:
+        fp.reference_select = bool(r.f(1))
+        assert not fp.reference_select
     fp.reduced_tx_set = bool(r.f(1))
+    if not is_intra:
+        for _ in range(7):
+            assert r.f(1) == 0  # is_global (identity)
     if sp.film_grain_params_present and fp.show_frame:
         from svt_av1_tpu.codec.film_grain import read_film_grain_params
         fp.film_grain = read_film_grain_params(

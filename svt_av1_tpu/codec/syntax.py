@@ -20,6 +20,8 @@ import numpy as np
 from svt_av1_tpu.codec import constants as cc
 from svt_av1_tpu.codec import tables as tb
 from svt_av1_tpu.codec import coeff as coeff_mod
+from svt_av1_tpu.codec import mv as mv_mod
+from svt_av1_tpu.codec import mv_pred
 from svt_av1_tpu.codec.cdf import FrameCDFs
 from svt_av1_tpu.codec.entropy import RangeDecoder, RangeEncoder, update_cdf
 
@@ -70,6 +72,15 @@ EXT_TX_SET_INDEX_INTRA = {EXT_TX_SET_DCTONLY: 0,
                           EXT_TX_SET_DTT4_IDTX_1DDCT: 1,
                           EXT_TX_SET_DTT4_IDTX: 2}
 
+# y_mode size-group contexts (definitions.h:1600 size_group_lookup)
+SIZE_GROUP = np.array([0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3,
+                       0, 0, 1, 1, 2, 2], dtype=np.int32)
+
+# ext-tx set index for inter frames (get_ext_tx_set: ext_tx_set_index[1])
+EXT_TX_SET_INDEX_INTER = {EXT_TX_SET_DCTONLY: 0, EXT_TX_SET_ALL16: 1,
+                          EXT_TX_SET_DTT9_IDTX_1DDCT: 2,
+                          EXT_TX_SET_DCT_IDTX: 3}
+
 # intra mode -> implied tx type (chroma / unsignaled; common_utils.h)
 INTRA_MODE_TO_TX_TYPE = np.array([
     cc.DCT_DCT, cc.ADST_DCT, cc.DCT_ADST, cc.DCT_DCT, cc.ADST_ADST,
@@ -112,6 +123,10 @@ class BlockDecision:
     qcoeff_y: np.ndarray    # (txh, txw) int32 levels
     qcoeff_u: Optional[np.ndarray]
     qcoeff_v: Optional[np.ndarray]
+    # inter fields (inter frames only)
+    is_inter: bool = False
+    mv: tuple = (0, 0)      # (row, col) 1/8 pel
+    ref: int = mv_pred.LAST_FRAME
 
     @property
     def skip(self) -> bool:
@@ -137,6 +152,8 @@ class ContextState:
         self.mi_mode = np.full((mi_rows, mi_cols), cc.DC_PRED, np.int32)
         self.mi_skip = np.zeros((mi_rows, mi_cols), np.int32)
         self.mi_coded = np.zeros((mi_rows, mi_cols), bool)
+        self.mi_is_inter = np.zeros((mi_rows, mi_cols), np.int32)
+        self.mi_ref = np.zeros((mi_rows, mi_cols), np.int32)  # 0 = INTRA
 
     def start_sb_row(self):
         self.left_part[:] = 0
@@ -172,12 +189,57 @@ class ContextState:
                 if c4 > 0 and self.mi_coded[r4, c4 - 1] else 0)
         return above + left
 
-    def set_block(self, r4, c4, bsize, mode, skip):
+    def set_block(self, r4, c4, bsize, mode, skip, is_inter=False,
+                  ref=0):
         w4 = int(cc.block_size_wide[bsize]) >> 2
         h4 = int(cc.block_size_high[bsize]) >> 2
         self.mi_mode[r4:r4 + h4, c4:c4 + w4] = mode
         self.mi_skip[r4:r4 + h4, c4:c4 + w4] = int(skip)
         self.mi_coded[r4:r4 + h4, c4:c4 + w4] = True
+        self.mi_is_inter[r4:r4 + h4, c4:c4 + w4] = int(is_inter)
+        self.mi_ref[r4:r4 + h4, c4:c4 + w4] = ref if is_inter else 0
+
+    # ---- inter contexts ----
+    def intra_inter_ctx(self, r4, c4) -> int:
+        """svt_av1_get_intra_inter_context (entropy_coding.c:1202)."""
+        has_above = r4 > 0 and self.mi_coded[r4 - 1, c4]
+        has_left = c4 > 0 and self.mi_coded[r4, c4 - 1]
+        if has_above and has_left:
+            ai = int(not self.mi_is_inter[r4 - 1, c4])
+            li = int(not self.mi_is_inter[r4, c4 - 1])
+            return 3 if (ai and li) else (ai or li)
+        if has_above:
+            return 2 * int(not self.mi_is_inter[r4 - 1, c4])
+        if has_left:
+            return 2 * int(not self.mi_is_inter[r4, c4 - 1])
+        return 0
+
+    def neighbor_ref_counts(self, r4, c4) -> np.ndarray:
+        """Counts per MvReferenceFrame (1..7) over above/left mbmi."""
+        counts = np.zeros(8, np.int32)
+        if r4 > 0 and self.mi_coded[r4 - 1, c4]:
+            ref = int(self.mi_ref[r4 - 1, c4])
+            if ref > 0:
+                counts[ref] += 1
+        if c4 > 0 and self.mi_coded[r4, c4 - 1]:
+            ref = int(self.mi_ref[r4, c4 - 1])
+            if ref > 0:
+                counts[ref] += 1
+        return counts
+
+    def single_ref_ctxs(self, r4, c4):
+        """(p1, p3, p4) contexts (entropy_coding.c:2031ff): each is the
+        equal?1 : (a<b ? 0 : 2) comparison over neighbor ref counts."""
+        n = self.neighbor_ref_counts(r4, c4)
+
+        def cmp(a, b):
+            return 1 if a == b else (0 if a < b else 2)
+
+        fwd = int(n[1] + n[2] + n[3] + n[4])
+        bwd = int(n[5] + n[6] + n[7])
+        ll2 = int(n[1] + n[2])
+        l3g = int(n[3] + n[4])
+        return cmp(fwd, bwd), cmp(ll2, l3g), cmp(int(n[1]), int(n[2]))
 
     # ---- coefficients ----
     def txb_ctx(self, plane: int, pr4: int, pc4: int, tx_size: int,
@@ -225,7 +287,8 @@ class ContextState:
 
 class TileCoderBase:
     def __init__(self, width: int, height: int, base_q_idx: int,
-                 reduced_tx_set: bool = False, update_cdfs: bool = True):
+                 reduced_tx_set: bool = False, update_cdfs: bool = True,
+                 frame_is_intra: bool = True):
         self.width = width
         self.height = height
         self.mi_rows = (height + 3) >> 2
@@ -233,15 +296,42 @@ class TileCoderBase:
         self.base_q_idx = base_q_idx
         self.reduced_tx_set = reduced_tx_set
         self.update = update_cdfs
+        self.frame_is_intra = frame_is_intra
         self.cdfs = FrameCDFs(base_q_idx)
+        self.nmv = mv_mod.NmvCDFs()
         self.ctx = ContextState(self.mi_rows, self.mi_cols)
+        self.migrid = mv_pred.MiGrid(self.mi_rows, self.mi_cols)
         self.sb_cols = (self.mi_cols + 15) >> 4
         self.sb_rows = (self.mi_rows + 15) >> 4
 
     # shared helpers ---------------------------------------------------------
-    def tx_type_signaled(self, tx_size: int) -> bool:
-        set_type = get_ext_tx_set_type(tx_size, False, self.reduced_tx_set)
+    def tx_type_signaled(self, tx_size: int, is_inter: bool = False) -> bool:
+        set_type = get_ext_tx_set_type(tx_size, is_inter,
+                                       self.reduced_tx_set)
         return (AV1_NUM_EXT_TX_SET[set_type] > 1) and (self.base_q_idx > 0)
+
+    def _map_inter_mode(self, mv, stack: mv_pred.MvStack):
+        """Cheapest legal signaling of ``mv`` given the MV stack."""
+        if tuple(mv) == tuple(stack.mvs[0]):
+            return mv_pred.NEARESTMV
+        if tuple(mv) == (0, 0):
+            return mv_pred.GLOBALMV
+        if len(stack.mvs) > 1 and tuple(mv) == tuple(stack.mvs[1]):
+            return mv_pred.NEARMV
+        return mv_pred.NEWMV
+
+    def _set_migrid(self, r4, c4, bsize, d, is_inter, inter_mode):
+        """Record this block in the MV-prediction grid.  The stored mode
+        matters downstream: NEWMV feeds later blocks' newmv counts and
+        GLOBALMV substitutes (0,0) in their stacks."""
+        w4 = int(cc.block_size_wide[bsize]) >> 2
+        h4 = int(cc.block_size_high[bsize]) >> 2
+        if is_inter:
+            self.migrid.set_block(r4, c4, w4, h4, d.ref, inter_mode,
+                                  d.mv[0], d.mv[1])
+        else:
+            self.migrid.set_block(r4, c4, w4, h4, mv_pred.INTRA_FRAME,
+                                  0, 0, 0)
 
 
 class TileEncoder(TileCoderBase):
@@ -318,22 +408,43 @@ class TileEncoder(TileCoderBase):
         if self.update:
             update_cdf(cdfs.skip[sctx], int(skip), 2)
 
-        # kf y mode
-        actx, lctx = ctx.kf_y_ctx(r4, c4)
-        cdf = cdfs.kf_y_mode[actx][lctx]
-        enc.encode_symbol(d.y_mode, cdf, cc.INTRA_MODES)
-        if self.update:
-            update_cdf(cdf, d.y_mode, cc.INTRA_MODES)
-        # angle delta (directional modes, bsize >= 8x8)
-        if cc.V_PRED <= d.y_mode <= cc.D67_PRED:
-            acdf = cdfs.angle_delta[d.y_mode - cc.V_PRED]
-            enc.encode_symbol(3, acdf, 7)  # delta 0 (+MAX_ANGLE_DELTA)
+        is_inter = (not self.frame_is_intra) and d.is_inter
+        if self.frame_is_intra:
+            # kf y mode (above/left intra-mode contexts)
+            actx, lctx = ctx.kf_y_ctx(r4, c4)
+            cdf = cdfs.kf_y_mode[actx][lctx]
+            enc.encode_symbol(d.y_mode, cdf, cc.INTRA_MODES)
             if self.update:
-                update_cdf(acdf, 3, 7)
+                update_cdf(cdf, d.y_mode, cc.INTRA_MODES)
+            self._encode_angle(d.y_mode)
+        else:
+            ictx = ctx.intra_inter_ctx(r4, c4)
+            enc.encode_symbol(int(is_inter), cdfs.intra_inter[ictx], 2)
+            if self.update:
+                update_cdf(cdfs.intra_inter[ictx], int(is_inter), 2)
+            inter_mode = 0
+            if is_inter:
+                self._encode_single_ref(r4, c4, d.ref)
+                stack = mv_pred.find_mv_stack(
+                    self.migrid, r4, c4,
+                    int(cc.block_size_wide[bsize]) >> 2,
+                    int(cc.block_size_high[bsize]) >> 2, ref=d.ref)
+                inter_mode = self._map_inter_mode(d.mv, stack)
+                self._encode_inter_mode(inter_mode, stack)
+                if inter_mode == mv_pred.NEWMV:
+                    mv_mod.encode_mv(enc, d.mv, stack.mvs[0], self.nmv,
+                                     update=self.update)
+            else:
+                grp = int(SIZE_GROUP[bsize])
+                cdf = cdfs.y_mode[grp]
+                enc.encode_symbol(d.y_mode, cdf, cc.INTRA_MODES)
+                if self.update:
+                    update_cdf(cdf, d.y_mode, cc.INTRA_MODES)
+                self._encode_angle(d.y_mode)
 
         # chroma (always present for square blocks >= 8x8 in 4:2:0)
         has_chroma = d.qcoeff_u is not None
-        if has_chroma:
+        if has_chroma and not is_inter:
             cfl_allowed = int(cc.block_size_wide[bsize] <= 32
                               and cc.block_size_high[bsize] <= 32)
             ucdf = cdfs.uv_mode[cfl_allowed][d.y_mode]
@@ -341,13 +452,11 @@ class TileEncoder(TileCoderBase):
             enc.encode_symbol(d.uv_mode, ucdf, nsyms)
             if self.update:
                 update_cdf(ucdf, d.uv_mode, nsyms)
-            if cc.V_PRED <= d.uv_mode <= cc.D67_PRED:
-                acdf = cdfs.angle_delta[d.uv_mode - cc.V_PRED]
-                enc.encode_symbol(3, acdf, 7)
-                if self.update:
-                    update_cdf(acdf, 3, 7)
+            self._encode_angle(d.uv_mode)
 
-        ctx.set_block(r4, c4, bsize, d.y_mode, skip)
+        ctx.set_block(r4, c4, bsize, d.y_mode, skip, is_inter, d.ref)
+        self._set_migrid(r4, c4, bsize, d, is_inter,
+                         inter_mode if not self.frame_is_intra else 0)
 
         # residual
         tx_size = MAX_TX[bsize]
@@ -359,13 +468,17 @@ class TileEncoder(TileCoderBase):
         cul = coeff_mod.encode_txb(
             enc, cdfs, d.qcoeff_y, tx_size, d.tx_type, 0, tctx, dctx,
             write_tx_type=lambda: self._write_tx_type(
-                d.tx_type, tx_size, d.y_mode),
+                d.tx_type, tx_size, d.y_mode, is_inter),
             update=self.update)
         ctx.set_txb_ctx(0, r4, c4, tx_size, cul)
         if has_chroma:
             ctx_r, ctx_c = r4 >> 1, c4 >> 1
             ctx_tx = max_chroma_tx_size(bsize)
-            uv_tx_type = _chroma_tx_type(d.uv_mode, ctx_tx)
+            if is_inter:
+                uv_tx_type = _chroma_tx_type_inter(
+                    d.tx_type, ctx_tx, self.reduced_tx_set)
+            else:
+                uv_tx_type = _chroma_tx_type(d.uv_mode, ctx_tx)
             for plane, q in ((1, d.qcoeff_u), (2, d.qcoeff_v)):
                 tctx, dctx = ctx.txb_ctx(plane, ctx_r, ctx_c, ctx_tx, True)
                 cul = coeff_mod.encode_txb(
@@ -373,17 +486,75 @@ class TileEncoder(TileCoderBase):
                     update=self.update)
                 ctx.set_txb_ctx(plane, ctx_r, ctx_c, ctx_tx, cul)
 
-    def _write_tx_type(self, tx_type, tx_size, intra_mode):
-        if not self.tx_type_signaled(tx_size):
+    def _encode_angle(self, mode):
+        if cc.V_PRED <= mode <= cc.D67_PRED:
+            acdf = self.cdfs.angle_delta[mode - cc.V_PRED]
+            self.enc.encode_symbol(3, acdf, 7)  # delta 0 (+MAX_ANGLE_DELTA)
+            if self.update:
+                update_cdf(acdf, 3, 7)
+
+    def _encode_single_ref(self, r4, c4, ref):
+        """Single-reference tree: LAST only in round 1."""
+        assert ref == mv_pred.LAST_FRAME
+        p1, p3, p4 = self.ctx.single_ref_ctxs(r4, c4)
+        for ctx_id, bit_id in ((p1, 0), (p3, 2), (p4, 3)):
+            cdf = self.cdfs.single_ref[ctx_id][bit_id]
+            self.enc.encode_symbol(0, cdf, 2)
+            if self.update:
+                update_cdf(cdf, 0, 2)
+
+    def _encode_inter_mode(self, mode, stack: mv_pred.MvStack):
+        """write_inter_mode + write_drl_idx (entropy_coding.c:1426,1447)."""
+        enc, cdfs = self.enc, self.cdfs
+        mode_ctx = stack.mode_context
+        newmv_ctx = mode_ctx & 7
+        bit = int(mode != mv_pred.NEWMV)
+        enc.encode_symbol(bit, cdfs.newmv[newmv_ctx], 2)
+        if self.update:
+            update_cdf(cdfs.newmv[newmv_ctx], bit, 2)
+        if mode != mv_pred.NEWMV:
+            zeromv_ctx = (mode_ctx >> mv_pred.GLOBALMV_OFFSET) & 1
+            bit = int(mode != mv_pred.GLOBALMV)
+            enc.encode_symbol(bit, cdfs.zeromv[zeromv_ctx], 2)
+            if self.update:
+                update_cdf(cdfs.zeromv[zeromv_ctx], bit, 2)
+            if mode != mv_pred.GLOBALMV:
+                refmv_ctx = (mode_ctx >> mv_pred.REFMV_OFFSET) & 0xF
+                bit = int(mode != mv_pred.NEARESTMV)
+                enc.encode_symbol(bit, cdfs.refmv[refmv_ctx], 2)
+                if self.update:
+                    update_cdf(cdfs.refmv[refmv_ctx], bit, 2)
+        # drl (encoder always picks drl index 0)
+        if mode == mv_pred.NEWMV:
+            if stack.count > 1:
+                dctx = stack.drl_ctx(0)
+                enc.encode_symbol(0, cdfs.drl[dctx], 2)
+                if self.update:
+                    update_cdf(cdfs.drl[dctx], 0, 2)
+        elif mode == mv_pred.NEARMV:
+            if stack.count > 2:
+                dctx = stack.drl_ctx(1)
+                enc.encode_symbol(0, cdfs.drl[dctx], 2)
+                if self.update:
+                    update_cdf(cdfs.drl[dctx], 0, 2)
+
+    def _write_tx_type(self, tx_type, tx_size, intra_mode, is_inter=False):
+        if not self.tx_type_signaled(tx_size, is_inter):
             assert tx_type == cc.DCT_DCT
             return
-        set_type = get_ext_tx_set_type(tx_size, False, self.reduced_tx_set)
-        eset = EXT_TX_SET_INDEX_INTRA[set_type]
-        assert eset > 0 and AV1_EXT_TX_USED[set_type][tx_type]
+        set_type = get_ext_tx_set_type(tx_size, is_inter,
+                                       self.reduced_tx_set)
         sqr = int(cc.tx_size_sqr[tx_size])
-        cdf = self.cdfs.intra_ext_tx[eset][sqr][intra_mode]
         nsyms = AV1_NUM_EXT_TX_SET[set_type]
         ind = int(AV1_EXT_TX_IND[set_type][tx_type])
+        if is_inter:
+            eset = EXT_TX_SET_INDEX_INTER[set_type]
+            assert eset > 0 and AV1_EXT_TX_USED[set_type][tx_type]
+            cdf = self.cdfs.inter_ext_tx[eset][sqr]
+        else:
+            eset = EXT_TX_SET_INDEX_INTRA[set_type]
+            assert eset > 0 and AV1_EXT_TX_USED[set_type][tx_type]
+            cdf = self.cdfs.intra_ext_tx[eset][sqr][intra_mode]
         self.enc.encode_symbol(ind, cdf, nsyms)
         if self.update:
             update_cdf(cdf, ind, nsyms)
@@ -458,34 +629,66 @@ class TileDecoder(TileCoderBase):
         if self.update:
             update_cdf(cdfs.skip[sctx], skip, 2)
 
-        actx, lctx = ctx.kf_y_ctx(r4, c4)
-        cdf = cdfs.kf_y_mode[actx][lctx]
-        y_mode = dec.read_symbol(cdf, cc.INTRA_MODES)
-        if self.update:
-            update_cdf(cdf, y_mode, cc.INTRA_MODES)
-        if cc.V_PRED <= y_mode <= cc.D67_PRED:
-            acdf = cdfs.angle_delta[y_mode - cc.V_PRED]
-            delta = dec.read_symbol(acdf, 7)
+        is_inter = False
+        inter_mode = 0
+        mv = (0, 0)
+        ref = mv_pred.LAST_FRAME
+        y_mode = cc.DC_PRED
+        uv_mode = cc.DC_PRED
+        if self.frame_is_intra:
+            actx, lctx = ctx.kf_y_ctx(r4, c4)
+            cdf = cdfs.kf_y_mode[actx][lctx]
+            y_mode = dec.read_symbol(cdf, cc.INTRA_MODES)
             if self.update:
-                update_cdf(acdf, delta, 7)
-            assert delta == 3, "nonzero angle deltas unsupported (round 1)"
+                update_cdf(cdf, y_mode, cc.INTRA_MODES)
+            self._read_angle(y_mode)
+        else:
+            ictx = ctx.intra_inter_ctx(r4, c4)
+            is_inter = bool(dec.read_symbol(cdfs.intra_inter[ictx], 2))
+            if self.update:
+                update_cdf(cdfs.intra_inter[ictx], int(is_inter), 2)
+            if is_inter:
+                ref = self._read_single_ref(r4, c4)
+                stack = mv_pred.find_mv_stack(
+                    self.migrid, r4, c4,
+                    int(cc.block_size_wide[bsize]) >> 2,
+                    int(cc.block_size_high[bsize]) >> 2, ref=ref)
+                inter_mode, drl = self._read_inter_mode(stack)
+                if inter_mode == mv_pred.NEWMV:
+                    mv = mv_mod.decode_mv(dec, stack.mvs[drl], self.nmv,
+                                          update=self.update)
+                elif inter_mode == mv_pred.NEARESTMV:
+                    mv = tuple(stack.mvs[0])
+                elif inter_mode == mv_pred.NEARMV:
+                    mv = tuple(stack.mvs[1 + drl])
+                else:  # GLOBALMV (identity global motion)
+                    mv = (0, 0)
+            else:
+                grp = int(SIZE_GROUP[bsize])
+                cdf = cdfs.y_mode[grp]
+                y_mode = dec.read_symbol(cdf, cc.INTRA_MODES)
+                if self.update:
+                    update_cdf(cdf, y_mode, cc.INTRA_MODES)
+                self._read_angle(y_mode)
 
         has_chroma = True
-        cfl_allowed = int(cc.block_size_wide[bsize] <= 32
-                          and cc.block_size_high[bsize] <= 32)
-        ucdf = cdfs.uv_mode[cfl_allowed][y_mode]
-        nsyms = cc.UV_INTRA_MODES if cfl_allowed else cc.INTRA_MODES
-        uv_mode = dec.read_symbol(ucdf, nsyms)
-        if self.update:
-            update_cdf(ucdf, uv_mode, nsyms)
-        if cc.V_PRED <= uv_mode <= cc.D67_PRED:
-            acdf = cdfs.angle_delta[uv_mode - cc.V_PRED]
-            delta = dec.read_symbol(acdf, 7)
+        if not is_inter:
+            cfl_allowed = int(cc.block_size_wide[bsize] <= 32
+                              and cc.block_size_high[bsize] <= 32)
+            ucdf = cdfs.uv_mode[cfl_allowed][y_mode]
+            nsyms = cc.UV_INTRA_MODES if cfl_allowed else cc.INTRA_MODES
+            uv_mode = dec.read_symbol(ucdf, nsyms)
             if self.update:
-                update_cdf(acdf, delta, 7)
-            assert delta == 3
+                update_cdf(ucdf, uv_mode, nsyms)
+            self._read_angle(uv_mode)
 
-        ctx.set_block(r4, c4, bsize, y_mode, skip)
+        ctx.set_block(r4, c4, bsize, y_mode, skip, is_inter, ref)
+        d_for_grid = BlockDecision(
+            r4=r4, c4=c4, bsize=bsize, y_mode=y_mode, uv_mode=uv_mode,
+            tx_type=cc.DCT_DCT, qcoeff_y=np.zeros((1, 1), np.int32),
+            qcoeff_u=None, qcoeff_v=None, is_inter=is_inter, mv=mv,
+            ref=ref)
+        self._set_migrid(r4, c4, bsize, d_for_grid, is_inter, inter_mode)
 
         tx_size = MAX_TX[bsize]
         _, tw, th = tb.txb_dims(tx_size)
@@ -509,17 +712,22 @@ class TileDecoder(TileCoderBase):
             state = {}
 
             def read_tx_type():
-                state["t"] = self._read_tx_type(tx_size, y_mode)
+                state["t"] = self._read_tx_type(tx_size, y_mode, is_inter)
                 return state["t"]
 
             qy, eob, cul = coeff_mod.decode_txb(
                 dec, cdfs, tx_size, 0, tctx, dctx,
-                read_tx_type=read_tx_type if self.tx_type_signaled(tx_size)
+                read_tx_type=read_tx_type
+                if self.tx_type_signaled(tx_size, is_inter)
                 else None, update=self.update)
             tx_type = state.get("t", cc.DCT_DCT)
             ctx.set_txb_ctx(0, r4, c4, tx_size, cul)
             ctx_r, ctx_c = r4 >> 1, c4 >> 1
-            uv_tx_type = _chroma_tx_type(uv_mode, ctx_tx)
+            if is_inter:
+                uv_tx_type = _chroma_tx_type_inter(
+                    tx_type, ctx_tx, self.reduced_tx_set)
+            else:
+                uv_tx_type = _chroma_tx_type(uv_mode, ctx_tx)
             qs = []
             for plane in (1, 2):
                 tctx, dctx = ctx.txb_ctx(plane, ctx_r, ctx_c, ctx_tx, True)
@@ -532,13 +740,87 @@ class TileDecoder(TileCoderBase):
 
         self.out[(r4, c4)] = BlockDecision(
             r4=r4, c4=c4, bsize=bsize, y_mode=y_mode, uv_mode=uv_mode,
-            tx_type=tx_type, qcoeff_y=qy, qcoeff_u=qu, qcoeff_v=qv)
+            tx_type=tx_type, qcoeff_y=qy, qcoeff_u=qu, qcoeff_v=qv,
+            is_inter=is_inter, mv=mv, ref=ref)
 
-    def _read_tx_type(self, tx_size, intra_mode):
-        set_type = get_ext_tx_set_type(tx_size, False, self.reduced_tx_set)
-        eset = EXT_TX_SET_INDEX_INTRA[set_type]
+    def _read_angle(self, mode):
+        if cc.V_PRED <= mode <= cc.D67_PRED:
+            acdf = self.cdfs.angle_delta[mode - cc.V_PRED]
+            delta = self.dec.read_symbol(acdf, 7)
+            if self.update:
+                update_cdf(acdf, delta, 7)
+            assert delta == 3, "nonzero angle deltas unsupported (round 1)"
+
+    def _read_single_ref(self, r4, c4) -> int:
+        p1, p3, p4 = self.ctx.single_ref_ctxs(r4, c4)
+        bits = []
+        for ctx_id, bit_id in ((p1, 0), (p3, 2), (p4, 3)):
+            cdf = self.cdfs.single_ref[ctx_id][bit_id]
+            b = self.dec.read_symbol(cdf, 2)
+            if self.update:
+                update_cdf(cdf, b, 2)
+            bits.append(b)
+        assert bits == [0, 0, 0], "only LAST_FRAME emitted in round 1"
+        return mv_pred.LAST_FRAME
+
+    def _read_inter_mode(self, stack: mv_pred.MvStack):
+        dec, cdfs = self.dec, self.cdfs
+        mode_ctx = stack.mode_context
+        newmv_ctx = mode_ctx & 7
+        b = dec.read_symbol(cdfs.newmv[newmv_ctx], 2)
+        if self.update:
+            update_cdf(cdfs.newmv[newmv_ctx], b, 2)
+        if b == 0:
+            mode = mv_pred.NEWMV
+        else:
+            zeromv_ctx = (mode_ctx >> mv_pred.GLOBALMV_OFFSET) & 1
+            b = dec.read_symbol(cdfs.zeromv[zeromv_ctx], 2)
+            if self.update:
+                update_cdf(cdfs.zeromv[zeromv_ctx], b, 2)
+            if b == 0:
+                mode = mv_pred.GLOBALMV
+            else:
+                refmv_ctx = (mode_ctx >> mv_pred.REFMV_OFFSET) & 0xF
+                b = dec.read_symbol(cdfs.refmv[refmv_ctx], 2)
+                if self.update:
+                    update_cdf(cdfs.refmv[refmv_ctx], b, 2)
+                mode = mv_pred.NEARMV if b else mv_pred.NEARESTMV
+        # drl index
+        drl = 0
+        if mode == mv_pred.NEWMV:
+            for idx in (0, 1):
+                if stack.count > idx + 1:
+                    dctx = stack.drl_ctx(idx)
+                    b = dec.read_symbol(cdfs.drl[dctx], 2)
+                    if self.update:
+                        update_cdf(cdfs.drl[dctx], b, 2)
+                    if b == 0:
+                        drl = idx
+                        break
+                    drl = idx + 1
+        elif mode == mv_pred.NEARMV:
+            for idx in (1, 2):
+                if stack.count > idx + 1:
+                    dctx = stack.drl_ctx(idx)
+                    b = dec.read_symbol(cdfs.drl[dctx], 2)
+                    if self.update:
+                        update_cdf(cdfs.drl[dctx], b, 2)
+                    if b == 0:
+                        drl = idx - 1
+                        break
+                    drl = idx
+        return mode, drl
+
+    def _read_tx_type(self, tx_size, intra_mode, is_inter=False):
+        set_type = get_ext_tx_set_type(tx_size, is_inter,
+                                       self.reduced_tx_set)
         sqr = int(cc.tx_size_sqr[tx_size])
-        cdf = self.cdfs.intra_ext_tx[eset][sqr][intra_mode]
+        if is_inter:
+            eset = EXT_TX_SET_INDEX_INTER[set_type]
+            cdf = self.cdfs.inter_ext_tx[eset][sqr]
+        else:
+            eset = EXT_TX_SET_INDEX_INTRA[set_type]
+            cdf = self.cdfs.intra_ext_tx[eset][sqr][intra_mode]
         nsyms = AV1_NUM_EXT_TX_SET[set_type]
         ind = self.dec.read_symbol(cdf, nsyms)
         if self.update:
@@ -546,6 +828,16 @@ class TileDecoder(TileCoderBase):
         inv = np.nonzero(AV1_EXT_TX_IND[set_type] == ind)[0]
         used = [t for t in inv if AV1_EXT_TX_USED[set_type][t]]
         return int(used[0])
+
+
+def _chroma_tx_type_inter(luma_tx_type: int, tx_size: int,
+                          reduced: bool) -> int:
+    """Chroma tx type for inter blocks: the luma tx type, reduced to the
+    chroma tx size's legal set (spec compute_tx_type for plane > 0)."""
+    set_type = get_ext_tx_set_type(tx_size, True, reduced)
+    if not AV1_EXT_TX_USED[set_type][luma_tx_type]:
+        return cc.DCT_DCT
+    return luma_tx_type
 
 
 def _chroma_tx_type(uv_mode: int, tx_size: int) -> int:

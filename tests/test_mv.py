@@ -69,20 +69,20 @@ def _grid(mi=16):
 
 def test_mv_stack_empty_frame_top_left():
     g = _grid()
-    stack, ctx = mvp.find_mv_stack(g, 0, 0, 4, 4)
-    assert len(stack) >= 2
-    assert stack[0] == (0, 0) and stack[1] == (0, 0)
-    assert ctx == 0
+    st = mvp.find_mv_stack(g, 0, 0, 4, 4)
+    assert len(st.mvs) >= 2
+    assert st.mvs[0] == (0, 0) and st.mvs[1] == (0, 0)
+    assert st.mode_context == 0
 
 
 def test_mv_stack_single_above_neighbor():
     g = _grid()
     g.set_block(0, 0, 4, 4, mvp.LAST_FRAME, mvp.NEWMV, 16, -24)
-    stack, ctx = mvp.find_mv_stack(g, 4, 0, 4, 4)
-    assert stack[0] == (16, -24)
+    st = mvp.find_mv_stack(g, 4, 0, 4, 4)
+    assert st.mvs[0] == (16, -24)
     # nearest_match == 1 with a NEWMV neighbor -> newmv ctx bits = 2
-    assert ctx & mvp.GLOBALMV_OFFSET == 2
-    assert (ctx >> mvp.REFMV_OFFSET) == 3
+    assert st.mode_context & mvp.GLOBALMV_OFFSET == 2
+    assert (st.mode_context >> mvp.REFMV_OFFSET) == 3
 
 
 def test_mv_stack_weight_orders_candidates():
@@ -90,24 +90,24 @@ def test_mv_stack_weight_orders_candidates():
     # left col: all one MV (tall support); above row: another MV
     g.set_block(4, 0, 4, 4, mvp.LAST_FRAME, mvp.NEARESTMV, 8, 8)
     g.set_block(0, 4, 4, 4, mvp.LAST_FRAME, mvp.NEARESTMV, -8, -8)
-    stack, ctx = mvp.find_mv_stack(g, 4, 4, 4, 4)
-    assert set(stack[:2]) == {(8, 8), (-8, -8)}
+    st = mvp.find_mv_stack(g, 4, 4, 4, 4)
+    assert set(st.mvs[:2]) == {(8, 8), (-8, -8)}
     # both spatial rows matched at nearest ring
-    assert (ctx >> mvp.REFMV_OFFSET) == 5
+    assert (st.mode_context >> mvp.REFMV_OFFSET) == 5
 
 
 def test_mv_stack_globalmv_maps_to_zero():
     g = _grid()
     g.set_block(0, 0, 4, 4, mvp.LAST_FRAME, mvp.GLOBALMV, 40, 40)
-    stack, _ = mvp.find_mv_stack(g, 4, 0, 4, 4)
-    assert stack[0] == (0, 0)
+    st = mvp.find_mv_stack(g, 4, 0, 4, 4)
+    assert st.mvs[0] == (0, 0)
 
 
 def test_mv_stack_clamp():
     g = _grid()
     g.set_block(0, 0, 4, 4, mvp.LAST_FRAME, mvp.NEWMV, -32760, -32760)
-    stack, _ = mvp.find_mv_stack(g, 4, 0, 4, 4)
-    r, c = stack[0]
+    st = mvp.find_mv_stack(g, 4, 0, 4, 4)
+    r, c = st.mvs[0]
     # clamped into [to_top - bh*8 - MV_BORDER, ...]
     assert r == -(4 * 4 * 8) - 16 * 8 * 8 - mvp.MV_BORDER + 0 or r > -32760
     assert r >= -(4 * 4 * 8) - 16 * 8 - mvp.MV_BORDER - 16 * 8 * 8
