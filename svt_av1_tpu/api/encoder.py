@@ -19,7 +19,7 @@ import numpy as np
 from svt_av1_tpu.api.config import EncoderConfig
 from svt_av1_tpu.codec import obu
 from svt_av1_tpu.codec.syntax import TileEncoder
-from svt_av1_tpu.pipeline import intra_encoder
+from svt_av1_tpu.pipeline import inter_encoder, intra_encoder
 from svt_av1_tpu.pipeline.rate_control import RateControlState
 
 
@@ -64,6 +64,9 @@ class Encoder:
         self._packets: Deque[Packet] = deque()
         self._pts = 0
         self._eos_sent = False
+        # decoded-picture buffer (slot 0): last refreshed recon at the
+        # coded size, post loop filter — what the decoder predicts from
+        self._ref: Optional[Dict[str, np.ndarray]] = None
         fps = (config.frame_rate_numerator
                / max(config.frame_rate_denominator, 1))
         self._rc = RateControlState.create(config, fps)
@@ -84,6 +87,14 @@ class Encoder:
         """Batched submit: frames = [(y, u, v), ...].  All frames run as
         one device program (all-intra); EC still per frame on the host.
         The TPU-native analog of the reference's picture parallelism."""
+        if self.cfg.intra_period_length not in (-2, 0):
+            # GOP with inter frames: sequential (each frame depends on
+            # the previous recon); batching returns with mini-GoP DPB
+            for (y, u, v) in frames:
+                self.send_picture(y, u, v)
+            if eos:
+                self._eos_sent = True
+            return
         qindex = self._rc.frame_qindex()
         results = intra_encoder.encode_intra_frames(
             [self._pad(y, u, v) for (y, u, v) in frames], qindex,
@@ -122,25 +133,50 @@ class Encoder:
                    mode="edge")
         return y, u, v
 
+    def _frame_is_key(self, pts: int) -> bool:
+        """GOP structure from intra_period_length (SVT semantics):
+        -2 auto (round 1: all intra), 0 all intra, -1 first frame only,
+        N>0 a key frame every N+1 frames."""
+        period = self.cfg.intra_period_length
+        if period in (-2, 0):
+            return True
+        if period == -1:
+            return pts == 0
+        return pts % (period + 1) == 0
+
     def _encode_frame(self, y, u, v, pts) -> Packet:
         qindex = self._rc.frame_qindex()
         y, u, v = self._pad(y, u, v)
-        decisions, recon = intra_encoder.encode_intra_frame(
-            y, u, v, qindex, bd=self.cfg.encoder_bit_depth)
-        pkt = self._packetize(decisions, recon, qindex, pts)
+        is_key = self._frame_is_key(pts) or self._ref is None
+        if is_key:
+            decisions, recon = intra_encoder.encode_intra_frame(
+                y, u, v, qindex, bd=self.cfg.encoder_bit_depth)
+        else:
+            decisions, recon = inter_encoder.encode_inter_frame(
+                y, u, v, self._ref, qindex,
+                bd=self.cfg.encoder_bit_depth)
+        pkt = self._packetize(decisions, recon, qindex, pts,
+                              is_key=is_key)
         self._rc.update(len(pkt.data) * 8)
         return pkt
 
-    def _packetize(self, decisions, recon, qindex, pts) -> Packet:
-        fp = obu.FrameParams(frame_type=obu.KEY_FRAME, show_frame=True,
+    def _packetize(self, decisions, recon, qindex, pts,
+                   is_key: bool = True) -> Packet:
+        frame_type = obu.KEY_FRAME if is_key else obu.INTER_FRAME
+        fp = obu.FrameParams(frame_type=frame_type, show_frame=True,
                              base_q_idx=qindex,
                              render_width=self.render_w,
                              render_height=self.render_h)
+        if not is_key:
+            fp.refresh_frame_flags = 0x01
         if self.cfg.film_grain_denoise_strength > 0:
             from svt_av1_tpu.codec.film_grain import default_grain_params
             fp.film_grain = default_grain_params(
                 self.cfg.film_grain_denoise_strength)
-        if self.cfg.enable_dlf_flag:
+        if self.cfg.enable_dlf_flag and is_key:
+            # inter frames keep DLF off until the skip-aware edge masks
+            # land (uniform filtering would violate the spec's
+            # skip/inter edge rule for external decoders)
             assert self.cfg.encoder_bit_depth == 8, \
                 "deblocking wired for 8-bit only (10-bit lands next)"
             lvl_y = default_filter_level(qindex)
@@ -148,9 +184,11 @@ class Encoder:
             lvl_uv = max(0, lvl_y - 2)
             fp.filter_level_uv = (lvl_uv, lvl_uv)
             recon = intra_encoder.apply_loop_filter(recon, fp)
+        self._ref = {k: recon[k] for k in ("y", "u", "v")}
         tenc = TileEncoder(self.sp.width, self.sp.height, qindex,
                            reduced_tx_set=fp.reduced_tx_set,
-                           update_cdfs=not fp.disable_cdf_update)
+                           update_cdfs=not fp.disable_cdf_update,
+                           frame_is_intra=is_key)
         tile_data = tenc.encode(decisions)
         tu = obu.temporal_delimiter()
         if pts == 0:
@@ -162,5 +200,5 @@ class Encoder:
                          :(self.render_w + 1) // 2],
             v=recon["v"][:(self.render_h + 1) // 2,
                          :(self.render_w + 1) // 2])
-        return Packet(data=tu, pts=pts, frame_type=obu.KEY_FRAME,
+        return Packet(data=tu, pts=pts, frame_type=frame_type,
                       recon=recon_out)

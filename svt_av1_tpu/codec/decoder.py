@@ -6,7 +6,7 @@ and that reconstruction matches the encoder's recon (the analog of the
 reference E2E tests' recon-vs-decode comparison, SvtAv1E2EFramework)."""
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -14,12 +14,13 @@ from svt_av1_tpu.codec import obu
 from svt_av1_tpu.codec.syntax import TileDecoder
 from svt_av1_tpu.pipeline.intra_encoder import (apply_loop_filter,
                                                 reconstruct_from_decisions)
-from svt_av1_tpu.utils.bitio import BitReader
 
 
 class Decoder:
     def __init__(self):
         self.sp: Optional[obu.SequenceParams] = None
+        # decoded-picture buffer: slot 0 holds the last refreshed frame
+        self.ref: Optional[Dict[str, np.ndarray]] = None
 
     def decode_temporal_unit(self, data: bytes) -> List[Dict[str, np.ndarray]]:
         frames = []
@@ -36,17 +37,31 @@ class Decoder:
         return frames
 
     def _decode_frame(self, payload: bytes) -> Dict[str, np.ndarray]:
+        from svt_av1_tpu.utils.bitio import BitReader
         r = BitReader(payload)
         fp = obu.read_frame_header(r, self.sp)
         r.byte_align()
         tile_data = payload[r.byte_pos:]
+        is_intra = fp.frame_type in (obu.KEY_FRAME, obu.INTRA_ONLY_FRAME)
         tdec = TileDecoder(self.sp.width, self.sp.height, fp.base_q_idx,
                            reduced_tx_set=fp.reduced_tx_set,
-                           update_cdfs=not fp.disable_cdf_update)
+                           update_cdfs=not fp.disable_cdf_update,
+                           frame_is_intra=is_intra)
         decisions = tdec.decode(tile_data)
-        recon = reconstruct_from_decisions(decisions, self.sp.width,
-                                           self.sp.height, fp.base_q_idx,
-                                           bd=self.sp.bit_depth)
+        if is_intra:
+            recon = reconstruct_from_decisions(decisions, self.sp.width,
+                                               self.sp.height,
+                                               fp.base_q_idx,
+                                               bd=self.sp.bit_depth)
+        else:
+            from svt_av1_tpu.pipeline.inter_encoder import (
+                reconstruct_inter_from_decisions)
+            assert self.ref is not None, "P frame with empty DPB"
+            recon = reconstruct_inter_from_decisions(
+                decisions, self.ref, self.sp.width, self.sp.height,
+                fp.base_q_idx, bd=self.sp.bit_depth)
         recon = apply_loop_filter(recon, fp)
+        if fp.refresh_frame_flags:
+            self.ref = {k: recon[k] for k in ("y", "u", "v")}
         recon["decisions"] = decisions
         return recon

@@ -1,0 +1,81 @@
+"""Motion compensation: batched block prediction from a padded reference.
+
+Built on the bit-exact subpel convolve (ops/convolve.py, behavioral
+reference: inter_prediction.c svt_av1_convolve_2d_sr).  Reference planes
+are edge-replicated by ``pad`` pixels, which is equivalent to the spec's
+per-sample coordinate clamping (spec 7.11.3.4) as long as every MV keeps
+the filter window inside the padded plane — `clamp_mv_for_pad` enforces
+that bound and matches what the encoder signals.
+
+MVs are (row, col) in 1/8 luma pel throughout.  Luma phase = (mv & 7)*2,
+chroma (4:2:0) phase = mv & 15 at half-resolution coordinates (the
+clamp_mv_to_umv_border_sb q4 scaling).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from svt_av1_tpu.ops.convolve import convolve_2d_sr
+
+PAD = 80  # default reference padding in luma pixels
+
+
+def pad_plane(plane: np.ndarray, pad: int) -> np.ndarray:
+    """Edge-replicated padding (== spec sample-coordinate clamping)."""
+    return np.pad(np.asarray(plane), pad, mode="edge")
+
+
+def clamp_mv_for_pad(mv, y: int, x: int, blk: int, h: int, w: int,
+                     pad: int = PAD):
+    """Clamp an MV so the 8-tap window of a block at (y, x) stays inside
+    a pad-extended plane.  Bounds in 1/8 pel, preserving parity."""
+    lo_r = (-(y + pad - 4)) * 8
+    hi_r = (h + pad - 4 - (y + blk)) * 8
+    lo_c = (-(x + pad - 4)) * 8
+    hi_c = (w + pad - 4 - (x + blk)) * 8
+    r = max(lo_r, min(hi_r, int(mv[0])))
+    c = max(lo_c, min(hi_c, int(mv[1])))
+    return (r & ~1, c & ~1)  # keep 1/4-pel precision
+
+
+def mc_blocks(ref_padded: jnp.ndarray, ys, xs, mvs, blk: int,
+              pad: int, subsampling: int = 0, bd: int = 8) -> jnp.ndarray:
+    """Batched MC: predict (B, blk, blk) blocks.
+
+    ref_padded: (H/ss + 2*pad_p, W/ss + 2*pad_p) int32 plane where
+                pad_p = pad >> subsampling.
+    ys/xs: (B,) block top-left coords in *plane* pixels (already >> ss).
+    mvs: (B, 2) int32 MVs in 1/8 **luma** pel.
+    """
+    ys = jnp.asarray(ys, jnp.int32)
+    xs = jnp.asarray(xs, jnp.int32)
+    mvs = jnp.asarray(mvs, jnp.int32)
+    pad_p = pad >> subsampling
+    # q4 (1/16-plane-pel) vector per clamp_mv_to_umv_border_sb
+    mvq_r = mvs[:, 0] * (2 >> subsampling)
+    mvq_c = mvs[:, 1] * (2 >> subsampling)
+    full_r = (mvq_r >> 4)
+    full_c = (mvq_c >> 4)
+    phase_r = mvq_r & 15
+    phase_c = mvq_c & 15
+    start_r = ys + full_r - 3 + pad_p
+    start_c = xs + full_c - 3 + pad_p
+    win = blk + 7
+    offs = jnp.arange(win)
+    rows = start_r[:, None, None] + offs[None, :, None]
+    cols = start_c[:, None, None] + offs[None, None, :]
+    windows = ref_padded[rows, cols]
+    return convolve_2d_sr(windows, phase_c, phase_r, blk, blk, bd=bd)
+
+
+def mc_block_np(ref_plane: np.ndarray, y: int, x: int, mv, blk: int,
+                subsampling: int = 0, bd: int = 8,
+                pad: int = PAD) -> np.ndarray:
+    """Single-block host MC (decoder reconstruction path)."""
+    pad_p = pad >> subsampling
+    padded = pad_plane(ref_plane.astype(np.int32), pad_p)
+    out = mc_blocks(jnp.asarray(padded), np.array([y]), np.array([x]),
+                    np.array([mv], np.int32), blk, pad,
+                    subsampling=subsampling, bd=bd)
+    return np.asarray(out[0])

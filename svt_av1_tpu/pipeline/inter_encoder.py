@@ -1,0 +1,312 @@
+"""Inter (P) frame encoder: two-pass TPU mode decision.
+
+TPU-first redesign of the reference's inter MD funnel
+(product_coding_loop.c MD stages + inter_prediction.c): instead of a
+per-block candidate loop, the frame runs as two device programs:
+
+  Pass A (fully parallel, one dispatch): every 16x16 block evaluates its
+  inter candidates {ZERO, HME} — motion compensation, DCT, quantize,
+  reconstruct, RD — with no in-frame dependencies, so the whole frame is
+  one giant MXU batch.
+
+  Pass B (wavefront): the intra wave program (pipeline/intra_encoder)
+  extended with the precomputed inter candidate: each block picks
+  inter-vs-best-intra by RD and scatters the chosen reconstruction, so
+  later intra blocks predict from the true mixed recon.
+
+The entropy stage (codec/syntax.py) later maps each chosen MV to the
+cheapest legal signaling (NEARESTMV/NEARMV/GLOBALMV/NEWMV) against the
+normative MV stack — the RD here never needs the stack because the
+reconstruction depends only on the MV value, not its coding."""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svt_av1_tpu.codec import constants as cc
+from svt_av1_tpu.codec.syntax import BlockDecision, _chroma_tx_type
+from svt_av1_tpu.ops import mc, quant, transforms as tf
+from svt_av1_tpu.pipeline import me as me_pipe
+from svt_av1_tpu.pipeline.intra_encoder import (
+    BLK, CBLK, MODES, _rd_step, _rd_step_chroma, _schedule_arrays,
+    _recon_block, tr_bl_avail)
+
+K_CANDS = 2  # ZERO + HME
+
+
+def _coeff_bits(qcoeff):
+    aq = jnp.abs(qcoeff)
+    return (jnp.sum(jnp.log2(1.0 + aq.astype(jnp.float32)), axis=(1, 2))
+            * 2.0 + jnp.sum((aq > 0), axis=(1, 2)) + 8.0)
+
+
+def _mv_bits(mvs):
+    """Rough NEWMV signaling cost in bits (non-normative RD estimate)."""
+    a = jnp.abs(mvs.astype(jnp.float32))
+    return 4.0 + 1.4 * (jnp.log2(1.0 + a[:, 0]) + jnp.log2(1.0 + a[:, 1]))
+
+
+def _pass_a_fn(nb, bd=8):
+    """Build the all-blocks inter candidate evaluator."""
+
+    def run(src_y, src_u, src_v, refp_y, refp_u, refp_v, ys, xs,
+            cand_mvs, zbin, rnd, qv, qshift, deq, lam):
+        qp = quant.QuantParams(zbin, rnd, qv, qshift, deq)
+        K = K_CANDS
+        ysK = jnp.tile(ys, K)
+        xsK = jnp.tile(xs, K)
+        mvsK = cand_mvs.transpose(1, 0, 2).reshape(nb * K, 2)
+        pred = mc.mc_blocks(refp_y, ysK, xsK, mvsK, BLK, mc.PAD, 0, bd)
+        offs = jnp.arange(BLK)
+        rows = ysK[:, None, None] + offs[None, :, None]
+        cols = xsK[:, None, None] + offs[None, None, :]
+        src_blk = src_y[rows, cols]
+        resid = src_blk - pred
+        coeffs = tf.fwd_txfm2d(resid, cc.DCT_DCT, cc.TX_16X16)
+        qc, dq = quant.quantize(coeffs, qp, cc.TX_16X16)
+        rec = tf.inv_txfm2d_add(dq, pred, cc.DCT_DCT, cc.TX_16X16, bd=bd)
+        dist = jnp.sum((rec - src_blk) ** 2, axis=(1, 2)).astype(
+            jnp.float32)
+        bits = _coeff_bits(qc) + _mv_bits(mvsK)
+        cost = (dist + lam * bits).reshape(K, nb)
+        kbest = jnp.argmin(cost, axis=0)                 # (nb,)
+        sel = kbest * nb + jnp.arange(nb)
+        best_cost = cost.reshape(K * nb)[sel]
+        best_mv = mvsK[sel]
+        best_qy = qc[sel]
+        best_rec_y = rec[sel]
+        # chroma at the winning MV
+        cys = ys // 2
+        cxs = xs // 2
+        qus, recs = [], []
+        for refp_c, src_c in ((refp_u, src_u), (refp_v, src_v)):
+            pred_c = mc.mc_blocks(refp_c, cys, cxs, best_mv, CBLK,
+                                  mc.PAD, 1, bd)
+            offc = jnp.arange(CBLK)
+            crows = cys[:, None, None] + offc[None, :, None]
+            ccols = cxs[:, None, None] + offc[None, None, :]
+            src_cb = src_c[crows, ccols]
+            coeffs_c = tf.fwd_txfm2d(src_cb - pred_c, cc.DCT_DCT,
+                                     cc.TX_8X8)
+            qcc, dqc = quant.quantize(coeffs_c, qp, cc.TX_8X8)
+            rec_c = tf.inv_txfm2d_add(dqc, pred_c, cc.DCT_DCT,
+                                      cc.TX_8X8, bd=bd)
+            qus.append(qcc)
+            recs.append(rec_c)
+        return (best_cost, best_mv, best_qy, best_rec_y,
+                qus[0], recs[0], qus[1], recs[1])
+
+    return run
+
+
+def _inter_frame_program_fn(nw, maxb, modes, gw, bd=8):
+    """Pass-B wavefront with the per-block inter candidate override."""
+
+    def frame(recon_y, recon_u, recon_v, src_y, src_u, src_v,
+              bys, bxs, valid, trs, bls, icost, irec_y, irec_u, irec_v,
+              zbin, rnd, qv, qshift, deq, lam):
+        qp = (zbin, rnd, qv, qshift, deq)
+        modes_acc = jnp.zeros((nw, maxb), jnp.int32)
+        uv_modes_acc = jnp.zeros((nw, maxb), jnp.int32)
+        choose_acc = jnp.zeros((nw, maxb), bool)
+        qy_acc = jnp.zeros((nw, maxb, BLK, BLK), jnp.int32)
+        qu_acc = jnp.zeros((nw, maxb, CBLK, CBLK), jnp.int32)
+        qv_acc = jnp.zeros((nw, maxb, CBLK, CBLK), jnp.int32)
+
+        def body(i, carry):
+            ry, ru, rv, ma, uma, ca, qya, qua, qva = carry
+            by = bys[i]
+            bx = bxs[i]
+            va = valid[i]
+            ha = (by > 0) & va
+            hl = (bx > 0) & va
+            bid = by * gw + bx
+            m, q, ry, choose = _rd_step(
+                ry, src_y, by * BLK, bx * BLK, va, ha, hl,
+                qp, lam, BLK, cc.TX_16X16, modes, 0,
+                tr_avail=trs[i] & va, bl_avail=bls[i] & va, bd=bd,
+                inter=(icost[bid], irec_y[bid]))
+            choose = choose & va
+            um, qu, qvq, ru, rv = _rd_step_chroma(
+                ru, rv, src_u, src_v, by * CBLK, bx * CBLK, va, ha, hl,
+                qp, lam, bd=bd,
+                inter=(choose, irec_u[bid], irec_v[bid]))
+            return (ry, ru, rv, ma.at[i].set(m), uma.at[i].set(um),
+                    ca.at[i].set(choose), qya.at[i].set(q),
+                    qua.at[i].set(qu), qva.at[i].set(qvq))
+
+        init = (recon_y, recon_u, recon_v, modes_acc, uv_modes_acc,
+                choose_acc, qy_acc, qu_acc, qv_acc)
+        return jax.lax.fori_loop(0, nw, body, init)
+
+    return frame
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_inter_programs(h, w, nw, maxb, modes, bd=8):
+    gh, gw = h // BLK, w // BLK
+    nb = gh * gw
+    pass_a = jax.jit(_pass_a_fn(nb, bd))
+    pass_b = jax.jit(_inter_frame_program_fn(nw, maxb, modes, gw, bd))
+    return pass_a, pass_b
+
+
+def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
+                       src_v: np.ndarray, ref: Dict[str, np.ndarray],
+                       qindex: int, modes=MODES, bd: int = 8
+                       ) -> Tuple[Dict, Dict[str, np.ndarray]]:
+    """Encode one P frame against ``ref`` (the previous decoded frame).
+    Returns ({(r4,c4): BlockDecision}, recon)."""
+    h, w = src_y.shape
+    assert h % BLK == 0 and w % BLK == 0
+    gh, gw = h // BLK, w // BLK
+    nb = gh * gw
+
+    # open-loop HME (device) for the NEWMV candidate
+    mv_y, mv_x, _ = me_pipe.hierarchical_me(src_y, ref["y"])
+    ys = (np.arange(nb) // gw * BLK).astype(np.int32)
+    xs = (np.arange(nb) % gw * BLK).astype(np.int32)
+    cand = np.zeros((nb, K_CANDS, 2), np.int32)
+    for b in range(nb):
+        hme = (int(mv_y.flat[b]) * 8, int(mv_x.flat[b]) * 8)
+        cand[b, 1] = mc.clamp_mv_for_pad(hme, int(ys[b]), int(xs[b]),
+                                         BLK, h, w)
+
+    qp_y = quant.make_quant_params(qindex, bd=bd)
+    qstep = quant.dc_q(qindex, bd=bd) / 8.0
+    lam = np.float32(0.7 * qstep * qstep)
+
+    waves, bys, bxs, valid, trs, bls = _schedule_arrays(gh, gw,
+                                                        min(gh, gw))
+    nw = len(waves)
+    pass_a, pass_b = _jit_inter_programs(h, w, nw, min(gh, gw),
+                                         tuple(modes), bd)
+    refp_y = jnp.asarray(mc.pad_plane(ref["y"].astype(np.int32), mc.PAD))
+    refp_u = jnp.asarray(mc.pad_plane(ref["u"].astype(np.int32),
+                                      mc.PAD // 2))
+    refp_v = jnp.asarray(mc.pad_plane(ref["v"].astype(np.int32),
+                                      mc.PAD // 2))
+    sy = jnp.asarray(src_y.astype(np.int32))
+    su = jnp.asarray(src_u.astype(np.int32))
+    sv = jnp.asarray(src_v.astype(np.int32))
+    qp_j = tuple(jnp.asarray(a) for a in qp_y)
+
+    (icost, imv, iqy, irec_y, iqu, irec_u, iqv, irec_v) = pass_a(
+        sy, su, sv, refp_y, refp_u, refp_v, jnp.asarray(ys),
+        jnp.asarray(xs), jnp.asarray(cand), *qp_j, lam)
+
+    out = pass_b(jnp.zeros((h, w), jnp.int32),
+                 jnp.zeros((h // 2, w // 2), jnp.int32),
+                 jnp.zeros((h // 2, w // 2), jnp.int32),
+                 sy, su, sv, jnp.asarray(bys), jnp.asarray(bxs),
+                 jnp.asarray(valid), jnp.asarray(trs), jnp.asarray(bls),
+                 icost, irec_y, irec_u, irec_v, *qp_j, lam)
+    (recon_y, recon_u, recon_v, modes_acc, uv_acc, choose_acc,
+     qy_acc, qu_acc, qv_acc) = [np.asarray(o) for o in out]
+    imv = np.asarray(imv)
+    iqy = np.asarray(iqy)
+    iqu = np.asarray(iqu)
+    iqv = np.asarray(iqv)
+
+    decisions = {}
+    for i, wave in enumerate(waves):
+        for j, (by, bx) in enumerate(wave):
+            r4, c4 = by * 4, bx * 4
+            bid = by * gw + bx
+            if choose_acc[i, j]:
+                decisions[(r4, c4)] = BlockDecision(
+                    r4=r4, c4=c4, bsize=cc.BLOCK_16X16, y_mode=cc.DC_PRED,
+                    uv_mode=cc.DC_PRED, tx_type=cc.DCT_DCT,
+                    qcoeff_y=iqy[bid], qcoeff_u=iqu[bid],
+                    qcoeff_v=iqv[bid], is_inter=True,
+                    mv=(int(imv[bid, 0]), int(imv[bid, 1])))
+            else:
+                decisions[(r4, c4)] = BlockDecision(
+                    r4=r4, c4=c4, bsize=cc.BLOCK_16X16,
+                    y_mode=int(modes_acc[i, j]),
+                    uv_mode=int(uv_acc[i, j]), tx_type=cc.DCT_DCT,
+                    qcoeff_y=qy_acc[i, j], qcoeff_u=qu_acc[i, j],
+                    qcoeff_v=qv_acc[i, j])
+    dt = np.uint8 if bd == 8 else np.uint16
+    recon = dict(y=recon_y.astype(dt), u=recon_u.astype(dt),
+                 v=recon_v.astype(dt))
+    return decisions, recon
+
+
+def reconstruct_inter_from_decisions(decisions: Dict,
+                                     ref: Dict[str, np.ndarray],
+                                     width: int, height: int, qindex: int,
+                                     bd: int = 8) -> Dict[str, np.ndarray]:
+    """Decoder-side reconstruction of a P frame.
+
+    Inter blocks have no in-frame dependencies — they reconstruct as one
+    device batch; intra blocks then run in coding order over the mixed
+    recon (their neighbors, inter or intra, are already written)."""
+    gh, gw = height // BLK, width // BLK
+    qp = quant.make_quant_params(qindex, bd=bd)
+    qp_j = tuple(jnp.asarray(a) for a in qp)
+    recon_y = jnp.zeros((height, width), jnp.int32)
+    recon_u = jnp.zeros((height // 2, width // 2), jnp.int32)
+    recon_v = jnp.zeros_like(recon_u)
+
+    inter_keys = [k for k, d in decisions.items() if d.is_inter]
+    if inter_keys:
+        ys = np.array([k[0] * 4 for k in inter_keys], np.int32)
+        xs = np.array([k[1] * 4 for k in inter_keys], np.int32)
+        mvs = np.array([decisions[k].mv for k in inter_keys], np.int32)
+        refp_y = jnp.asarray(mc.pad_plane(ref["y"].astype(np.int32),
+                                          mc.PAD))
+        pred_y = mc.mc_blocks(refp_y, ys, xs, mvs, BLK, mc.PAD, 0, bd)
+        qy = jnp.asarray(np.stack([decisions[k].qcoeff_y
+                                   for k in inter_keys]))
+        dq = quant.dequantize(qy, quant.QuantParams(*qp_j), cc.TX_16X16)
+        rec_y = tf.inv_txfm2d_add(dq, pred_y, cc.DCT_DCT, cc.TX_16X16,
+                                  bd=bd)
+        offs = jnp.arange(BLK)
+        rows = ys[:, None, None] + offs[None, :, None]
+        cols = xs[:, None, None] + offs[None, None, :]
+        recon_y = recon_y.at[rows, cols].set(rec_y)
+        for plane, init in (("u", recon_u), ("v", recon_v)):
+            refp_c = jnp.asarray(mc.pad_plane(
+                ref[plane].astype(np.int32), mc.PAD // 2))
+            pred_c = mc.mc_blocks(refp_c, ys // 2, xs // 2, mvs, CBLK,
+                                  mc.PAD, 1, bd)
+            qc = jnp.asarray(np.stack(
+                [getattr(decisions[k], f"qcoeff_{plane}")
+                 for k in inter_keys]))
+            dqc = quant.dequantize(qc, quant.QuantParams(*qp_j),
+                                   cc.TX_8X8)
+            rec_c = tf.inv_txfm2d_add(dqc, pred_c, cc.DCT_DCT, cc.TX_8X8,
+                                      bd=bd)
+            offc = jnp.arange(CBLK)
+            crows = (ys // 2)[:, None, None] + offc[None, :, None]
+            ccols = (xs // 2)[:, None, None] + offc[None, None, :]
+            if plane == "u":
+                recon_u = recon_u.at[crows, ccols].set(rec_c)
+            else:
+                recon_v = recon_v.at[crows, ccols].set(rec_c)
+
+    for by in range(gh):
+        for bx in range(gw):
+            d = decisions[(by * 4, bx * 4)]
+            if d.is_inter:
+                continue
+            tr, bl = tr_bl_avail(by, bx, gh, gw)
+            recon_y = _recon_block(recon_y, d.qcoeff_y, d.y_mode,
+                                   by * BLK, bx * BLK, BLK, cc.TX_16X16,
+                                   d.tx_type, qp, tr, bl, bd)
+            uv_tx = _chroma_tx_type(d.uv_mode, cc.TX_8X8)
+            recon_u = _recon_block(recon_u, d.qcoeff_u, d.uv_mode,
+                                   by * CBLK, bx * CBLK, CBLK, cc.TX_8X8,
+                                   uv_tx, qp, bd=bd)
+            recon_v = _recon_block(recon_v, d.qcoeff_v, d.uv_mode,
+                                   by * CBLK, bx * CBLK, CBLK, cc.TX_8X8,
+                                   uv_tx, qp, bd=bd)
+    dt = np.uint8 if bd == 8 else np.uint16
+    return dict(y=np.asarray(recon_y).astype(dt),
+                u=np.asarray(recon_u).astype(dt),
+                v=np.asarray(recon_v).astype(dt))

@@ -120,14 +120,20 @@ def _gather_neighbors(recon, ys, xs, n, have_above, have_left, bd=8):
 
 def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
              qp_arrays, lam, n, tx_size, modes, plane_type,
-             tx_types=None, tr_avail=None, bl_avail=None, bd=8):
+             tx_types=None, tr_avail=None, bl_avail=None, bd=8,
+             inter=None):
     """One wave step for one plane: returns (best_mode (B,), qcoeff
-    (B,kh,kw), new recon).  ys/xs: (B,) pixel coords (traced ok).
+    (B,kh,kw), new recon[, choose_inter (B,)]).  ys/xs: (B,) pixel
+    coords (traced ok).
 
     tx_types: optional per-mode tx type (chroma uses the mode-implied
     type; luma signals DCT_DCT in round 1).
     tr_avail/bl_avail: (B,) bool, required when modes include zone-1/3
-    directional modes."""
+    directional modes.
+    inter: optional (cost (B,), rec (B,n,n)) precomputed inter candidate
+    per block (pipeline/inter_encoder pass A); when given, the step picks
+    inter wherever its RD cost beats the best intra mode and returns the
+    choice mask as a 4th output."""
     b = ys.shape[0]
     above, left, corner = _gather_neighbors(recon, ys, xs, n,
                                             have_above, have_left, bd=bd)
@@ -193,10 +199,18 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
     sel = mi_best * b + jnp.arange(b)
     best_q = qcoeff_all.reshape(nm * b, n, n)[sel]
     best_rec = rec_all.reshape(nm * b, n, n)[sel]
+    choose = None
+    if inter is not None:
+        inter_cost, inter_rec = inter
+        best_cost = jnp.min(cost, axis=0)
+        choose = inter_cost < best_cost
+        best_rec = jnp.where(choose[:, None, None], inter_rec, best_rec)
     # scatter chosen recon (masked lanes add zero delta)
     cur = recon[rows, cols]
     delta = jnp.where(valid[:, None, None], best_rec - cur, 0)
     recon = recon.at[rows, cols].add(delta)
+    if inter is not None:
+        return best_mode, best_q, recon, choose
     return best_mode, best_q, recon
 
 
@@ -255,9 +269,13 @@ def _jit_frame_program(nw, maxb, modes, bd=8):
 
 
 def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
-                    have_above, have_left, qp_arrays, lam, bd=8):
+                    have_above, have_left, qp_arrays, lam, bd=8,
+                    inter=None):
     """Joint U+V mode decision (uv_mode is signaled once per block); the
-    chroma transform type is implied by the mode (not signaled)."""
+    chroma transform type is implied by the mode (not signaled).
+
+    inter: optional (choose (B,), rec_u, rec_v) — blocks whose luma step
+    chose the inter candidate take the precomputed inter chroma recon."""
     n = CBLK
     tx_size = cc.TX_8X8
     zbin, rnd, qv_, qshift, deq = qp_arrays
@@ -308,6 +326,11 @@ def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
                     jnp.where(t3, pack[5], best[5]))
 
     _, um, qu, qvq, rec_u, rec_v = best
+    if inter is not None:
+        choose, irec_u, irec_v = inter
+        c3 = choose[:, None, None]
+        rec_u = jnp.where(c3, irec_u, rec_u)
+        rec_v = jnp.where(c3, irec_v, rec_v)
     cur_u = recon_u[rows, cols]
     cur_v = recon_v[rows, cols]
     vmask = valid[:, None, None]

@@ -98,10 +98,19 @@ def hierarchical_me(src: np.ndarray, ref: np.ndarray,
     """Open-loop ME: per-16x16 integer MVs src->ref.
 
     Returns (mv_y, mv_x, ssd) as (gh, gw) arrays.  Effective search
-    range: +-(4*rad2 + rad0) full-res pels."""
+    range: +-(4*rad2 + rad0) full-res pels.  Dims that are not multiples
+    of 64 are edge-padded for the pyramid; the MV grid is cropped back."""
     h, w = src.shape
-    assert h % 64 == 0 and w % 64 == 0, "HME round 1: dims multiple of 64"
-    run = _jit_hme(h, w, rad2, 0, rad0)
+    assert h % BLK == 0 and w % BLK == 0
+    h64 = (h + 63) & ~63
+    w64 = (w + 63) & ~63
+    if (h64, w64) != (h, w):
+        pads = ((0, h64 - h), (0, w64 - w))
+        src = np.pad(src, pads, mode="edge")
+        ref = np.pad(ref, pads, mode="edge")
+    run = _jit_hme(h64, w64, rad2, 0, rad0)
     mv_y, mv_x, ssd = run(jnp.asarray(src.astype(np.int32)),
                           jnp.asarray(ref.astype(np.int32)))
-    return np.asarray(mv_y), np.asarray(mv_x), np.asarray(ssd)
+    gh, gw = h // BLK, w // BLK
+    return (np.asarray(mv_y)[:gh, :gw], np.asarray(mv_x)[:gh, :gw],
+            np.asarray(ssd)[:gh, :gw])

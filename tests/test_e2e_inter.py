@@ -1,0 +1,92 @@
+"""End-to-end inter (IPPP) encode -> decode: recon equality, compression
+gain, and inter-block selection on translating content."""
+import numpy as np
+import pytest
+
+from svt_av1_tpu.api.config import EncoderConfig
+from svt_av1_tpu.api.encoder import Encoder
+from svt_av1_tpu.codec import obu
+from svt_av1_tpu.codec.decoder import Decoder
+
+
+def _moving_scene(n_frames, h=96, w=128, seed=3):
+    """Textured background translating 2px/frame + static block."""
+    rng = np.random.default_rng(seed)
+    bigw = w + 8 * n_frames
+    base = rng.integers(0, 255, (h // 4, bigw // 4)).astype(np.uint8)
+    base = np.kron(base, np.ones((4, 4), np.uint8))  # blocky texture
+    frames = []
+    for i in range(n_frames):
+        dx = 2 * i
+        y = base[:, dx:dx + w].copy()
+        y[48:64, 48:64] = 200  # static block-aligned square (zero MV)
+        u = np.full((h // 2, w // 2), 100 + i, np.uint8)
+        v = np.full((h // 2, w // 2), 140, np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+@pytest.fixture(scope="module")
+def gop_run():
+    frames = _moving_scene(4)
+    cfg = EncoderConfig(source_width=128, source_height=96, qp=40,
+                        intra_period_length=-1)
+    enc = Encoder(cfg)
+    pkts = []
+    for i, (y, u, v) in enumerate(frames):
+        enc.send_picture(y, u, v, eos=(i == len(frames) - 1))
+        pkts.append(enc.get_packet())
+    return frames, pkts
+
+
+def test_frame_types(gop_run):
+    _, pkts = gop_run
+    assert pkts[0].frame_type == obu.KEY_FRAME
+    for p in pkts[1:]:
+        assert p.frame_type == obu.INTER_FRAME
+
+
+def test_inter_frames_cheaper(gop_run):
+    _, pkts = gop_run
+    key_size = len(pkts[0].data)
+    for p in pkts[1:]:
+        assert len(p.data) < key_size * 0.6, \
+            f"P frame {p.pts}: {len(p.data)}B vs key {key_size}B"
+
+
+def test_decode_matches_encoder_recon(gop_run):
+    _, pkts = gop_run
+    dec = Decoder()
+    for p in pkts:
+        rec = dec.decode_temporal_unit(p.data)[0]
+        for plane in ("y", "u", "v"):
+            assert np.array_equal(rec[plane], p.recon[plane]), \
+                (p.pts, plane)
+
+
+def test_inter_blocks_used_with_motion(gop_run):
+    _, pkts = gop_run
+    dec = Decoder()
+    dec.decode_temporal_unit(pkts[0].data)
+    rec = dec.decode_temporal_unit(pkts[1].data)[0]
+    ds = rec["decisions"]
+    inter = [d for d in ds.values() if d.is_inter]
+    assert len(inter) > len(ds) // 2, \
+        f"only {len(inter)}/{len(ds)} blocks inter on translating scene"
+    # the moving texture should produce nonzero MVs somewhere
+    assert any(d.mv != (0, 0) for d in inter)
+    # the static square region should be zero-MV (block at pixel 48,48)
+    static = ds[(12, 12)]
+    if static.is_inter:
+        assert static.mv == (0, 0)
+
+
+def test_decoded_quality(gop_run):
+    frames, pkts = gop_run
+    dec = Decoder()
+    for (y, _, _), p in zip(frames, pkts):
+        rec = dec.decode_temporal_unit(p.data)[0]
+        mse = np.mean((rec["y"][:96, :128].astype(np.float64)
+                       - y.astype(np.float64)) ** 2)
+        psnr = 10 * np.log10(255 ** 2 / max(mse, 1e-9))
+        assert psnr > 28, f"frame {p.pts}: {psnr:.2f} dB"
