@@ -67,6 +67,9 @@ class Encoder:
         # decoded-picture buffer (slot 0): last refreshed recon at the
         # coded size, post loop filter — what the decoder predicts from
         self._ref: Optional[Dict[str, np.ndarray]] = None
+        # end-of-frame CDF state saved with the ref (primary_ref_frame)
+        self._ref_cdfs = None
+        self._ref_nmv = None
         fps = (config.frame_rate_numerator
                / max(config.frame_rate_denominator, 1))
         self._rc = RateControlState.create(config, fps)
@@ -169,6 +172,8 @@ class Encoder:
                              render_height=self.render_h)
         if not is_key:
             fp.refresh_frame_flags = 0x01
+            if self._ref_cdfs is not None:
+                fp.primary_ref_frame = 0  # chain CDFs from slot 0
         if self.cfg.film_grain_denoise_strength > 0:
             from svt_av1_tpu.codec.film_grain import default_grain_params
             fp.film_grain = default_grain_params(
@@ -185,11 +190,17 @@ class Encoder:
             fp.filter_level_uv = (lvl_uv, lvl_uv)
             recon = intra_encoder.apply_loop_filter(recon, fp)
         self._ref = {k: recon[k] for k in ("y", "u", "v")}
+        chain = fp.primary_ref_frame != obu.PRIMARY_REF_NONE
         tenc = TileEncoder(self.sp.width, self.sp.height, qindex,
                            reduced_tx_set=fp.reduced_tx_set,
                            update_cdfs=not fp.disable_cdf_update,
-                           frame_is_intra=is_key)
+                           frame_is_intra=is_key,
+                           init_cdfs=self._ref_cdfs if chain else None,
+                           init_nmv=self._ref_nmv if chain else None)
         tile_data = tenc.encode(decisions)
+        if not fp.disable_frame_end_update_cdf:
+            self._ref_cdfs = tenc.cdfs
+            self._ref_nmv = tenc.nmv
         tu = obu.temporal_delimiter()
         if pts == 0:
             tu += obu.write_sequence_header(self.sp)

@@ -1,5 +1,9 @@
 """Frame CDF state container.
 
+Supports forward chaining (spec primary_ref_frame): a frame may start
+from the end-of-frame CDF state saved with its primary reference instead
+of the defaults — `clone()` snapshots the adapted state for the DPB.
+
 Holds all adaptive CDF tables for one frame's entropy coding, initialized
 from the normative AV1 defaults (codec/data/av1_default_cdfs.npz;
 behavioral reference: cabac_context_model.c svt_av1_default_coef_probs /
@@ -91,3 +95,12 @@ class FrameCDFs:
         self.coeff_base = d["coeff_base_multi_cdfs"][q].copy()
         self.coeff_base_eob = d["coeff_base_eob_multi_cdfs"][q].copy()
         self.coeff_br = d["coeff_lps_multi_cdfs"][q].copy()
+
+    def clone(self) -> "FrameCDFs":
+        out = FrameCDFs.__new__(FrameCDFs)
+        for k, v in self.__dict__.items():
+            if isinstance(v, dict):
+                setattr(out, k, {kk: vv.copy() for kk, vv in v.items()})
+            else:
+                setattr(out, k, v.copy())
+        return out

@@ -21,6 +21,8 @@ class Decoder:
         self.sp: Optional[obu.SequenceParams] = None
         # decoded-picture buffer: slot 0 holds the last refreshed frame
         self.ref: Optional[Dict[str, np.ndarray]] = None
+        self.ref_cdfs = None
+        self.ref_nmv = None
 
     def decode_temporal_unit(self, data: bytes) -> List[Dict[str, np.ndarray]]:
         frames = []
@@ -43,11 +45,18 @@ class Decoder:
         r.byte_align()
         tile_data = payload[r.byte_pos:]
         is_intra = fp.frame_type in (obu.KEY_FRAME, obu.INTRA_ONLY_FRAME)
+        chain = (not is_intra
+                 and fp.primary_ref_frame != obu.PRIMARY_REF_NONE)
         tdec = TileDecoder(self.sp.width, self.sp.height, fp.base_q_idx,
                            reduced_tx_set=fp.reduced_tx_set,
                            update_cdfs=not fp.disable_cdf_update,
-                           frame_is_intra=is_intra)
+                           frame_is_intra=is_intra,
+                           init_cdfs=self.ref_cdfs if chain else None,
+                           init_nmv=self.ref_nmv if chain else None)
         decisions = tdec.decode(tile_data)
+        if not fp.disable_frame_end_update_cdf:
+            self.ref_cdfs = tdec.cdfs
+            self.ref_nmv = tdec.nmv
         if is_intra:
             recon = reconstruct_from_decisions(decisions, self.sp.width,
                                                self.sp.height,

@@ -61,6 +61,13 @@ class NmvCDFs:
         self.joints = _icdf(4096, 11264, 19328)
         self.comps = [_comp_cdfs(), _comp_cdfs()]
 
+    def clone(self) -> "NmvCDFs":
+        out = NmvCDFs.__new__(NmvCDFs)
+        out.joints = self.joints.copy()
+        out.comps = [{k: v.copy() for k, v in c.items()}
+                     for c in self.comps]
+        return out
+
 
 def get_mv_class(z: int):
     """Class + in-class offset for magnitude-1 value z (z >= 0)."""

@@ -105,6 +105,7 @@ class FrameParams:
     disable_frame_end_update_cdf: bool = False
     # inter frames (single LAST reference; all idx slots point at slot 0)
     ref_frame_idx: Tuple[int, ...] = (0, 0, 0, 0, 0, 0, 0)
+    primary_ref_frame: int = PRIMARY_REF_NONE
     allow_high_precision_mv: bool = False
     interpolation_filter: int = 0   # EIGHTTAP
     is_motion_mode_switchable: bool = False
@@ -215,7 +216,7 @@ def write_frame_header_bits(w: BitWriter, sp: SequenceParams,
     if sp.enable_order_hint:
         w.f(fp.order_hint, sp.order_hint_bits)
     if not (is_intra or error_resilient):
-        w.f(PRIMARY_REF_NONE, 3)
+        w.f(fp.primary_ref_frame, 3)
     if fp.frame_type == KEY_FRAME:
         if not fp.show_frame:
             w.f(fp.refresh_frame_flags, 8)
@@ -471,7 +472,7 @@ def read_frame_header(r: BitReader, sp: SequenceParams) -> FrameParams:
     if sp.enable_order_hint:
         fp.order_hint = r.f(sp.order_hint_bits)
     if not (is_intra or error_resilient):
-        assert r.f(3) == PRIMARY_REF_NONE
+        fp.primary_ref_frame = r.f(3)
     if fp.frame_type == KEY_FRAME:
         if not fp.show_frame:
             fp.refresh_frame_flags = r.f(8)

@@ -288,7 +288,8 @@ class ContextState:
 class TileCoderBase:
     def __init__(self, width: int, height: int, base_q_idx: int,
                  reduced_tx_set: bool = False, update_cdfs: bool = True,
-                 frame_is_intra: bool = True):
+                 frame_is_intra: bool = True, init_cdfs=None,
+                 init_nmv=None):
         self.width = width
         self.height = height
         self.mi_rows = (height + 3) >> 2
@@ -297,8 +298,12 @@ class TileCoderBase:
         self.reduced_tx_set = reduced_tx_set
         self.update = update_cdfs
         self.frame_is_intra = frame_is_intra
-        self.cdfs = FrameCDFs(base_q_idx)
-        self.nmv = mv_mod.NmvCDFs()
+        # primary_ref_frame chaining: start from the reference frame's
+        # end-of-frame CDF state when provided (spec init_non_coeff_cdfs)
+        self.cdfs = init_cdfs.clone() if init_cdfs is not None \
+            else FrameCDFs(base_q_idx)
+        self.nmv = init_nmv.clone() if init_nmv is not None \
+            else mv_mod.NmvCDFs()
         self.ctx = ContextState(self.mi_rows, self.mi_cols)
         self.migrid = mv_pred.MiGrid(self.mi_rows, self.mi_cols)
         self.sb_cols = (self.mi_cols + 15) >> 4

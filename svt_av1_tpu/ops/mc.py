@@ -39,6 +39,18 @@ def clamp_mv_for_pad(mv, y: int, x: int, blk: int, h: int, w: int,
     return (r & ~1, c & ~1)  # keep 1/4-pel precision
 
 
+def clamp_mvs_for_pad(mvs: np.ndarray, ys: np.ndarray, xs: np.ndarray,
+                      blk: int, h: int, w: int,
+                      pad: int = PAD) -> np.ndarray:
+    """Vectorized clamp_mv_for_pad: mvs (..., 2) against ys/xs blocks."""
+    mvs = np.asarray(mvs, np.int64)
+    r = np.clip(mvs[..., 0], (-(ys + pad - 4)) * 8,
+                (h + pad - 4 - (ys + blk)) * 8)
+    c = np.clip(mvs[..., 1], (-(xs + pad - 4)) * 8,
+                (w + pad - 4 - (xs + blk)) * 8)
+    return np.stack([r & ~1, c & ~1], axis=-1).astype(np.int32)
+
+
 def mc_blocks(ref_padded: jnp.ndarray, ys, xs, mvs, blk: int,
               pad: int, subsampling: int = 0, bd: int = 8) -> jnp.ndarray:
     """Batched MC: predict (B, blk, blk) blocks.

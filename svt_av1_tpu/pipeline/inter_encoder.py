@@ -35,7 +35,12 @@ from svt_av1_tpu.pipeline.intra_encoder import (
     BLK, CBLK, MODES, _rd_step, _rd_step_chroma, _schedule_arrays,
     _recon_block, tr_bl_avail)
 
-K_CANDS = 2  # ZERO + HME
+# candidate MV offsets around the HME winner (1/8 pel): the fullpel
+# winner plus its quarter-pel ring, plus the zero MV
+_SUBPEL_RING = np.array(
+    [(0, 0), (0, 2), (0, -2), (2, 0), (-2, 0),
+     (2, 2), (2, -2), (-2, 2), (-2, -2)], np.int32)
+K_CANDS = 1 + len(_SUBPEL_RING)  # ZERO + HME ring
 
 
 def _coeff_bits(qcoeff):
@@ -166,15 +171,16 @@ def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
     gh, gw = h // BLK, w // BLK
     nb = gh * gw
 
-    # open-loop HME (device) for the NEWMV candidate
+    # open-loop HME (device) for the NEWMV candidate, widened to its
+    # quarter-pel ring (subpel refinement happens inside pass A's RD)
     mv_y, mv_x, _ = me_pipe.hierarchical_me(src_y, ref["y"])
     ys = (np.arange(nb) // gw * BLK).astype(np.int32)
     xs = (np.arange(nb) % gw * BLK).astype(np.int32)
+    hme = np.stack([mv_y.reshape(nb) * 8, mv_x.reshape(nb) * 8],
+                   axis=-1).astype(np.int32)
     cand = np.zeros((nb, K_CANDS, 2), np.int32)
-    for b in range(nb):
-        hme = (int(mv_y.flat[b]) * 8, int(mv_x.flat[b]) * 8)
-        cand[b, 1] = mc.clamp_mv_for_pad(hme, int(ys[b]), int(xs[b]),
-                                         BLK, h, w)
+    cand[:, 1:] = hme[:, None, :] + _SUBPEL_RING[None, :, :]
+    cand = mc.clamp_mvs_for_pad(cand, ys[:, None], xs[:, None], BLK, h, w)
 
     qp_y = quant.make_quant_params(qindex, bd=bd)
     qstep = quant.dc_q(qindex, bd=bd) / 8.0

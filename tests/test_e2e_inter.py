@@ -81,6 +81,18 @@ def test_inter_blocks_used_with_motion(gop_run):
         assert static.mv == (0, 0)
 
 
+def test_primary_ref_cdf_chaining(gop_run):
+    """P frames chain their CDF init from slot 0 (primary_ref_frame)."""
+    from svt_av1_tpu.utils.bitio import BitReader
+    _, pkts = gop_run
+    for p in pkts[1:]:
+        for t, payload in obu.parse_obus(p.data):
+            if t == obu.OBU_FRAME:
+                sp = obu.SequenceParams(width=128, height=96)
+                fp = obu.read_frame_header(BitReader(payload), sp)
+                assert fp.primary_ref_frame == 0
+
+
 def test_decoded_quality(gop_run):
     frames, pkts = gop_run
     dec = Decoder()
