@@ -46,6 +46,15 @@ def _align16(x: int) -> int:
     return (x + 15) & ~15
 
 
+def _skip_map(decisions, gh: int, gw: int) -> np.ndarray:
+    """(gh, gw) bool: skip flag per 16x16 leaf block."""
+    m = np.zeros((gh, gw), bool)
+    for by in range(gh):
+        for bx in range(gw):
+            m[by, bx] = decisions[(by * 4, bx * 4)].skip
+    return m
+
+
 class Encoder:
     def __init__(self, config: EncoderConfig):
         self.cfg = config.validate()
@@ -59,6 +68,7 @@ class Encoder:
         self.sp = obu.SequenceParams(
             width=self.coded_w, height=self.coded_h,
             bit_depth=config.encoder_bit_depth,
+            enable_cdef=config.cdef_level > 0,
             film_grain_params_present=(
                 config.film_grain_denoise_strength > 0))
         self._packets: Deque[Packet] = deque()
@@ -159,12 +169,12 @@ class Encoder:
                 y, u, v, self._ref, qindex,
                 bd=self.cfg.encoder_bit_depth)
         pkt = self._packetize(decisions, recon, qindex, pts,
-                              is_key=is_key)
+                              is_key=is_key, src=dict(y=y, u=u, v=v))
         self._rc.update(len(pkt.data) * 8)
         return pkt
 
     def _packetize(self, decisions, recon, qindex, pts,
-                   is_key: bool = True) -> Packet:
+                   is_key: bool = True, src=None) -> Packet:
         frame_type = obu.KEY_FRAME if is_key else obu.INTER_FRAME
         fp = obu.FrameParams(frame_type=frame_type, show_frame=True,
                              base_q_idx=qindex,
@@ -189,6 +199,17 @@ class Encoder:
             lvl_uv = max(0, lvl_y - 2)
             fp.filter_level_uv = (lvl_uv, lvl_uv)
             recon = intra_encoder.apply_loop_filter(recon, fp)
+        if self.sp.enable_cdef and src is not None:
+            from svt_av1_tpu.pipeline import cdef_stage
+            skip16 = _skip_map(decisions, self.coded_h // 16,
+                               self.coded_w // 16)
+            fp.cdef_damping = cdef_stage.cdef_damping(qindex)
+            fp.cdef_strengths = cdef_stage.cdef_search(
+                src, recon, skip16, qindex,
+                bd=self.cfg.encoder_bit_depth)
+            recon = cdef_stage.cdef_apply(
+                recon, skip16, fp.cdef_strengths, fp.cdef_damping,
+                bd=self.cfg.encoder_bit_depth)
         self._ref = {k: recon[k] for k in ("y", "u", "v")}
         chain = fp.primary_ref_frame != obu.PRIMARY_REF_NONE
         tenc = TileEncoder(self.sp.width, self.sp.height, qindex,

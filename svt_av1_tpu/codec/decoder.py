@@ -70,6 +70,15 @@ class Decoder:
                 decisions, self.ref, self.sp.width, self.sp.height,
                 fp.base_q_idx, bd=self.sp.bit_depth)
         recon = apply_loop_filter(recon, fp)
+        if self.sp.enable_cdef:
+            from svt_av1_tpu.api.encoder import _skip_map
+            from svt_av1_tpu.pipeline import cdef_stage
+            skip16 = _skip_map(decisions, self.sp.height // 16,
+                               self.sp.width // 16)
+            recon = cdef_stage.cdef_apply(recon, skip16,
+                                          fp.cdef_strengths,
+                                          fp.cdef_damping,
+                                          bd=self.sp.bit_depth)
         if fp.refresh_frame_flags:
             self.ref = {k: recon[k] for k in ("y", "u", "v")}
         recon["decisions"] = decisions

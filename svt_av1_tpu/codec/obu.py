@@ -99,6 +99,9 @@ class FrameParams:
     filter_level: Tuple[int, int] = (0, 0)
     filter_level_uv: Tuple[int, int] = (0, 0)
     sharpness: int = 0
+    # CDEF (cdef_bits = 0: one frame-uniform strength set)
+    cdef_damping: int = 3
+    cdef_strengths: Tuple[int, int, int, int] = (0, 0, 0, 0)
     # derived
     order_hint: int = 0
     refresh_frame_flags: int = 0xFF
@@ -274,9 +277,16 @@ def write_frame_header_bits(w: BitWriter, sp: SequenceParams,
             w.f(fp.filter_level_uv[1], 6)
     w.f(fp.sharpness, 3)
     w.f(0, 1)   # loop_filter_delta_enabled
-    # cdef_params: skipped (seq enable_cdef=0)
+    # cdef_params (CodedLossless=0, allow_intrabc=0)
     if sp.enable_cdef:
-        raise NotImplementedError
+        w.f(fp.cdef_damping - 3, 2)
+        w.f(0, 2)  # cdef_bits = 0 -> single strength set
+        pri_y, sec_y, pri_uv, sec_uv = fp.cdef_strengths
+        w.f(pri_y, 4)
+        w.f(sec_y, 2)
+        if not sp.monochrome:
+            w.f(pri_uv, 4)
+            w.f(sec_uv, 2)
     # lr_params: skipped (seq enable_restoration=0)
     if sp.enable_restoration:
         raise NotImplementedError
@@ -524,6 +534,16 @@ def read_frame_header(r: BitReader, sp: SequenceParams) -> FrameParams:
         fp.filter_level_uv = (r.f(6), r.f(6))
     fp.sharpness = r.f(3)
     assert r.f(1) == 0  # lf delta enabled
+    if sp.enable_cdef:
+        fp.cdef_damping = r.f(2) + 3
+        assert r.f(2) == 0  # cdef_bits
+        pri_y = r.f(4)
+        sec_y = r.f(2)
+        pri_uv = sec_uv = 0
+        if not sp.monochrome:
+            pri_uv = r.f(4)
+            sec_uv = r.f(2)
+        fp.cdef_strengths = (pri_y, sec_y, pri_uv, sec_uv)
     fp.tx_mode_select = bool(r.f(1))
     if not is_intra:
         fp.reference_select = bool(r.f(1))

@@ -134,15 +134,16 @@ def _msb(x):
 
 def cdef_filter_block(windows: jnp.ndarray, pri_strength, sec_strength,
                       direction, pri_damping: int, sec_damping: int,
-                      coeff_shift: int = 0, bd: int = 8) -> jnp.ndarray:
-    """Filter a batch of 8x8 blocks.
+                      coeff_shift: int = 0, bd: int = 8,
+                      n: int = 8) -> jnp.ndarray:
+    """Filter a batch of n x n blocks (n=8 luma, n=4 chroma 4:2:0).
 
-    windows: (B, 12, 12) int32 padded input (block at [2:10, 2:10];
+    windows: (B, n+4, n+4) int32 padded input (block at [2:2+n, 2:2+n];
              out-of-frame samples = CDEF_VERY_LARGE).
     pri_strength/sec_strength/direction: (B,) int32.
-    Bit-exact with svt_cdef_filter_block_c (8x8 path)."""
+    Bit-exact with svt_cdef_filter_block_c."""
     b = windows.shape[0]
-    x = windows[:, 2:10, 2:10]
+    x = windows[:, 2:2 + n, 2:2 + n]
     tap_sel = (pri_strength >> coeff_shift) & 1
     pri_taps = jnp.asarray(PRI_TAPS)[tap_sel]     # (B, 2)
     sec_taps = jnp.asarray(SEC_TAPS)[tap_sel]
@@ -154,14 +155,14 @@ def cdef_filter_block(windows: jnp.ndarray, pri_strength, sec_strength,
                                    _msb(jnp.maximum(sec_strength, 1)), 0))
 
     dirs = jnp.asarray(CDEF_DIRECTIONS)           # (8, 2, 2)
-    sum_ = jnp.zeros((b, 8, 8), jnp.int32)
+    sum_ = jnp.zeros((b, n, n), jnp.int32)
     mx = x
     mn = x
 
     def shifted(dy, dx):
-        """(B, 8, 8) gather at offset (dy, dx); dy/dx are (B,) traced."""
-        rr = jnp.arange(8)[None, :, None] + dy[:, None, None] + 2
-        cols = jnp.arange(8)[None, None, :] + dx[:, None, None] + 2
+        """(B, n, n) gather at offset (dy, dx); dy/dx are (B,) traced."""
+        rr = jnp.arange(n)[None, :, None] + dy[:, None, None] + 2
+        cols = jnp.arange(n)[None, None, :] + dx[:, None, None] + 2
         return windows[jnp.arange(b)[:, None, None], rr, cols]
 
     for k in range(2):

@@ -193,6 +193,14 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
     bits = (jnp.sum(jnp.log2(1.0 + aq.astype(jnp.float32)), axis=(1, 2))
             * 2.0 + jnp.sum((aq > 0), axis=(1, 2)) + 8.0)
     cost = (dist + lam * bits).reshape(nm, b)
+    # D203 reads bottom-left recon, which the wavefront hasn't written
+    # yet when the spec marks BL available — restrict it to blocks where
+    # both encoder and decoder replicate the last left sample instead
+    if bl_avail is not None:
+        for mi, mode in enumerate(modes):
+            if mode == cc.D203_PRED:
+                cost = cost.at[mi].add(
+                    jnp.where(bl_avail, jnp.float32(1e18), 0.0))
     mode_arr = jnp.asarray(np.array(modes, np.int32))
     mi_best = jnp.argmin(cost, axis=0)               # (B,)
     best_mode = mode_arr[mi_best]
@@ -340,11 +348,24 @@ def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
 
 
 def _wave_schedule(gh: int, gw: int, maxb: int):
-    """List of waves; each is (ys4, xs4 block indices, count)."""
+    """2:1 wavefront: wave k = 2*by + bx.
+
+    The slope matters for conformance: a block may read recon from its
+    above row, left column AND top-right block (zone-1 directional
+    modes).  With k = 2*by + bx every readable neighbor lands in a
+    strictly earlier wave (above: k-2, left: k-1, top-right: k-1) — a
+    plain anti-diagonal would place the top-right in the SAME wave and
+    the encoder would predict from unwritten recon, diverging from the
+    decoder's z-order reconstruction.  Bottom-left readers (D203) are
+    instead masked to blocks where the spec marks BL unavailable."""
     waves = []
-    for k in range(gh + gw - 1):
-        blocks = [(by, k - by) for by in range(max(0, k - gw + 1),
-                                               min(gh, k + 1))]
+    for k in range(2 * gh + gw - 2):
+        blocks = [(by, k - 2 * by)
+                  for by in range(max(0, (k - gw + 1 + 1) // 2),
+                                  min(gh, k // 2 + 1))
+                  if 0 <= k - 2 * by < gw]
+        if not blocks:
+            continue
         for i in range(0, len(blocks), maxb):
             waves.append(blocks[i:i + maxb])
     return waves

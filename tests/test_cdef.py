@@ -10,6 +10,7 @@ import oracle
 
 CDEF_BSTRIDE = 144  # ALIGN_POWER_OF_TWO(128 + 2*8, 3)
 BLOCK_8X8 = 3
+BLOCK_4X4 = 0
 
 
 @pytest.mark.skipif(not oracle.available(), reason="reference oracle not built")
@@ -77,5 +78,42 @@ def test_filter_block_bitexact(pri, sec):
         np.stack(wins), np.full(16, pri, np.int32),
         np.full(16, sec, np.int32), np.array(dirs, np.int32),
         pri_damping=3, sec_damping=2))
+    for i in range(16):
+        assert np.array_equal(got[i], refs[i]), (i, dirs[i])
+
+
+@pytest.mark.skipif(not oracle.available(), reason="reference oracle not built")
+@pytest.mark.parametrize("pri,sec", [(4, 2), (7, 1), (0, 4), (2, 0)])
+def test_filter_block_4x4_bitexact(pri, sec):
+    """Chroma (4:2:0) path: 4x4 blocks, damping-1."""
+    lib = oracle.load()
+    rng = np.random.default_rng(pri * 11 + sec)
+    fn = lib.svt_cdef_filter_block_c
+    fn.restype = None
+    wins, dirs, refs = [], [], []
+    for t in range(16):
+        win = rng.integers(0, 256, (8, 8)).astype(np.uint16)
+        if t % 3 == 0:
+            win[0:2, :] = cdef.CDEF_VERY_LARGE
+        direction = int(rng.integers(0, 8))
+        buf = np.full((8, CDEF_BSTRIDE), cdef.CDEF_VERY_LARGE,
+                      dtype=np.uint16)
+        buf[:, :8] = win
+        dst = np.zeros((4, 4), dtype=np.uint8)
+        in_ptr = buf[2:, 2:]
+        fn(dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), None,
+           ctypes.c_int32(4),
+           in_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+           ctypes.c_int32(pri), ctypes.c_int32(sec),
+           ctypes.c_int32(direction), ctypes.c_int32(2), ctypes.c_int32(1),
+           ctypes.c_int32(BLOCK_4X4), ctypes.c_int32(0),
+           ctypes.c_uint8(1))
+        wins.append(win.astype(np.int32))
+        dirs.append(direction)
+        refs.append(dst.astype(np.int32))
+    got = np.asarray(cdef.cdef_filter_block(
+        np.stack(wins), np.full(16, pri, np.int32),
+        np.full(16, sec, np.int32), np.array(dirs, np.int32),
+        pri_damping=2, sec_damping=1, n=4))
     for i in range(16):
         assert np.array_equal(got[i], refs[i]), (i, dirs[i])

@@ -100,3 +100,26 @@ def test_unaligned_dims_1080_style():
     assert rec["y"].shape[0] == 64
     assert np.array_equal(rec["y"][:h, :w], pkt.recon["y"])
     assert psnr(rec["y"][:h, :w], y) > 26.0
+
+
+def test_diagonal_content_decode_matches():
+    """Regression: zone-1/3 directional modes must predict from the same
+    recon the decoder sees (2:1 wavefront top-right rule; D203 masked to
+    BL-unavailable blocks).  Diagonal stripes force those modes."""
+    from svt_av1_tpu.api.config import EncoderConfig
+    from svt_av1_tpu.api.encoder import Encoder
+    from svt_av1_tpu.codec.decoder import Decoder
+    rng = np.random.default_rng(4)
+    h, w = 96, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.where((xx + yy) % 48 < 24, 60, 200).astype(np.int32)
+    y = np.clip(y + rng.integers(-6, 7, (h, w)), 0, 255).astype(np.uint8)
+    u = np.full((h // 2, w // 2), 110, np.uint8)
+    v = np.full((h // 2, w // 2), 130, np.uint8)
+    cfg = EncoderConfig(source_width=w, source_height=h, qp=50)
+    enc = Encoder(cfg)
+    enc.send_picture(y, u, v, eos=True)
+    pkt = enc.get_packet()
+    rec = Decoder().decode_temporal_unit(pkt.data)[0]
+    for p in ("y", "u", "v"):
+        assert np.array_equal(rec[p], pkt.recon[p]), p
