@@ -188,10 +188,11 @@ class Encoder:
             from svt_av1_tpu.codec.film_grain import default_grain_params
             fp.film_grain = default_grain_params(
                 self.cfg.film_grain_denoise_strength)
-        if self.cfg.enable_dlf_flag and is_key:
-            # inter frames keep DLF off until the skip-aware edge masks
-            # land (uniform filtering would violate the spec's
-            # skip/inter edge rule for external decoders)
+        if self.cfg.enable_dlf_flag:
+            # uniform filtering is conformant for the fixed 16x16 grid on
+            # BOTH frame types: every filtered edge is a block (PU) edge,
+            # and the spec filters PU edges regardless of skip
+            # (deblocking_filter.c:260 `... || pu_edge`)
             assert self.cfg.encoder_bit_depth == 8, \
                 "deblocking wired for 8-bit only (10-bit lands next)"
             lvl_y = default_filter_level(qindex)

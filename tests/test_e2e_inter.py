@@ -102,3 +102,20 @@ def test_decoded_quality(gop_run):
                        - y.astype(np.float64)) ** 2)
         psnr = 10 * np.log10(255 ** 2 / max(mse, 1e-9))
         assert psnr > 28, f"frame {p.pts}: {psnr:.2f} dB"
+
+
+def test_gop_with_dlf_and_cdef():
+    """Full in-loop filter chain (DLF -> CDEF) on an IPPP GOP: the
+    filtered recon feeds the DPB and decode stays bit-exact."""
+    frames = _moving_scene(3)
+    cfg = EncoderConfig(source_width=128, source_height=96, qp=45,
+                        intra_period_length=-1, enable_dlf_flag=True,
+                        cdef_level=1)
+    enc = Encoder(cfg)
+    dec = Decoder()
+    for i, (y, u, v) in enumerate(frames):
+        enc.send_picture(y, u, v, eos=(i == 2))
+        p = enc.get_packet()
+        rec = dec.decode_temporal_unit(p.data)[0]
+        for pl in ("y", "u", "v"):
+            assert np.array_equal(rec[pl], p.recon[pl]), (i, pl)
