@@ -82,6 +82,58 @@ class HybridEncoder:
             int(eob), int(dc_sign_ctx), bool(update))
 
 
+def encode_intra_tile(tenc, blocks) -> bytes:
+    """Whole-tile C fast path for the fixed 16x16 intra grid.
+
+    Byte-identical to the Python TileEncoder walk (tested); CDF arrays
+    adapt in place so primary-ref chaining still sees the final state."""
+    import svt_av1_tpu.codec.constants as cc
+    from svt_av1_tpu.codec.syntax import (AV1_EXT_TX_IND,
+                                          EXT_TX_SET_DTT4_IDTX)
+    cdfs = tenc.cdfs
+    gh = (tenc.mi_rows + 3) >> 2
+    gw = (tenc.mi_cols + 3) >> 2
+    y_modes = np.zeros(gh * gw, np.uint8)
+    uv_modes = np.zeros(gh * gw, np.uint8)
+    tx_types = np.zeros(gh * gw, np.uint8)
+    qy = np.zeros((gh * gw, 256), np.int32)
+    qu = np.zeros((gh * gw, 64), np.int32)
+    qv = np.zeros((gh * gw, 64), np.int32)
+    for (r4, c4), d in blocks.items():
+        bi = (r4 >> 2) * gw + (c4 >> 2)
+        y_modes[bi] = d.y_mode
+        uv_modes[bi] = d.uv_mode
+        tx_types[bi] = d.tx_type
+        qy[bi] = np.asarray(d.qcoeff_y, np.int32).reshape(-1)
+        qu[bi] = np.asarray(d.qcoeff_u, np.int32).reshape(-1)
+        qv[bi] = np.asarray(d.qcoeff_v, np.int32).reshape(-1)
+    scans = (_scan16(cc.TX_16X16, cc.DCT_DCT), _ctx_offsets8(cc.TX_16X16),
+             _scan16(cc.TX_8X8, cc.DCT_DCT), _ctx_offsets8(cc.TX_8X8),
+             np.ascontiguousarray(AV1_EXT_TX_IND[EXT_TX_SET_DTT4_IDTX],
+                                  dtype=np.uint8))
+    kf = cdfs.kf_y_mode
+    cdf_list = (
+        cdfs.partition,
+        kf.reshape(kf.shape[0] * kf.shape[1], kf.shape[2]),
+        cdfs.angle_delta,
+        cdfs.uv_mode[1],
+        cdfs.skip,
+        cdfs.intra_ext_tx[2][2],
+        cdfs.txb_skip[2], cdfs.txb_skip[1],
+        cdfs.eob_flag[256][0][0], cdfs.eob_flag[64][1][0],
+        cdfs.eob_extra[2][0], cdfs.eob_extra[1][1],
+        cdfs.dc_sign[0], cdfs.dc_sign[1],
+        cdfs.coeff_base[2][0], cdfs.coeff_base[1][1],
+        cdfs.coeff_base_eob[2][0], cdfs.coeff_base_eob[1][1],
+        cdfs.coeff_br[2][0], cdfs.coeff_br[1][1],
+    )
+    enc = HybridEncoder()
+    enc._n.encode_intra_tile(
+        int(tenc.mi_rows), int(tenc.mi_cols), 1, bool(tenc.update),
+        (y_modes, uv_modes, tx_types, qy, qu, qv), scans, cdf_list)
+    return enc.done()
+
+
 @functools.lru_cache(maxsize=None)
 def _scan16(tx_size: int, tx_type: int) -> np.ndarray:
     return np.ascontiguousarray(tb.get_scan(tx_size, tx_type),

@@ -346,7 +346,15 @@ class TileEncoder(TileCoderBase):
                leaf_size: int = 16, use_native: bool = True) -> bytes:
         """blocks: {(r4, c4): BlockDecision} at fixed leaf_size luma dims."""
         from svt_av1_tpu.codec import fast_ec
-        if use_native and fast_ec.available():
+        native_ok = use_native and fast_ec.available()
+        if (native_ok and self.frame_is_intra and leaf_size == 16
+                and self.base_q_idx > 0
+                and all(d.bsize == cc.BLOCK_16X16
+                        and d.tx_type == cc.DCT_DCT
+                        and d.qcoeff_u is not None
+                        for d in blocks.values())):
+            return fast_ec.encode_intra_tile(self, blocks)
+        if native_ok:
             self.enc = fast_ec.HybridEncoder()
         else:
             self.enc = RangeEncoder()

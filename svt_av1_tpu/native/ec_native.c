@@ -368,44 +368,16 @@ static void write_golomb(OdEc *e, int level) {
  * the caller encodes txb_skip itself and calls us only for eob > 0
  * after writing tx_type.  We encode from eob coding onward.
  */
-static PyObject *Enc_encode_coeffs(EncObj *self, PyObject *args) {
-    PyObject *q_obj, *scan_obj, *off_obj;
-    PyObject *eob_cdf_o, *eob_extra_o, *dc_sign_o, *base_o, *base_eob_o,
-        *br_o;
-    int kh, kw, bwl, tx_class, eob_multi_size, dc_sign_ctx, update, eob;
-    if (!PyArg_ParseTuple(
-            args, "OOOiiiiiOOOOOOiip", &q_obj, &scan_obj, &off_obj, &kh, &kw,
-            &bwl, &tx_class, &eob_multi_size, &eob_cdf_o, &eob_extra_o,
-            &dc_sign_o, &base_o, &base_eob_o, &br_o, &eob, &dc_sign_ctx,
-            &update))
-        return NULL;
-
-    Py_buffer qv, sv, ov, eobv, eobxv, dcv, basev, beobv, brv;
-    if (PyObject_GetBuffer(q_obj, &qv, PyBUF_C_CONTIGUOUS)) return NULL;
-    if (PyObject_GetBuffer(scan_obj, &sv, PyBUF_C_CONTIGUOUS)) return NULL;
-    if (PyObject_GetBuffer(off_obj, &ov, PyBUF_C_CONTIGUOUS)) return NULL;
-    if (get_u16_buffer(eob_cdf_o, &eobv)) return NULL;
-    if (get_u16_buffer(eob_extra_o, &eobxv)) return NULL;
-    if (get_u16_buffer(dc_sign_o, &dcv)) return NULL;
-    if (get_u16_buffer(base_o, &basev)) return NULL;
-    if (get_u16_buffer(base_eob_o, &beobv)) return NULL;
-    if (get_u16_buffer(br_o, &brv)) return NULL;
-
-    const int32_t *q = (const int32_t *)qv.buf;
-    const int16_t *scan = (const int16_t *)sv.buf;
-    const int8_t *offs = (const int8_t *)ov.buf;
-    uint16_t *eob_cdf = (uint16_t *)eobv.buf;
-    uint16_t *eob_extra_tab = (uint16_t *)eobxv.buf;  /* (22, w) by eob_pt */
-    int eob_extra_w = (int)(eobxv.len / sizeof(uint16_t) / 22);
-    uint16_t *dc_sign_cdf = (uint16_t *)dcv.buf;
-    uint16_t *base_cdf = (uint16_t *)basev.buf;       /* (42, base_w) */
-    uint16_t *base_eob_cdf = (uint16_t *)beobv.buf;   /* (4, beob_w) */
-    uint16_t *br_cdf = (uint16_t *)brv.buf;           /* (21, br_w) */
-    int base_w = (int)(basev.len / sizeof(uint16_t) / 42);
-    int beob_w = (int)(beobv.len / sizeof(uint16_t) / 4);
-    int br_w = (int)(brv.len / sizeof(uint16_t) / 21);
-
-    OdEc *e = &self->ec;
+/* whole-txb coefficient core (from eob token onward); returns cul_level */
+static int encode_coeffs_core(OdEc *e, const int32_t *q,
+                              const int16_t *scan, const int8_t *offs,
+                              int kh, int kw, int bwl, int tx_class,
+                              int eob_multi_size, uint16_t *eob_cdf,
+                              uint16_t *eob_extra_tab, int eob_extra_w,
+                              uint16_t *dc_sign_cdf, uint16_t *base_cdf,
+                              int base_w, uint16_t *base_eob_cdf,
+                              int beob_w, uint16_t *br_cdf, int br_w,
+                              int eob, int update) {
     int stride = kw + TX_PAD_HOR;
     uint8_t levels_buf[(32 + 4) * (32 + 4)];
     memset(levels_buf, 0, sizeof(levels_buf));
@@ -418,8 +390,6 @@ static PyObject *Enc_encode_coeffs(EncObj *self, PyObject *args) {
                 levels_buf[r * stride + c] = (uint8_t)(a > 127 ? 127 : a);
             }
     }
-
-    /* eob token */
     {
         int extra;
         int eob_pt = eob_pos_token(eob, &extra);
@@ -429,24 +399,19 @@ static PyObject *Enc_encode_coeffs(EncObj *self, PyObject *args) {
         {
             int ebits = k_eob_offset_bits[eob_pt];
             if (ebits > 0) {
-                uint16_t *eob_extra_cdf = eob_extra_tab
-                                          + eob_pt * eob_extra_w;
+                uint16_t *ex = eob_extra_tab + eob_pt * eob_extra_w;
                 int shift = ebits - 1;
                 int bit = (extra >> shift) & 1;
-                ec_encode_symbol(e, bit, eob_extra_cdf, 2);
-                if (update) cdf_update(eob_extra_cdf, bit, 2);
-                {
-                    int i;
-                    for (i = 1; i < ebits; i++) {
-                        shift = ebits - 1 - i;
-                        ec_encode_bool(e, (extra >> shift) & 1, 16384);
-                    }
+                int i;
+                ec_encode_symbol(e, bit, ex, 2);
+                if (update) cdf_update(ex, bit, 2);
+                for (i = 1; i < ebits; i++) {
+                    shift = ebits - 1 - i;
+                    ec_encode_bool(e, (extra >> shift) & 1, 16384);
                 }
             }
         }
     }
-
-    /* base + br, reverse scan */
     {
         int c;
         int wmask = kw - 1;
@@ -489,8 +454,6 @@ static PyObject *Enc_encode_coeffs(EncObj *self, PyObject *args) {
             }
         }
     }
-
-    /* signs + golomb */
     {
         int c;
         int cul = 0;
@@ -516,7 +479,53 @@ static PyObject *Enc_encode_coeffs(EncObj *self, PyObject *args) {
         if (cul > COEFF_CONTEXT_MASK) cul = COEFF_CONTEXT_MASK;
         if (dc < 0) cul |= 1 << COEFF_CONTEXT_BITS;
         else if (dc > 0) cul += 2 << COEFF_CONTEXT_BITS;
+        return cul;
+    }
+}
 
+static PyObject *Enc_encode_coeffs(EncObj *self, PyObject *args) {
+    PyObject *q_obj, *scan_obj, *off_obj;
+    PyObject *eob_cdf_o, *eob_extra_o, *dc_sign_o, *base_o, *base_eob_o,
+        *br_o;
+    int kh, kw, bwl, tx_class, eob_multi_size, dc_sign_ctx, update, eob;
+    if (!PyArg_ParseTuple(
+            args, "OOOiiiiiOOOOOOiip", &q_obj, &scan_obj, &off_obj, &kh, &kw,
+            &bwl, &tx_class, &eob_multi_size, &eob_cdf_o, &eob_extra_o,
+            &dc_sign_o, &base_o, &base_eob_o, &br_o, &eob, &dc_sign_ctx,
+            &update))
+        return NULL;
+
+    Py_buffer qv, sv, ov, eobv, eobxv, dcv, basev, beobv, brv;
+    if (PyObject_GetBuffer(q_obj, &qv, PyBUF_C_CONTIGUOUS)) return NULL;
+    if (PyObject_GetBuffer(scan_obj, &sv, PyBUF_C_CONTIGUOUS)) return NULL;
+    if (PyObject_GetBuffer(off_obj, &ov, PyBUF_C_CONTIGUOUS)) return NULL;
+    if (get_u16_buffer(eob_cdf_o, &eobv)) return NULL;
+    if (get_u16_buffer(eob_extra_o, &eobxv)) return NULL;
+    if (get_u16_buffer(dc_sign_o, &dcv)) return NULL;
+    if (get_u16_buffer(base_o, &basev)) return NULL;
+    if (get_u16_buffer(base_eob_o, &beobv)) return NULL;
+    if (get_u16_buffer(br_o, &brv)) return NULL;
+
+    const int32_t *q = (const int32_t *)qv.buf;
+    const int16_t *scan = (const int16_t *)sv.buf;
+    const int8_t *offs = (const int8_t *)ov.buf;
+    uint16_t *eob_cdf = (uint16_t *)eobv.buf;
+    uint16_t *eob_extra_tab = (uint16_t *)eobxv.buf;  /* (22, w) by eob_pt */
+    int eob_extra_w = (int)(eobxv.len / sizeof(uint16_t) / 22);
+    uint16_t *dc_sign_cdf = (uint16_t *)dcv.buf;
+    uint16_t *base_cdf = (uint16_t *)basev.buf;       /* (42, base_w) */
+    uint16_t *base_eob_cdf = (uint16_t *)beobv.buf;   /* (4, beob_w) */
+    uint16_t *br_cdf = (uint16_t *)brv.buf;           /* (21, br_w) */
+    int base_w = (int)(basev.len / sizeof(uint16_t) / 42);
+    int beob_w = (int)(beobv.len / sizeof(uint16_t) / 4);
+    int br_w = (int)(brv.len / sizeof(uint16_t) / 21);
+
+    {
+        int cul = encode_coeffs_core(
+            &self->ec, q, scan, offs, kh, kw, bwl, tx_class,
+            eob_multi_size, eob_cdf, eob_extra_tab, eob_extra_w,
+            dc_sign_cdf, base_cdf, base_w, base_eob_cdf, beob_w, br_cdf,
+            br_w, eob, update);
         PyBuffer_Release(&qv);
         PyBuffer_Release(&sv);
         PyBuffer_Release(&ov);
@@ -530,11 +539,466 @@ static PyObject *Enc_encode_coeffs(EncObj *self, PyObject *args) {
     }
 }
 
+/* ------------------------------------------------------------------ */
+/* whole intra tile (fixed 16x16 leaf grid) — mirrors codec/syntax.py  */
+/* ------------------------------------------------------------------ */
+
+/* (above, left) partition context codes per subsize; we only ever
+ * update with BLOCK_16X16 leaves => both 28 (PARTITION_CTX_LOOKUP[6]) */
+#define PART_LEAF_CODE 28
+
+/* INTRA_MODE_CONTEXT[mode] (entropy_coding.c intra mode ctx mapping) */
+static const uint8_t intra_mode_ctx[13] =
+    {0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0};
+
+/* partition enum values */
+#define P_NONE 0
+#define P_HORZ 1
+#define P_VERT 2
+#define P_SPLIT 3
+#define P_HORZ_A 4
+#define P_HORZ_B 5
+#define P_VERT_A 6
+#define P_VERT_B 7
+#define P_HORZ_4 8
+#define P_VERT_4 9
+
+static int cdf_elem_prob(const uint16_t *icdf, int elem) {
+    int prev = elem == 0 ? 32768 : icdf[elem - 1];
+    return prev - icdf[elem];
+}
+
+static unsigned gather_horz_alike(const uint16_t *cdf) {
+    /* nsyms == 10 (sizes 16..64) */
+    int p0 = 32768;
+    p0 -= cdf_elem_prob(cdf, P_HORZ);
+    p0 -= cdf_elem_prob(cdf, P_SPLIT);
+    p0 -= cdf_elem_prob(cdf, P_HORZ_A);
+    p0 -= cdf_elem_prob(cdf, P_HORZ_B);
+    p0 -= cdf_elem_prob(cdf, P_VERT_A);
+    p0 -= cdf_elem_prob(cdf, P_HORZ_4);
+    return (unsigned)(32768 - p0);
+}
+
+static unsigned gather_vert_alike(const uint16_t *cdf) {
+    int p0 = 32768;
+    p0 -= cdf_elem_prob(cdf, P_VERT);
+    p0 -= cdf_elem_prob(cdf, P_SPLIT);
+    p0 -= cdf_elem_prob(cdf, P_VERT_A);
+    p0 -= cdf_elem_prob(cdf, P_VERT_B);
+    p0 -= cdf_elem_prob(cdf, P_HORZ_A);
+    p0 -= cdf_elem_prob(cdf, P_VERT_4);
+    return (unsigned)(32768 - p0);
+}
+
+typedef struct {
+    int mi_rows, mi_cols, gw;
+    int tx_signal, update;
+    /* decisions */
+    const uint8_t *y_modes, *uv_modes, *tx_types;
+    const int32_t *qy, *qu, *qv;
+    const int16_t *scan16, *scan8;
+    const int8_t *off16, *off8;
+    /* cdfs (rows of width *_w incl. counter slot) */
+    uint16_t *part; int part_w;
+    uint16_t *kf_y; int kf_w;
+    uint16_t *angle; int angle_w;
+    uint16_t *uv; int uv_w;
+    uint16_t *skip; int skip_w;
+    uint16_t *exttx; int exttx_w;
+    const uint8_t *exttx_ind;
+    uint16_t *txb_skip_y, *txb_skip_c; int tskip_w;
+    uint16_t *eob_y, *eob_c;
+    uint16_t *eobx_y, *eobx_c; int eobx_y_w, eobx_c_w;
+    uint16_t *dcs_y, *dcs_c; int dcs_y_w, dcs_c_w;
+    uint16_t *base_y, *base_c; int base_y_w, base_c_w;
+    uint16_t *beob_y, *beob_c; int beob_y_w, beob_c_w;
+    uint16_t *br_y, *br_c; int br_y_w, br_c_w;
+    /* context state */
+    uint8_t *above_part, *left_part;
+    uint8_t *mi_mode, *mi_skip, *mi_coded;  /* (mi_rows x mi_cols) */
+    int32_t *acoeff[3], *lcoeff[3];
+} TileCtx;
+
+static int blk_eob(const int32_t *q, const int16_t *scan, int n) {
+    int c;
+    for (c = n - 1; c >= 0; c--)
+        if (q[scan[c]]) return c + 1;
+    return 0;
+}
+
+static void tile_encode_block(OdEc *e, TileCtx *t, int r4, int c4) {
+    const int gw = t->gw;
+    const int bi = (r4 >> 2) * gw + (c4 >> 2);
+    const int32_t *qy = t->qy + bi * 256;
+    const int32_t *qu = t->qu + bi * 64;
+    const int32_t *qv = t->qv + bi * 64;
+    const int mode = t->y_modes[bi];
+    const int uv_mode = t->uv_modes[bi];
+    const int tx_type = t->tx_types[bi];
+    const int eob_y = blk_eob(qy, t->scan16, 256);
+    const int eob_u = blk_eob(qu, t->scan8, 64);
+    const int eob_v = blk_eob(qv, t->scan8, 64);
+    const int skip = (eob_y == 0 && eob_u == 0 && eob_v == 0);
+    const int mc = t->mi_cols, mr = t->mi_rows;
+    int i;
+
+    /* skip flag */
+    {
+        int above = (r4 > 0 && t->mi_coded[(r4 - 1) * mc + c4])
+                        ? t->mi_skip[(r4 - 1) * mc + c4] : 0;
+        int left = (c4 > 0 && t->mi_coded[r4 * mc + c4 - 1])
+                       ? t->mi_skip[r4 * mc + c4 - 1] : 0;
+        uint16_t *cdf = t->skip + (above + left) * t->skip_w;
+        ec_encode_symbol(e, skip, cdf, 2);
+        if (t->update) cdf_update(cdf, skip, 2);
+    }
+    /* kf y mode */
+    {
+        int am = (r4 > 0 && t->mi_coded[(r4 - 1) * mc + c4])
+                     ? t->mi_mode[(r4 - 1) * mc + c4] : 0;
+        int lm = (c4 > 0 && t->mi_coded[r4 * mc + c4 - 1])
+                     ? t->mi_mode[r4 * mc + c4 - 1] : 0;
+        uint16_t *cdf = t->kf_y
+            + (intra_mode_ctx[am] * 5 + intra_mode_ctx[lm]) * t->kf_w;
+        ec_encode_symbol(e, mode, cdf, 13);
+        if (t->update) cdf_update(cdf, mode, 13);
+    }
+    if (mode >= 1 && mode <= 8) {  /* V_PRED..D67_PRED: angle delta 0 */
+        uint16_t *cdf = t->angle + (mode - 1) * t->angle_w;
+        ec_encode_symbol(e, 3, cdf, 7);
+        if (t->update) cdf_update(cdf, 3, 7);
+    }
+    /* uv mode (cfl allowed at 16x16), cdf row selected by the Y mode */
+    {
+        uint16_t *cdf = t->uv + mode * t->uv_w;
+        ec_encode_symbol(e, uv_mode, cdf, 14);
+        if (t->update) cdf_update(cdf, uv_mode, 14);
+    }
+    if (uv_mode >= 1 && uv_mode <= 8) {
+        uint16_t *cdf = t->angle + (uv_mode - 1) * t->angle_w;
+        ec_encode_symbol(e, 3, cdf, 7);
+        if (t->update) cdf_update(cdf, 3, 7);
+    }
+
+    /* mi state */
+    for (i = 0; i < 4; i++) {
+        memset(t->mi_mode + (r4 + i) * mc + c4, mode, 4);
+        memset(t->mi_skip + (r4 + i) * mc + c4, skip, 4);
+        memset(t->mi_coded + (r4 + i) * mc + c4, 1, 4);
+    }
+    (void)mr;
+
+    if (skip) {
+        int p;
+        for (i = 0; i < 4; i++) {
+            t->acoeff[0][c4 + i] = 0;
+            t->lcoeff[0][r4 + i] = 0;
+        }
+        for (p = 1; p < 3; p++) {
+            t->acoeff[p][c4 >> 1] = 0;
+            t->acoeff[p][(c4 >> 1) + 1] = 0;
+            t->lcoeff[p][r4 >> 1] = 0;
+            t->lcoeff[p][(r4 >> 1) + 1] = 0;
+        }
+        return;
+    }
+
+    /* luma txb: skip ctx = 0 (bsize == tx), dc_sign from ctx arrays */
+    {
+        int dc = 0, j, cul;
+        for (j = 0; j < 4; j++) {
+            int v = t->acoeff[0][c4 + j] >> COEFF_CONTEXT_BITS;
+            dc += v == 1 ? -1 : (v == 2 ? 1 : 0);
+            v = t->lcoeff[0][r4 + j] >> COEFF_CONTEXT_BITS;
+            dc += v == 1 ? -1 : (v == 2 ? 1 : 0);
+        }
+        {
+            int dctx = dc > 0 ? 2 : (dc < 0 ? 1 : 0);
+            uint16_t *cdf = t->txb_skip_y + 0 * t->tskip_w;
+            ec_encode_symbol(e, eob_y == 0, cdf, 2);
+            if (t->update) cdf_update(cdf, eob_y == 0, 2);
+            /* luma may be all-zero while chroma has coefficients */
+            if (eob_y == 0) {
+                for (j = 0; j < 4; j++) {
+                    t->acoeff[0][c4 + j] = 0;
+                    t->lcoeff[0][r4 + j] = 0;
+                }
+            } else {
+                if (t->tx_signal) {
+                    uint16_t *xcdf = t->exttx + mode * t->exttx_w;
+                    int ind = t->exttx_ind[tx_type];
+                    ec_encode_symbol(e, ind, xcdf, 5);
+                    if (t->update) cdf_update(xcdf, ind, 5);
+                }
+                cul = encode_coeffs_core(
+                    e, qy, t->scan16, t->off16, 16, 16, 4, TX_CLASS_2D, 4,
+                    t->eob_y, t->eobx_y, t->eobx_y_w,
+                    t->dcs_y + dctx * t->dcs_y_w, t->base_y, t->base_y_w,
+                    t->beob_y, t->beob_y_w, t->br_y, t->br_y_w, eob_y,
+                    t->update);
+                for (j = 0; j < 4; j++) {
+                    t->acoeff[0][c4 + j] = cul;
+                    t->lcoeff[0][r4 + j] = cul;
+                }
+            }
+        }
+    }
+    /* chroma txbs (8x8 at half coords) */
+    {
+        int p;
+        const int cr = r4 >> 1, cc4 = c4 >> 1;
+        const int32_t *qs[2];
+        qs[0] = qu;
+        qs[1] = qv;
+        for (p = 0; p < 2; p++) {
+            int plane = p + 1;
+            int eobp = p == 0 ? eob_u : eob_v;
+            int ca = 0, cl = 0, dc = 0, j;
+            for (j = 0; j < 2; j++) {
+                int av = t->acoeff[plane][cc4 + j];
+                int lv2 = t->lcoeff[plane][cr + j];
+                if (av) ca = 1;
+                if (lv2) cl = 1;
+                {
+                    int v = av >> COEFF_CONTEXT_BITS;
+                    dc += v == 1 ? -1 : (v == 2 ? 1 : 0);
+                    v = lv2 >> COEFF_CONTEXT_BITS;
+                    dc += v == 1 ? -1 : (v == 2 ? 1 : 0);
+                }
+            }
+            {
+                int sctx = 7 + ca + cl;
+                int dctx = dc > 0 ? 2 : (dc < 0 ? 1 : 0);
+                uint16_t *cdf = t->txb_skip_c + sctx * t->tskip_w;
+                ec_encode_symbol(e, eobp == 0, cdf, 2);
+                if (t->update) cdf_update(cdf, eobp == 0, 2);
+                if (eobp == 0) {
+                    for (j = 0; j < 2; j++) {
+                        t->acoeff[plane][cc4 + j] = 0;
+                        t->lcoeff[plane][cr + j] = 0;
+                    }
+                } else {
+                    int cul = encode_coeffs_core(
+                        e, qs[p], t->scan8, t->off8, 8, 8, 3, TX_CLASS_2D,
+                        2, t->eob_c, t->eobx_c, t->eobx_c_w,
+                        t->dcs_c + dctx * t->dcs_c_w, t->base_c,
+                        t->base_c_w, t->beob_c, t->beob_c_w, t->br_c,
+                        t->br_c_w, eobp, t->update);
+                    for (j = 0; j < 2; j++) {
+                        t->acoeff[plane][cc4 + j] = cul;
+                        t->lcoeff[plane][cr + j] = cul;
+                    }
+                }
+            }
+        }
+    }
+}
+
+static void tile_encode_partition(OdEc *e, TileCtx *t, int r4, int c4,
+                                  int size) {
+    int w4 = size >> 2;
+    int half = w4 >> 1;
+    int has_rows, has_cols, part, bsl, ctx_id;
+    if (r4 >= t->mi_rows || c4 >= t->mi_cols) return;
+    has_rows = (r4 + half) < t->mi_rows;
+    has_cols = (c4 + half) < t->mi_cols;
+    part = size <= 16 ? P_NONE : P_SPLIT;
+    bsl = size == 64 ? 3 : (size == 32 ? 2 : 1);
+    ctx_id = ((t->left_part[r4] >> bsl) & 1) * 2
+             + ((t->above_part[c4] >> bsl) & 1) + bsl * 4;
+    {
+        uint16_t *cdf = t->part + ctx_id * t->part_w;
+        if (size == 16) {
+            /* leaf: PARTITION_NONE coded with the full 10-symbol cdf */
+            if (has_rows && has_cols) {
+                ec_encode_symbol(e, P_NONE, cdf, 10);
+                if (t->update) cdf_update(cdf, P_NONE, 10);
+            } else if (has_cols) {
+                ec_encode_bool(e, 0, gather_horz_alike(cdf));
+            } else if (has_rows) {
+                ec_encode_bool(e, 0, gather_vert_alike(cdf));
+            }
+            /* !has_rows && !has_cols => implied split; but 16 is leaf:
+             * cannot happen on 16-aligned frames */
+            tile_encode_block(e, t, r4, c4);
+            t->above_part[c4] = PART_LEAF_CODE;
+            t->above_part[c4 + 1] = PART_LEAF_CODE;
+            t->above_part[c4 + 2] = PART_LEAF_CODE;
+            t->above_part[c4 + 3] = PART_LEAF_CODE;
+            t->left_part[r4] = PART_LEAF_CODE;
+            t->left_part[r4 + 1] = PART_LEAF_CODE;
+            t->left_part[r4 + 2] = PART_LEAF_CODE;
+            t->left_part[r4 + 3] = PART_LEAF_CODE;
+            return;
+        }
+        if (has_rows && has_cols) {
+            ec_encode_symbol(e, P_SPLIT, cdf, 10);
+            if (t->update) cdf_update(cdf, P_SPLIT, 10);
+        } else if (has_cols) {
+            ec_encode_bool(e, 1, gather_horz_alike(cdf));
+        } else if (has_rows) {
+            ec_encode_bool(e, 1, gather_vert_alike(cdf));
+        }
+        /* else implied split, no bits */
+    }
+    tile_encode_partition(e, t, r4, c4, size >> 1);
+    tile_encode_partition(e, t, r4, c4 + half, size >> 1);
+    tile_encode_partition(e, t, r4 + half, c4, size >> 1);
+    tile_encode_partition(e, t, r4 + half, c4 + half, size >> 1);
+}
+
+#define GETBUF(obj, view, flags) \
+    if (PyObject_GetBuffer(obj, &view, flags)) return NULL
+
+static PyObject *Enc_encode_intra_tile(EncObj *self, PyObject *args) {
+    int mi_rows, mi_cols, tx_signal, update;
+    PyObject *dec_o, *scan_o, *cdf_o;
+    if (!PyArg_ParseTuple(args, "iiiiOOO", &mi_rows, &mi_cols, &tx_signal,
+                          &update, &dec_o, &scan_o, &cdf_o))
+        return NULL;
+
+    /* dec_o: (y_modes, uv_modes, tx_types, qy, qu, qv)
+       scan_o: (scan16, off16, scan8, off8, exttx_ind)
+       cdf_o: (part, kf_y, angle, uv, skip, exttx, txb_skip_y, txb_skip_c,
+               eob_y, eob_c, eobx_y, eobx_c, dcs_y, dcs_c, base_y, base_c,
+               beob_y, beob_c, br_y, br_c) */
+    Py_buffer bufs[32];
+    int nbuf = 0;
+    TileCtx t;
+    memset(&t, 0, sizeof(t));
+    t.mi_rows = mi_rows;
+    t.mi_cols = mi_cols;
+    t.gw = (mi_cols + 3) >> 2;
+    t.tx_signal = tx_signal;
+    t.update = update;
+
+#define GRAB(seq, idx, flags, ptr_field, ctype)                            \
+    {                                                                      \
+        PyObject *o = PySequence_GetItem(seq, idx);                        \
+        if (!o) return NULL;                                               \
+        if (PyObject_GetBuffer(o, &bufs[nbuf], flags)) {                   \
+            Py_DECREF(o);                                                  \
+            return NULL;                                                   \
+        }                                                                  \
+        Py_DECREF(o);                                                      \
+        t.ptr_field = (ctype *)bufs[nbuf].buf;                             \
+        nbuf++;                                                            \
+    }
+
+    GRAB(dec_o, 0, PyBUF_C_CONTIGUOUS, y_modes, const uint8_t);
+    GRAB(dec_o, 1, PyBUF_C_CONTIGUOUS, uv_modes, const uint8_t);
+    GRAB(dec_o, 2, PyBUF_C_CONTIGUOUS, tx_types, const uint8_t);
+    GRAB(dec_o, 3, PyBUF_C_CONTIGUOUS, qy, const int32_t);
+    GRAB(dec_o, 4, PyBUF_C_CONTIGUOUS, qu, const int32_t);
+    GRAB(dec_o, 5, PyBUF_C_CONTIGUOUS, qv, const int32_t);
+    GRAB(scan_o, 0, PyBUF_C_CONTIGUOUS, scan16, const int16_t);
+    GRAB(scan_o, 1, PyBUF_C_CONTIGUOUS, off16, const int8_t);
+    GRAB(scan_o, 2, PyBUF_C_CONTIGUOUS, scan8, const int16_t);
+    GRAB(scan_o, 3, PyBUF_C_CONTIGUOUS, off8, const int8_t);
+    GRAB(scan_o, 4, PyBUF_C_CONTIGUOUS, exttx_ind, const uint8_t);
+
+#define WRITABLE (PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE)
+#define LASTDIM (int)(bufs[nbuf - 1].shape[bufs[nbuf - 1].ndim - 1])
+    GRAB(cdf_o, 0, WRITABLE, part, uint16_t);
+    t.part_w = LASTDIM;
+    GRAB(cdf_o, 1, WRITABLE, kf_y, uint16_t);
+    t.kf_w = LASTDIM;
+    GRAB(cdf_o, 2, WRITABLE, angle, uint16_t);
+    t.angle_w = LASTDIM;
+    GRAB(cdf_o, 3, WRITABLE, uv, uint16_t);
+    t.uv_w = LASTDIM;
+    GRAB(cdf_o, 4, WRITABLE, skip, uint16_t);
+    t.skip_w = LASTDIM;
+    GRAB(cdf_o, 5, WRITABLE, exttx, uint16_t);
+    t.exttx_w = LASTDIM;
+    GRAB(cdf_o, 6, WRITABLE, txb_skip_y, uint16_t);
+    t.tskip_w = LASTDIM;
+    GRAB(cdf_o, 7, WRITABLE, txb_skip_c, uint16_t);
+    GRAB(cdf_o, 8, WRITABLE, eob_y, uint16_t);
+    GRAB(cdf_o, 9, WRITABLE, eob_c, uint16_t);
+    GRAB(cdf_o, 10, WRITABLE, eobx_y, uint16_t);
+    t.eobx_y_w = LASTDIM;
+    GRAB(cdf_o, 11, WRITABLE, eobx_c, uint16_t);
+    t.eobx_c_w = LASTDIM;
+    GRAB(cdf_o, 12, WRITABLE, dcs_y, uint16_t);
+    t.dcs_y_w = LASTDIM;
+    GRAB(cdf_o, 13, WRITABLE, dcs_c, uint16_t);
+    t.dcs_c_w = LASTDIM;
+    GRAB(cdf_o, 14, WRITABLE, base_y, uint16_t);
+    t.base_y_w = LASTDIM;
+    GRAB(cdf_o, 15, WRITABLE, base_c, uint16_t);
+    t.base_c_w = LASTDIM;
+    GRAB(cdf_o, 16, WRITABLE, beob_y, uint16_t);
+    t.beob_y_w = LASTDIM;
+    GRAB(cdf_o, 17, WRITABLE, beob_c, uint16_t);
+    t.beob_c_w = LASTDIM;
+    GRAB(cdf_o, 18, WRITABLE, br_y, uint16_t);
+    t.br_y_w = LASTDIM;
+    GRAB(cdf_o, 19, WRITABLE, br_c, uint16_t);
+    t.br_c_w = LASTDIM;
+#undef GRAB
+#undef WRITABLE
+#undef LASTDIM
+
+    /* context state */
+    t.above_part = (uint8_t *)calloc(mi_cols, 1);
+    t.left_part = (uint8_t *)calloc(mi_rows, 1);
+    t.mi_mode = (uint8_t *)calloc((size_t)mi_rows * mi_cols, 1);
+    t.mi_skip = (uint8_t *)calloc((size_t)mi_rows * mi_cols, 1);
+    t.mi_coded = (uint8_t *)calloc((size_t)mi_rows * mi_cols, 1);
+    {
+        int p;
+        for (p = 0; p < 3; p++) {
+            int s = p ? 1 : 0;
+            t.acoeff[p] = (int32_t *)calloc(((mi_cols + 1) >> s) + 2, 4);
+            t.lcoeff[p] = (int32_t *)calloc(((mi_rows + 1) >> s) + 2, 4);
+        }
+    }
+
+    {
+        int sb_rows = (mi_rows + 15) >> 4;
+        int sb_cols = (mi_cols + 15) >> 4;
+        int sr, sc, p, i;
+        OdEc *e = &self->ec;
+        for (sr = 0; sr < sb_rows; sr++) {
+            memset(t.left_part, 0, mi_rows);
+            for (p = 0; p < 3; p++) {
+                int s = p ? 1 : 0;
+                for (i = 0; i < ((mi_rows + 1) >> s) + 2; i++)
+                    t.lcoeff[p][i] = 0;
+            }
+            for (sc = 0; sc < sb_cols; sc++)
+                tile_encode_partition(e, &t, sr * 16, sc * 16, 64);
+        }
+    }
+
+    free(t.above_part);
+    free(t.left_part);
+    free(t.mi_mode);
+    free(t.mi_skip);
+    free(t.mi_coded);
+    {
+        int p;
+        for (p = 0; p < 3; p++) {
+            free(t.acoeff[p]);
+            free(t.lcoeff[p]);
+        }
+    }
+    {
+        int i;
+        for (i = 0; i < nbuf; i++) PyBuffer_Release(&bufs[i]);
+    }
+    Py_RETURN_NONE;
+}
+
 static PyMethodDef Enc_methods[] = {
     {"encode_symbol", (PyCFunction)Enc_encode_symbol, METH_VARARGS, NULL},
     {"encode_bool", (PyCFunction)Enc_encode_bool, METH_VARARGS, NULL},
     {"encode_literal", (PyCFunction)Enc_encode_literal, METH_VARARGS, NULL},
     {"encode_coeffs", (PyCFunction)Enc_encode_coeffs, METH_VARARGS, NULL},
+    {"encode_intra_tile", (PyCFunction)Enc_encode_intra_tile, METH_VARARGS,
+     NULL},
     {"done", (PyCFunction)Enc_done, METH_NOARGS, NULL},
     {"tell_bits", (PyCFunction)Enc_tell_bits, METH_NOARGS, NULL},
     {NULL, NULL, 0, NULL}};

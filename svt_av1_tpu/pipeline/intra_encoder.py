@@ -71,20 +71,39 @@ def _gather_ext_neighbors(recon, ys, xs, n, above, left, tr_avail,
                           bl_avail):
     """Extended (2n+1) above/left arrays for zone-1/3 directional modes:
     second half gathered from recon when available, else replicated."""
-    b = ys.shape[0]
-    h, w = recon.shape
-    offs2 = jnp.arange(n)
     ay = jnp.maximum(ys - 1, 0)
-    tr_cols = jnp.minimum(xs[:, None] + n + offs2[None], w - 1)
-    tr = recon[ay[:, None], tr_cols]
+    lx = jnp.maximum(xs - 1, 0)
+    tr = _gather_block(recon, ay, xs + n, 1, n)[:, 0, :]
     tr = jnp.where(tr_avail[:, None], tr, above[:, n - 1][:, None])
     above_ext = jnp.concatenate([above, tr, tr[:, -1:]], axis=1)
-    lx = jnp.maximum(xs - 1, 0)
-    bl_rows = jnp.minimum(ys[:, None] + n + offs2[None], h - 1)
-    bl = recon[bl_rows, lx[:, None]]
+    bl = _gather_block(recon, ys + n, lx, n, 1)[:, :, 0]
     bl = jnp.where(bl_avail[:, None], bl, left[:, n - 1][:, None])
     left_ext = jnp.concatenate([left, bl, bl[:, -1:]], axis=1)
     return above_ext, left_ext
+
+
+def _gather_block(plane, ys, xs, h, w):
+    """(B, h, w) gather at per-slot offsets via unrolled dynamic_slice
+    (TPU: DS is fast, arbitrary-index Gather is not).  Starts are
+    clamped in-bounds by dynamic_slice semantics."""
+    return jnp.stack([
+        jax.lax.dynamic_slice(plane, (ys[j], xs[j]), (h, w))
+        for j in range(ys.shape[0])])
+
+
+def _scatter_blocks(plane, blocks, ys, xs, valid):
+    """Write (B, n, n) blocks into a (H, W) plane at per-slot offsets.
+
+    TPU-friendly: unrolled dynamic_update_slice per slot instead of one
+    big XLA Scatter (scatters serialize badly on TPU; DUS is fast).
+    Invalid slots rewrite their current content (no-op)."""
+    b, n, _ = blocks.shape
+    for j in range(b):
+        start = (ys[j], xs[j])
+        cur = jax.lax.dynamic_slice(plane, start, (n, n))
+        new = jnp.where(valid[j], blocks[j], cur)
+        plane = jax.lax.dynamic_update_slice(plane, new, start)
+    return plane
 
 
 def _gather_neighbors(recon, ys, xs, n, have_above, have_left, bd=8):
@@ -94,13 +113,12 @@ def _gather_neighbors(recon, ys, xs, n, have_above, have_left, bd=8):
     recon: (H, W) int32; ys/xs: (B,) top-left coords; n: block dim."""
     b = ys.shape[0]
     base = 1 << (bd - 1)
-    offs = jnp.arange(n)
-    # raw gathers (clamped indices; masked later)
+    # raw gathers (dynamic_slice clamps in-bounds; masked later)
     ay = jnp.maximum(ys - 1, 0)
-    above_raw = recon[ay[:, None], xs[:, None] + offs[None, :]]
     lx = jnp.maximum(xs - 1, 0)
-    left_raw = recon[ys[:, None] + offs[None, :], lx[:, None]]
-    corner_raw = recon[ay, lx]
+    above_raw = _gather_block(recon, ay, xs, 1, n)[:, 0, :]
+    left_raw = _gather_block(recon, ys, lx, n, 1)[:, :, 0]
+    corner_raw = _gather_block(recon, ay, lx, 1, 1)[:, 0, 0]
     above_ref0 = above_raw[:, 0]
     left_ref0 = left_raw[:, 0]
     ha = have_above[:, None]
@@ -142,10 +160,7 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
     if z13:
         above_ext, left_ext = _gather_ext_neighbors(
             recon, ys, xs, n, above, left, tr_avail, bl_avail)
-    offs = jnp.arange(n)
-    rows = ys[:, None, None] + offs[None, :, None]
-    cols = xs[:, None, None] + offs[None, None, :]
-    src_blk = src[rows, cols]
+    src_blk = _gather_block(src, ys, xs, n, n)
 
     zbin, rnd, qv, qshift, deq = qp_arrays
     qp = quant.QuantParams(zbin, rnd, qv, qshift, deq)
@@ -213,10 +228,7 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
         best_cost = jnp.min(cost, axis=0)
         choose = inter_cost < best_cost
         best_rec = jnp.where(choose[:, None, None], inter_rec, best_rec)
-    # scatter chosen recon (masked lanes add zero delta)
-    cur = recon[rows, cols]
-    delta = jnp.where(valid[:, None, None], best_rec - cur, 0)
-    recon = recon.at[rows, cols].add(delta)
+    recon = _scatter_blocks(recon, best_rec, ys, xs, valid)
     if inter is not None:
         return best_mode, best_q, recon, choose
     return best_mode, best_q, recon
@@ -288,15 +300,12 @@ def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
     tx_size = cc.TX_8X8
     zbin, rnd, qv_, qshift, deq = qp_arrays
     qp = quant.QuantParams(zbin, rnd, qv_, qshift, deq)
-    offs = jnp.arange(n)
-    rows = ys[:, None, None] + offs[None, :, None]
-    cols = xs[:, None, None] + offs[None, None, :]
     nb_u = _gather_neighbors(recon_u, ys, xs, n, have_above, have_left,
                              bd=bd)
     nb_v = _gather_neighbors(recon_v, ys, xs, n, have_above, have_left,
                              bd=bd)
-    src_ub = src_u[rows, cols]
-    src_vb = src_v[rows, cols]
+    src_ub = _gather_block(src_u, ys, xs, n, n)
+    src_vb = _gather_block(src_v, ys, xs, n, n)
 
     best = None
     for mode, tx_type in zip(UV_MODES, UV_TX_TYPES):
@@ -339,11 +348,8 @@ def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
         c3 = choose[:, None, None]
         rec_u = jnp.where(c3, irec_u, rec_u)
         rec_v = jnp.where(c3, irec_v, rec_v)
-    cur_u = recon_u[rows, cols]
-    cur_v = recon_v[rows, cols]
-    vmask = valid[:, None, None]
-    recon_u = recon_u.at[rows, cols].add(jnp.where(vmask, rec_u - cur_u, 0))
-    recon_v = recon_v.at[rows, cols].add(jnp.where(vmask, rec_v - cur_v, 0))
+    recon_u = _scatter_blocks(recon_u, rec_u, ys, xs, valid)
+    recon_v = _scatter_blocks(recon_v, rec_v, ys, xs, valid)
     return um, qu, qvq, recon_u, recon_v
 
 
