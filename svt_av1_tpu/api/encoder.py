@@ -69,6 +69,7 @@ class Encoder:
             width=self.coded_w, height=self.coded_h,
             bit_depth=config.encoder_bit_depth,
             enable_cdef=config.cdef_level > 0,
+            enable_restoration=config.enable_restoration_filtering > 0,
             film_grain_params_present=(
                 config.film_grain_denoise_strength > 0))
         self._packets: Deque[Packet] = deque()
@@ -200,6 +201,7 @@ class Encoder:
             lvl_uv = max(0, lvl_y - 2)
             fp.filter_level_uv = (lvl_uv, lvl_uv)
             recon = intra_encoder.apply_loop_filter(recon, fp)
+        deblocked = recon  # post-DLF, pre-CDEF (LR boundary source)
         if self.sp.enable_cdef and src is not None:
             from svt_av1_tpu.pipeline import cdef_stage
             skip16 = _skip_map(decisions, self.coded_h // 16,
@@ -211,6 +213,17 @@ class Encoder:
             recon = cdef_stage.cdef_apply(
                 recon, skip16, fp.cdef_strengths, fp.cdef_damping,
                 bd=self.cfg.encoder_bit_depth)
+        lr_info = None
+        if self.sp.enable_restoration and src is not None:
+            from svt_av1_tpu.codec import lr as lr_mod
+            from svt_av1_tpu.pipeline import lr_stage
+            bounds = lr_stage.save_boundaries(deblocked)
+            lr_info = lr_mod.make_lr_info(self.coded_w, self.coded_h)
+            lr_stage.search_lr(src, recon, bounds, lr_info,
+                               bd=self.cfg.encoder_bit_depth)
+            fp.lr_types = tuple(i.frame_type for i in lr_info)
+            recon = lr_stage.apply_lr(recon, bounds, lr_info,
+                                      bd=self.cfg.encoder_bit_depth)
         self._ref = {k: recon[k] for k in ("y", "u", "v")}
         chain = fp.primary_ref_frame != obu.PRIMARY_REF_NONE
         tenc = TileEncoder(self.sp.width, self.sp.height, qindex,
@@ -219,6 +232,8 @@ class Encoder:
                            frame_is_intra=is_key,
                            init_cdfs=self._ref_cdfs if chain else None,
                            init_nmv=self._ref_nmv if chain else None)
+        if lr_info is not None:
+            tenc.set_lr(lr_info)
         tile_data = tenc.encode(decisions)
         if not fp.disable_frame_end_update_cdf:
             self._ref_cdfs = tenc.cdfs

@@ -79,6 +79,9 @@ class FrameCDFs:
         self.refmv = d["refmv_cdf"].copy()
         self.drl = d["drl_cdf"].copy()
         self.single_ref = d["single_ref_cdf"].copy()
+        self.switchable_restore = d["switchable_restore_cdf"].copy()
+        self.wiener_restore = d["wiener_restore_cdf"].copy()
+        self.sgrproj_restore = d["sgrproj_restore_cdf"].copy()
         # coefficient CDFs (qindex-dependent defaults)
         self.txb_skip = d["txb_skip_cdfs"][q].copy()
         self.eob_extra = d["eob_extra_cdfs"][q].copy()

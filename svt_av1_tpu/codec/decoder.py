@@ -53,6 +53,18 @@ class Decoder:
                            frame_is_intra=is_intra,
                            init_cdfs=self.ref_cdfs if chain else None,
                            init_nmv=self.ref_nmv if chain else None)
+        lr_info = None
+        if self.sp.enable_restoration:
+            from svt_av1_tpu.codec import lr as lr_mod
+            w, h = self.sp.width, self.sp.height
+            cw, ch = (w + 1) >> 1, (h + 1) >> 1
+            csize = fp.lr_unit_size >> (1 if fp.lr_uv_half else 0)
+            lr_info = [
+                lr_mod.PlaneLrInfo(fp.lr_types[0], fp.lr_unit_size, w, h),
+                lr_mod.PlaneLrInfo(fp.lr_types[1], csize, cw, ch),
+                lr_mod.PlaneLrInfo(fp.lr_types[2], csize, cw, ch),
+            ]
+            tdec.set_lr(lr_info)
         decisions = tdec.decode(tile_data)
         if not fp.disable_frame_end_update_cdf:
             self.ref_cdfs = tdec.cdfs
@@ -70,6 +82,7 @@ class Decoder:
                 decisions, self.ref, self.sp.width, self.sp.height,
                 fp.base_q_idx, bd=self.sp.bit_depth)
         recon = apply_loop_filter(recon, fp)
+        deblocked = recon
         if self.sp.enable_cdef:
             from svt_av1_tpu.api.encoder import _skip_map
             from svt_av1_tpu.pipeline import cdef_stage
@@ -79,6 +92,11 @@ class Decoder:
                                           fp.cdef_strengths,
                                           fp.cdef_damping,
                                           bd=self.sp.bit_depth)
+        if lr_info is not None:
+            from svt_av1_tpu.pipeline import lr_stage
+            bounds = lr_stage.save_boundaries(deblocked)
+            recon = lr_stage.apply_lr(recon, bounds, lr_info,
+                                      bd=self.sp.bit_depth)
         if fp.refresh_frame_flags:
             self.ref = {k: recon[k] for k in ("y", "u", "v")}
         recon["decisions"] = decisions

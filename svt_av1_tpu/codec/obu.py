@@ -102,6 +102,10 @@ class FrameParams:
     # CDEF (cdef_bits = 0: one frame-uniform strength set)
     cdef_damping: int = 3
     cdef_strengths: Tuple[int, int, int, int] = (0, 0, 0, 0)
+    # loop restoration: per-plane frame type + unit sizes
+    lr_types: Tuple[int, int, int] = (0, 0, 0)   # RESTORE_* enum
+    lr_unit_size: int = 256                      # luma RU size
+    lr_uv_half: bool = True                      # chroma RU = luma >> 1
     # derived
     order_hint: int = 0
     refresh_frame_flags: int = 0xFF
@@ -287,9 +291,21 @@ def write_frame_header_bits(w: BitWriter, sp: SequenceParams,
         if not sp.monochrome:
             w.f(pri_uv, 4)
             w.f(sec_uv, 2)
-    # lr_params: skipped (seq enable_restoration=0)
+    # lr_params (entropy_coding.c encode_restoration_mode)
     if sp.enable_restoration:
-        raise NotImplementedError
+        _LR_BITS = {0: (0, 0), 1: (1, 0), 2: (1, 1), 3: (0, 1)}
+        all_none = all(t == 0 for t in fp.lr_types)
+        chroma_none = fp.lr_types[1] == 0 and fp.lr_types[2] == 0
+        for t in fp.lr_types:
+            b0, b1 = _LR_BITS[t]
+            w.f(b0, 1)
+            w.f(b1, 1)
+        if not all_none:
+            w.f(int(fp.lr_unit_size > 64), 1)
+            if fp.lr_unit_size > 64:
+                w.f(int(fp.lr_unit_size > 128), 1)
+        if not chroma_none:
+            w.f(int(fp.lr_uv_half), 1)
     # read_tx_mode
     w.f(int(fp.tx_mode_select), 1)
     # frame_reference_mode
@@ -544,6 +560,16 @@ def read_frame_header(r: BitReader, sp: SequenceParams) -> FrameParams:
             pri_uv = r.f(4)
             sec_uv = r.f(2)
         fp.cdef_strengths = (pri_y, sec_y, pri_uv, sec_uv)
+    if sp.enable_restoration:
+        _LR_TYPE = {(0, 0): 0, (1, 0): 1, (1, 1): 2, (0, 1): 3}
+        fp.lr_types = tuple(_LR_TYPE[(r.f(1), r.f(1))] for _ in range(3))
+        if any(t != 0 for t in fp.lr_types):
+            size = 64
+            if r.f(1):
+                size = 256 if r.f(1) else 128
+            fp.lr_unit_size = size
+        if fp.lr_types[1] != 0 or fp.lr_types[2] != 0:
+            fp.lr_uv_half = bool(r.f(1))
     fp.tx_mode_select = bool(r.f(1))
     if not is_intra:
         fp.reference_select = bool(r.f(1))

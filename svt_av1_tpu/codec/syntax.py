@@ -304,6 +304,14 @@ class TileCoderBase:
             else FrameCDFs(base_q_idx)
         self.nmv = init_nmv.clone() if init_nmv is not None \
             else mv_mod.NmvCDFs()
+        # loop restoration: list of codec.lr.PlaneLrInfo or None
+        self.lr = None
+        self.lr_ref = None
+
+    def set_lr(self, lr) -> None:
+        from svt_av1_tpu.codec import lr as lr_mod
+        self.lr = lr
+        self.lr_ref = lr_mod._RefState()
         self.ctx = ContextState(self.mi_rows, self.mi_cols)
         self.migrid = mv_pred.MiGrid(self.mi_rows, self.mi_cols)
         self.sb_cols = (self.mi_cols + 15) >> 4
@@ -348,7 +356,7 @@ class TileEncoder(TileCoderBase):
         from svt_av1_tpu.codec import fast_ec
         native_ok = use_native and fast_ec.available()
         if (native_ok and self.frame_is_intra and leaf_size == 16
-                and self.base_q_idx > 0
+                and self.base_q_idx > 0 and self.lr is None
                 and all(d.bsize == cc.BLOCK_16X16
                         and d.tx_type == cc.DCT_DCT
                         and d.qcoeff_u is not None
@@ -363,6 +371,12 @@ class TileEncoder(TileCoderBase):
         for sb_r in range(self.sb_rows):
             self.ctx.start_sb_row()
             for sb_c in range(self.sb_cols):
+                if self.lr is not None:
+                    from svt_av1_tpu.codec import lr as lr_mod
+                    lr_mod.write_lr_for_sb(
+                        self.enc, self.cdfs, self.lr, self.lr_ref,
+                        sb_r * 16, sb_c * 16, self.mi_rows, self.mi_cols,
+                        self.update)
                 self._encode_partition(sb_r * 16, sb_c * 16, cc.BLOCK_64X64)
         return self.enc.done()
 
@@ -593,6 +607,12 @@ class TileDecoder(TileCoderBase):
         for sb_r in range(self.sb_rows):
             self.ctx.start_sb_row()
             for sb_c in range(self.sb_cols):
+                if self.lr is not None:
+                    from svt_av1_tpu.codec import lr as lr_mod
+                    lr_mod.read_lr_for_sb(
+                        self.dec, self.cdfs, self.lr, self.lr_ref,
+                        sb_r * 16, sb_c * 16, self.mi_rows, self.mi_cols,
+                        self.update)
                 self._decode_partition(sb_r * 16, sb_c * 16, cc.BLOCK_64X64)
         return self.out
 
