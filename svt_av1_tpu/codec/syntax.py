@@ -307,15 +307,15 @@ class TileCoderBase:
         # loop restoration: list of codec.lr.PlaneLrInfo or None
         self.lr = None
         self.lr_ref = None
+        self.ctx = ContextState(self.mi_rows, self.mi_cols)
+        self.migrid = mv_pred.MiGrid(self.mi_rows, self.mi_cols)
+        self.sb_cols = (self.mi_cols + 15) >> 4
+        self.sb_rows = (self.mi_rows + 15) >> 4
 
     def set_lr(self, lr) -> None:
         from svt_av1_tpu.codec import lr as lr_mod
         self.lr = lr
         self.lr_ref = lr_mod._RefState()
-        self.ctx = ContextState(self.mi_rows, self.mi_cols)
-        self.migrid = mv_pred.MiGrid(self.mi_rows, self.mi_cols)
-        self.sb_cols = (self.mi_cols + 15) >> 4
-        self.sb_rows = (self.mi_rows + 15) >> 4
 
     # shared helpers ---------------------------------------------------------
     def tx_type_signaled(self, tx_size: int, is_inter: bool = False) -> bool:

@@ -307,42 +307,47 @@ def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
     src_ub = _gather_block(src_u, ys, xs, n, n)
     src_vb = _gather_block(src_v, ys, xs, n, n)
 
-    best = None
-    for mode, tx_type in zip(UV_MODES, UV_TX_TYPES):
-        tot_cost = 0.0
-        outs = []
-        for (nb, src_blk) in ((nb_u, src_ub), (nb_v, src_vb)):
-            above, left, corner = nb
-            pred = intra.predict(mode, above, left, corner, n, n,
-                                 have_above=have_above,
-                                 have_left=have_left, bd=bd)
-            resid = src_blk - pred
-            coeffs = tf.fwd_txfm2d(resid, tx_type, tx_size)
-            qcoeff, dqcoeff = quant.quantize(coeffs, qp, tx_size)
-            rec = tf.inv_txfm2d_add(dqcoeff, pred, tx_type, tx_size, bd=bd)
-            dist = jnp.sum((rec - src_blk) ** 2,
-                           axis=(1, 2)).astype(jnp.float32)
-            aq = jnp.abs(qcoeff)
-            bits = (jnp.sum(jnp.log2(1.0 + aq.astype(jnp.float32)),
-                            axis=(1, 2)) * 2.0
-                    + jnp.sum((aq > 0), axis=(1, 2)) + 4.0)
-            tot_cost = tot_cost + dist + lam * bits
-            outs.append((qcoeff, rec))
-        pack = (tot_cost, jnp.full(ys.shape, mode, jnp.int32),
-                outs[0][0], outs[1][0], outs[0][1], outs[1][1])
-        if best is None:
-            best = pack
-        else:
-            take = tot_cost < best[0]
-            t3 = take[:, None, None]
-            best = (jnp.where(take, tot_cost, best[0]),
-                    jnp.where(take, pack[1], best[1]),
-                    jnp.where(t3, pack[2], best[2]),
-                    jnp.where(t3, pack[3], best[3]),
-                    jnp.where(t3, pack[4], best[4]),
-                    jnp.where(t3, pack[5], best[5]))
-
-    _, um, qu, qvq, rec_u, rec_v = best
+    # stack (mode, plane) into ONE transform/quant/recon pass: per-mode
+    # tx types are distinct, but each group's fwd/inv pass is shared by
+    # stacking U and V (half the pipeline passes, bigger MXU batches)
+    b = ys.shape[0]
+    nm = len(UV_MODES)
+    preds = []
+    for mode in UV_MODES:
+        for (above, left, corner), src_blk in ((nb_u, src_ub),
+                                               (nb_v, src_vb)):
+            preds.append(intra.predict(mode, above, left, corner, n, n,
+                                       have_above=have_above,
+                                       have_left=have_left, bd=bd))
+    pred_all = jnp.concatenate(preds, axis=0)        # (nm*2*B, n, n)
+    src_all = jnp.tile(jnp.concatenate([src_ub, src_vb], axis=0),
+                       (nm, 1, 1))
+    resid_all = src_all - pred_all
+    qcs, recs = [], []
+    for mi, tx_type in enumerate(UV_TX_TYPES):
+        sl = slice(mi * 2 * b, (mi + 1) * 2 * b)
+        coeffs = tf.fwd_txfm2d(resid_all[sl], tx_type, tx_size)
+        qc, dq = quant.quantize(coeffs, qp, tx_size)
+        recs.append(tf.inv_txfm2d_add(dq, pred_all[sl], tx_type, tx_size,
+                                      bd=bd))
+        qcs.append(qc)
+    qcoeff_all = jnp.concatenate(qcs, axis=0)
+    rec_all = jnp.concatenate(recs, axis=0)
+    dist = jnp.sum((rec_all - src_all) ** 2, axis=(1, 2)).astype(
+        jnp.float32)
+    aq = jnp.abs(qcoeff_all)
+    bits = (jnp.sum(jnp.log2(1.0 + aq.astype(jnp.float32)), axis=(1, 2))
+            * 2.0 + jnp.sum((aq > 0), axis=(1, 2)) + 4.0)
+    cost_uv = (dist + lam * bits).reshape(nm, 2, b).sum(axis=1)  # (nm,B)
+    mi_best = jnp.argmin(cost_uv, axis=0)
+    um = jnp.asarray(np.array(UV_MODES, np.int32))[mi_best]
+    qall = qcoeff_all.reshape(nm, 2, b, n, n)
+    rall = rec_all.reshape(nm, 2, b, n, n)
+    bi = jnp.arange(b)
+    qu = qall[mi_best, 0, bi]
+    qvq = qall[mi_best, 1, bi]
+    rec_u = rall[mi_best, 0, bi]
+    rec_v = rall[mi_best, 1, bi]
     if inter is not None:
         choose, irec_u, irec_v = inter
         c3 = choose[:, None, None]
