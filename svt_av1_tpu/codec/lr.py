@@ -46,8 +46,10 @@ class WienerInfo:
     hfilter: Tuple[int, int, int] = (3, -7, 15)
 
     def taps8(self, horiz: bool) -> np.ndarray:
+        """Kernel-domain taps for the add-src convolve: the identity 128
+        is added by the kernel itself, so center = -2 * sum(outer)."""
         t = self.hfilter if horiz else self.vfilter
-        center = 128 - 2 * (t[0] + t[1] + t[2])
+        center = -2 * (t[0] + t[1] + t[2])
         return np.array([t[0], t[1], t[2], center, t[2], t[1], t[0], 0],
                         np.int32)
 

@@ -213,6 +213,105 @@ def _solve_xq(u, flt0, flt1, s, r0: int, r1: int) -> Tuple[int, int]:
     return xqd0, xqd1
 
 
+def _wiener_stats(dgd: np.ndarray, src: np.ndarray, y0: int, x0: int,
+                  h: int, w: int, win: int):
+    """Exact auto/cross-correlation stats for the separable Wiener solve
+    (restoration_pick.c svt_av1_compute_stats semantics: means removed,
+    windows read the edge-extended degraded frame).  Returns
+    (H (win²,win²), M (win²,)) as one BLAS Gram product."""
+    half = win // 2
+    pad = np.pad(dgd, half, mode="edge").astype(np.float64)
+    avg = dgd[y0:y0 + h, x0:x0 + w].astype(np.float64).mean()
+    s = (src[y0:y0 + h, x0:x0 + w].astype(np.float64) - avg).reshape(-1)
+    cols = []
+    for k in range(win):
+        for l in range(win):
+            cols.append((pad[y0 + k:y0 + k + h, x0 + l:x0 + l + w]
+                         - avg).reshape(-1))
+    Y = np.stack(cols, axis=1)            # (h*w, win*win)
+    return Y.T @ Y, Y.T @ s
+
+
+def _solve_wiener(dgd: np.ndarray, src: np.ndarray, y0: int, x0: int,
+                  h: int, w: int, chroma: bool):
+    """Alternating separable Wiener solve with symmetric, sum-one taps;
+    returns quantized (vfilter3, hfilter3) or None if degenerate."""
+    win = 5 if chroma else 7
+    half = win // 2
+    Hm, Mv = _wiener_stats(dgd, src, y0, x0, h, w, win)
+    H4 = Hm.reshape(win, win, win, win)   # [k, l, k2, l2]
+    M2 = Mv.reshape(win, win)             # [k, l]
+
+    a = np.zeros(win)
+    b = np.zeros(win)
+    a[:] = 1.0 / win
+    b[:] = 1.0 / win
+
+    def solve_half(other, vert: bool):
+        """LS for symmetric taps u0..u_{half-1}, center = 1 - 2*sum(u)."""
+        if vert:
+            # unknown over k: G[k,k2] = sum_{l,l2} b_l b_l2 H[k,l,k2,l2]
+            G = np.einsum("l,m,klxm->kx", other, other, H4)
+            cvec = M2 @ other
+        else:
+            G = np.einsum("l,m,lkmx->kx", other, other, H4)
+            cvec = other @ M2
+        nh = half
+        A = np.zeros((nh, nh))
+        rhs = np.zeros(nh)
+        # basis vectors: e_i = delta_i + delta_{win-1-i} - 2*delta_half
+        # around the base point a0 = delta_half (center tap 1)
+        base_vec = np.zeros(win)
+        base_vec[half] = 1.0
+        basis = []
+        for i in range(nh):
+            e = np.zeros(win)
+            e[i] = 1.0
+            e[win - 1 - i] = 1.0
+            e[half] = -2.0
+            basis.append(e)
+        for i in range(nh):
+            rhs[i] = basis[i] @ (cvec - G @ base_vec)
+            for j in range(nh):
+                A[i, j] = basis[i] @ G @ basis[j]
+        try:
+            u = np.linalg.solve(A, rhs)
+        except np.linalg.LinAlgError:
+            return None
+        return base_vec + sum(u[i] * basis[i] for i in range(nh))
+
+    for _ in range(10):
+        nb = solve_half(a, vert=False)
+        if nb is None:
+            return None
+        b = nb
+        na = solve_half(b, vert=True)
+        if na is None:
+            return None
+        a = na
+
+    def quantize(t, chroma_):
+        taps = []
+        full = np.zeros(3)
+        if chroma_:
+            full[0] = 0.0
+            full[1] = t[0]
+            full[2] = t[1]
+        else:
+            full[:] = t[:3]
+        for i in range(3):
+            minv, maxv, _, _ = lr_mod.WIENER_TAPS[i]
+            q = int(np.clip(round(full[i] * 128), minv, maxv))
+            taps.append(q)
+        if chroma_:
+            taps[0] = 0
+        return tuple(taps)
+
+    vf = quantize(a[:3] if not chroma else a[:2], chroma)
+    hf = quantize(b[:3] if not chroma else b[:2], chroma)
+    return vf, hf
+
+
 def search_lr(src: Dict[str, np.ndarray], cdef_recon: Dict[str, np.ndarray],
               bounds_all: Dict, lr_info: List[lr_mod.PlaneLrInfo],
               bd: int = 8, eps_set=tuple(range(16))) -> None:
@@ -260,6 +359,20 @@ def search_lr(src: Dict[str, np.ndarray], cdef_recon: Dict[str, np.ndarray],
                         rtype=lr_mod.RESTORE_SGRPROJ,
                         sgrproj=lr_mod.SgrprojInfo(ep, xqd))
                     # candidate SSE via the real apply
+                    tmp = plane.copy()
+                    _filter_unit(plane, bounds, cand, plane_idx, v0, uh,
+                                 x, w, tmp, bd)
+                    sse = float(np.sum(
+                        (tmp[v0:v0 + uh, x:x + w]
+                         - sp[v0:v0 + uh, x:x + w]).astype(np.int64) ** 2))
+                    if sse < best[0]:
+                        best = (sse, cand)
+                wf = _solve_wiener(plane, sp, v0, x, uh, w,
+                                   chroma=plane_idx > 0)
+                if wf is not None:
+                    cand = lr_mod.RestUnitInfo(
+                        rtype=lr_mod.RESTORE_WIENER,
+                        wiener=lr_mod.WienerInfo(wf[0], wf[1]))
                     tmp = plane.copy()
                     _filter_unit(plane, bounds, cand, plane_idx, v0, uh,
                                  x, w, tmp, bd)
