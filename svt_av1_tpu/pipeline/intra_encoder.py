@@ -216,12 +216,19 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
             if mode == cc.D203_PRED:
                 cost = cost.at[mi].add(
                     jnp.where(bl_avail, jnp.float32(1e18), 0.0))
-    mode_arr = jnp.asarray(np.array(modes, np.int32))
     mi_best = jnp.argmin(cost, axis=0)               # (B,)
-    best_mode = mode_arr[mi_best]
-    sel = mi_best * b + jnp.arange(b)
-    best_q = qcoeff_all.reshape(nm * b, n, n)[sel]
-    best_rec = rec_all.reshape(nm * b, n, n)[sel]
+    # select via where-chains (vector selects beat TPU gathers)
+    q_r = qcoeff_all.reshape(nm, b, n, n)
+    r_r = rec_all.reshape(nm, b, n, n)
+    best_mode = jnp.full((b,), modes[0], jnp.int32)
+    best_q = q_r[0]
+    best_rec = r_r[0]
+    for mi in range(1, nm):
+        take = mi_best == mi
+        t3 = take[:, None, None]
+        best_mode = jnp.where(take, modes[mi], best_mode)
+        best_q = jnp.where(t3, q_r[mi], best_q)
+        best_rec = jnp.where(t3, r_r[mi], best_rec)
     choose = None
     if inter is not None:
         inter_cost, inter_rec = inter
@@ -340,14 +347,19 @@ def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
             * 2.0 + jnp.sum((aq > 0), axis=(1, 2)) + 4.0)
     cost_uv = (dist + lam * bits).reshape(nm, 2, b).sum(axis=1)  # (nm,B)
     mi_best = jnp.argmin(cost_uv, axis=0)
-    um = jnp.asarray(np.array(UV_MODES, np.int32))[mi_best]
     qall = qcoeff_all.reshape(nm, 2, b, n, n)
     rall = rec_all.reshape(nm, 2, b, n, n)
-    bi = jnp.arange(b)
-    qu = qall[mi_best, 0, bi]
-    qvq = qall[mi_best, 1, bi]
-    rec_u = rall[mi_best, 0, bi]
-    rec_v = rall[mi_best, 1, bi]
+    um = jnp.full((b,), UV_MODES[0], jnp.int32)
+    qu, qvq = qall[0, 0], qall[0, 1]
+    rec_u, rec_v = rall[0, 0], rall[0, 1]
+    for mi in range(1, nm):
+        take = mi_best == mi
+        t3 = take[:, None, None]
+        um = jnp.where(take, UV_MODES[mi], um)
+        qu = jnp.where(t3, qall[mi, 0], qu)
+        qvq = jnp.where(t3, qall[mi, 1], qvq)
+        rec_u = jnp.where(t3, rall[mi, 0], rec_u)
+        rec_v = jnp.where(t3, rall[mi, 1], rec_v)
     if inter is not None:
         choose, irec_u, irec_v = inter
         c3 = choose[:, None, None]
