@@ -84,6 +84,8 @@ class Encoder:
         fps = (config.frame_rate_numerator
                / max(config.frame_rate_denominator, 1))
         self._rc = RateControlState.create(config, fps)
+        from svt_av1_tpu.pipeline.presets import features_for
+        self._feat = features_for(config.enc_mode)
 
     # -- API surface ---------------------------------------------------------
     def stream_header(self) -> bytes:
@@ -112,6 +114,7 @@ class Encoder:
         qindex = self._rc.frame_qindex()
         results = intra_encoder.encode_intra_frames(
             [self._pad(y, u, v) for (y, u, v) in frames], qindex,
+            modes=self._feat.intra_modes,
             bd=self.cfg.encoder_bit_depth)
         for decisions, recon in results:
             self._packets.append(
@@ -162,13 +165,23 @@ class Encoder:
         qindex = self._rc.frame_qindex()
         y, u, v = self._pad(y, u, v)
         is_key = self._frame_is_key(pts) or self._ref is None
+        gop_has_inter = self.cfg.intra_period_length not in (-2, 0)
+        if is_key and gop_has_inter:
+            # key-frame boost: keys are referenced by the whole GOP, so
+            # spend more bits on them (rc_process.c kf boost analog)
+            qindex = max(1, qindex - qindex // self._feat.kf_boost_div)
         if is_key:
             decisions, recon = intra_encoder.encode_intra_frame(
-                y, u, v, qindex, bd=self.cfg.encoder_bit_depth)
+                y, u, v, qindex, modes=self._feat.intra_modes,
+                bd=self.cfg.encoder_bit_depth)
         else:
             decisions, recon = inter_encoder.encode_inter_frame(
                 y, u, v, self._ref, qindex,
-                bd=self.cfg.encoder_bit_depth)
+                modes=self._feat.intra_modes,
+                bd=self.cfg.encoder_bit_depth,
+                hme_rad2=self._feat.hme_rad2,
+                hme_rad0=self._feat.hme_rad0,
+                subpel_ring=self._feat.subpel_ring)
         pkt = self._packetize(decisions, recon, qindex, pts,
                               is_key=is_key, src=dict(y=y, u=u, v=v))
         self._rc.update(len(pkt.data) * 8)
@@ -209,7 +222,8 @@ class Encoder:
             fp.cdef_damping = cdef_stage.cdef_damping(qindex)
             fp.cdef_strengths = cdef_stage.cdef_search(
                 src, recon, skip16, qindex,
-                bd=self.cfg.encoder_bit_depth)
+                bd=self.cfg.encoder_bit_depth,
+                max_candidates=self._feat.cdef_candidates)
             recon = cdef_stage.cdef_apply(
                 recon, skip16, fp.cdef_strengths, fp.cdef_damping,
                 bd=self.cfg.encoder_bit_depth)
@@ -220,7 +234,8 @@ class Encoder:
             bounds = lr_stage.save_boundaries(deblocked)
             lr_info = lr_mod.make_lr_info(self.coded_w, self.coded_h)
             lr_stage.search_lr(src, recon, bounds, lr_info,
-                               bd=self.cfg.encoder_bit_depth)
+                               bd=self.cfg.encoder_bit_depth,
+                               eps_set=self._feat.lr_eps)
             fp.lr_types = tuple(i.frame_type for i in lr_info)
             recon = lr_stage.apply_lr(recon, bounds, lr_info,
                                       bd=self.cfg.encoder_bit_depth)

@@ -127,12 +127,13 @@ def cdef_apply(recon: Dict[str, np.ndarray], skip16: np.ndarray,
 
 
 def cdef_search(src: Dict[str, np.ndarray], recon: Dict[str, np.ndarray],
-                skip16: np.ndarray, base_q_idx: int, bd: int = 8
+                skip16: np.ndarray, base_q_idx: int, bd: int = 8,
+                max_candidates: int = len(SEARCH_SET)
                 ) -> Tuple[int, int, int, int]:
     """Frame-uniform strength search: min SSE vs source over SEARCH_SET.
     Returns header-domain strengths (sec coded 0..3; 3 means 4)."""
     best = None
-    for cand in SEARCH_SET:
+    for cand in SEARCH_SET[:max_candidates]:
         filt = cdef_apply(recon, skip16, cand, cdef_damping(base_q_idx),
                           bd)
         sse = 0.0

@@ -55,13 +55,12 @@ def _mv_bits(mvs):
     return 4.0 + 1.4 * (jnp.log2(1.0 + a[:, 0]) + jnp.log2(1.0 + a[:, 1]))
 
 
-def _pass_a_fn(nb, bd=8):
+def _pass_a_fn(nb, K, bd=8):
     """Build the all-blocks inter candidate evaluator."""
 
     def run(src_y, src_u, src_v, refp_y, refp_u, refp_v, ys, xs,
             cand_mvs, zbin, rnd, qv, qshift, deq, lam):
         qp = quant.QuantParams(zbin, rnd, qv, qshift, deq)
-        K = K_CANDS
         ysK = jnp.tile(ys, K)
         xsK = jnp.tile(xs, K)
         mvsK = cand_mvs.transpose(1, 0, 2).reshape(nb * K, 2)
@@ -152,17 +151,19 @@ def _inter_frame_program_fn(nw, maxb, modes, gw, bd=8):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_inter_programs(h, w, nw, maxb, modes, bd=8):
+def _jit_inter_programs(h, w, nw, maxb, modes, bd=8, k_cands=K_CANDS):
     gh, gw = h // BLK, w // BLK
     nb = gh * gw
-    pass_a = jax.jit(_pass_a_fn(nb, bd))
+    pass_a = jax.jit(_pass_a_fn(nb, k_cands, bd))
     pass_b = jax.jit(_inter_frame_program_fn(nw, maxb, modes, gw, bd))
     return pass_a, pass_b
 
 
 def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
                        src_v: np.ndarray, ref: Dict[str, np.ndarray],
-                       qindex: int, modes=MODES, bd: int = 8
+                       qindex: int, modes=MODES, bd: int = 8,
+                       hme_rad2: int = 8, hme_rad0: int = 7,
+                       subpel_ring: bool = True
                        ) -> Tuple[Dict, Dict[str, np.ndarray]]:
     """Encode one P frame against ``ref`` (the previous decoded frame).
     Returns ({(r4,c4): BlockDecision}, recon)."""
@@ -173,13 +174,16 @@ def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
 
     # open-loop HME (device) for the NEWMV candidate, widened to its
     # quarter-pel ring (subpel refinement happens inside pass A's RD)
-    mv_y, mv_x, _ = me_pipe.hierarchical_me(src_y, ref["y"])
+    mv_y, mv_x, _ = me_pipe.hierarchical_me(src_y, ref["y"],
+                                            rad2=hme_rad2, rad0=hme_rad0)
     ys = (np.arange(nb) // gw * BLK).astype(np.int32)
     xs = (np.arange(nb) % gw * BLK).astype(np.int32)
     hme = np.stack([mv_y.reshape(nb) * 8, mv_x.reshape(nb) * 8],
                    axis=-1).astype(np.int32)
-    cand = np.zeros((nb, K_CANDS, 2), np.int32)
-    cand[:, 1:] = hme[:, None, :] + _SUBPEL_RING[None, :, :]
+    ring = _SUBPEL_RING if subpel_ring else _SUBPEL_RING[:1]
+    k_cands = 1 + len(ring)
+    cand = np.zeros((nb, k_cands, 2), np.int32)
+    cand[:, 1:] = hme[:, None, :] + ring[None, :, :]
     cand = mc.clamp_mvs_for_pad(cand, ys[:, None], xs[:, None], BLK, h, w)
 
     qp_y = quant.make_quant_params(qindex, bd=bd)
@@ -190,7 +194,7 @@ def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
                                                         min(gh, gw))
     nw = len(waves)
     pass_a, pass_b = _jit_inter_programs(h, w, nw, min(gh, gw),
-                                         tuple(modes), bd)
+                                         tuple(modes), bd, k_cands)
     refp_y = jnp.asarray(mc.pad_plane(ref["y"].astype(np.int32), mc.PAD))
     refp_u = jnp.asarray(mc.pad_plane(ref["u"].astype(np.int32),
                                       mc.PAD // 2))

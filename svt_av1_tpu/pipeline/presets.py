@@ -1,0 +1,43 @@
+"""Preset feature matrix: enc_mode (M0..M13) -> tool levels.
+
+The reference's enc_mode_config.c (8.8k LoC) maps presets to feature
+levels for every tool; this is our (round-1) analog controlling the
+mode-decision width and in-loop search effort.  Speed presets shrink
+the intra candidate set, the CDEF/LR search spaces, and the motion
+search, trading quality for throughput."""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+from svt_av1_tpu.codec import constants as cc
+
+_ALL_MODES = (cc.DC_PRED, cc.V_PRED, cc.H_PRED, cc.SMOOTH_PRED,
+              cc.PAETH_PRED, cc.D135_PRED, cc.D113_PRED, cc.D157_PRED,
+              cc.D45_PRED, cc.D67_PRED, cc.D203_PRED)
+
+
+@dataclasses.dataclass(frozen=True)
+class PresetFeatures:
+    intra_modes: Tuple[int, ...]
+    hme_rad2: int          # coarse HME radius (1/4 res)
+    hme_rad0: int          # full-res refinement radius
+    subpel_ring: bool      # quarter-pel ring in inter pass A
+    cdef_candidates: int   # prefix of cdef_stage.SEARCH_SET
+    lr_eps: Tuple[int, ...]
+    kf_boost_div: int      # key-frame qindex boost = qindex // div
+
+
+def features_for(enc_mode: int) -> PresetFeatures:
+    m = max(0, min(13, int(enc_mode)))
+    if m <= 4:        # quality presets
+        return PresetFeatures(_ALL_MODES, 8, 7, True, 8,
+                              tuple(range(16)), 3)
+    if m <= 8:
+        return PresetFeatures(_ALL_MODES[:8], 8, 5, True, 6,
+                              tuple(range(0, 16, 2)), 3)
+    if m <= 11:
+        return PresetFeatures(_ALL_MODES[:6], 6, 4, True, 4,
+                              (0, 4, 8, 12), 4)
+    return PresetFeatures(_ALL_MODES[:4], 4, 3, False, 3,
+                          (0, 8), 4)
