@@ -21,7 +21,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 BASELINE_FPS = 15.94
-FRAMES = 16
+FRAMES = 64
 W, H = 352, 288
 
 
@@ -48,7 +48,7 @@ def main():
     frames = synth_frames(FRAMES)
     cfg = EncoderConfig(source_width=W, source_height=H, qp=35)
     enc = Encoder(cfg)
-    batch = 8
+    batch = 32
     # warmup (compile the batched frame program)
     enc.send_pictures(frames[:batch])
     while enc.get_packet():

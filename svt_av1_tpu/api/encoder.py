@@ -75,6 +75,8 @@ class Encoder:
         self._packets: Deque[Packet] = deque()
         self._pts = 0
         self._eos_sent = False
+        self._la: Deque = deque()      # lookahead source frames
+        self._tf_hist = []             # last raw frame (TF backward ref)
         # decoded-picture buffer (slot 0): last refreshed recon at the
         # coded size, post loop filter — what the decoder predicts from
         self._ref: Optional[Dict[str, np.ndarray]] = None
@@ -93,11 +95,34 @@ class Encoder:
 
     def send_picture(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
                      eos: bool = False):
-        """Feed one frame (planar numpy).  Round 1: synchronous encode."""
-        self._packets.append(self._encode_frame(y, u, v, self._pts))
-        self._pts += 1
+        """Feed one frame (planar numpy).  Without MCTF the encode is
+        synchronous; with enable_tf the encoder holds a small lookahead
+        so key frames can be temporally filtered against future frames
+        (the reference's picture-decision delay)."""
+        self._la.append((np.asarray(y), np.asarray(u), np.asarray(v)))
+        self._drain(flush=eos)
         if eos:
             self._eos_sent = True
+
+    def _tf_active(self) -> bool:
+        return (self.cfg.enable_tf > 0
+                and self.cfg.intra_period_length not in (-2, 0))
+
+    def _drain(self, flush: bool):
+        while self._la:
+            if (self._tf_active() and self._frame_is_key(self._pts)
+                    and len(self._la) < 3 and not flush):
+                return  # wait for lookahead
+            y, u, v = self._la.popleft()
+            if self._tf_active() and self._frame_is_key(self._pts):
+                from svt_av1_tpu.pipeline import tf_stage
+                neighbors = list(self._tf_hist) + list(self._la)[:2]
+                if neighbors:
+                    y, u, v = tf_stage.mctf_filter_frame(
+                        (y, u, v), neighbors)
+            self._tf_hist = [(y, u, v)]
+            self._packets.append(self._encode_frame(y, u, v, self._pts))
+            self._pts += 1
 
     def send_pictures(self, frames, eos: bool = False):
         """Batched submit: frames = [(y, u, v), ...].  All frames run as

@@ -1,0 +1,56 @@
+"""MCTF pipeline stage: denoising gain + lookahead E2E integrity."""
+import numpy as np
+
+from svt_av1_tpu.api.config import EncoderConfig
+from svt_av1_tpu.api.encoder import Encoder
+from svt_av1_tpu.codec.decoder import Decoder
+from svt_av1_tpu.pipeline import tf_stage
+
+
+def _noisy_static(n, h=96, w=128, sigma=6, seed=5):
+    rng = np.random.default_rng(seed)
+    base = np.kron(rng.integers(40, 200, (h // 8, w // 8)),
+                   np.ones((8, 8))).astype(np.int32)
+    u = np.full((h // 2, w // 2), 100, np.uint8)
+    v = np.full((h // 2, w // 2), 130, np.uint8)
+    frames = [(np.clip(base + rng.normal(0, sigma, (h, w)), 0,
+                       255).astype(np.uint8), u, v) for _ in range(n)]
+    return base, frames
+
+
+def test_mctf_denoises():
+    base, fs = _noisy_static(3)
+    fy, _, _ = tf_stage.mctf_filter_frame(fs[0], fs[1:])
+    mse0 = np.mean((fs[0][0].astype(np.float64) - base) ** 2)
+    mse1 = np.mean((fy.astype(np.float64) - base) ** 2)
+    assert mse1 < mse0 * 0.6, (mse0, mse1)
+
+
+def test_mctf_gop_e2e():
+    """TF lookahead delays packets but preserves count, order, and
+    decode equality; key-frame quality vs clean content improves."""
+    base, frames = _noisy_static(5)
+
+    def run(tf):
+        cfg = EncoderConfig(source_width=128, source_height=96, qp=40,
+                            intra_period_length=-1, enable_tf=tf)
+        enc = Encoder(cfg)
+        dec = Decoder()
+        pk = []
+        for i, (y, u, v) in enumerate(frames):
+            enc.send_picture(y, u, v, eos=(i == 4))
+            while True:
+                p = enc.get_packet()
+                if p is None:
+                    break
+                pk.append(p)
+                rec = dec.decode_temporal_unit(p.data)[0]
+                for pl in ("y", "u", "v"):
+                    assert np.array_equal(rec[pl], p.recon[pl]), (p.pts, pl)
+        assert [p.pts for p in pk] == list(range(5))
+        mse = np.mean((pk[0].recon["y"].astype(np.float64) - base) ** 2)
+        return 10 * np.log10(255 ** 2 / mse)
+
+    p_off = run(0)
+    p_on = run(1)
+    assert p_on > p_off + 1.0, (p_off, p_on)
