@@ -137,16 +137,63 @@ class Encoder:
                 self._eos_sent = True
             return
         qindex = self._rc.frame_qindex()
+        from svt_av1_tpu.codec import fast_ec
+        arrays_ok = (fast_ec.available() and qindex > 0
+                     and self.cfg.encoder_bit_depth == 8
+                     and not self.sp.enable_restoration
+                     and not self.sp.enable_cdef)
         results = intra_encoder.encode_intra_frames(
             [self._pad(y, u, v) for (y, u, v) in frames], qindex,
             modes=self._feat.intra_modes,
-            bd=self.cfg.encoder_bit_depth)
+            bd=self.cfg.encoder_bit_depth, as_arrays=arrays_ok)
         for decisions, recon in results:
-            self._packets.append(
-                self._packetize(decisions, recon, qindex, self._pts))
+            if arrays_ok:
+                self._packets.append(self._packetize_arrays(
+                    decisions, recon, qindex, self._pts))
+            else:
+                self._packets.append(
+                    self._packetize(decisions, recon, qindex, self._pts))
             self._pts += 1
         if eos:
             self._eos_sent = True
+
+    def _packetize_arrays(self, bundle, recon, qindex, pts) -> Packet:
+        """Array-native key-frame packetization (no per-block objects)."""
+        from svt_av1_tpu.codec import fast_ec
+        ym, um, qy, qu, qv, gh, gw = bundle
+        fp = obu.FrameParams(frame_type=obu.KEY_FRAME, show_frame=True,
+                             base_q_idx=qindex,
+                             render_width=self.render_w,
+                             render_height=self.render_h)
+        if self.cfg.film_grain_denoise_strength > 0:
+            from svt_av1_tpu.codec.film_grain import default_grain_params
+            fp.film_grain = default_grain_params(
+                self.cfg.film_grain_denoise_strength)
+        if self.cfg.enable_dlf_flag:
+            lvl_y = default_filter_level(qindex)
+            fp.filter_level = (lvl_y, lvl_y)
+            lvl_uv = max(0, lvl_y - 2)
+            fp.filter_level_uv = (lvl_uv, lvl_uv)
+            recon = intra_encoder.apply_loop_filter(recon, fp)
+        self._ref = {k: recon[k] for k in ("y", "u", "v")}
+        tenc = TileEncoder(self.sp.width, self.sp.height, qindex,
+                           update_cdfs=True, frame_is_intra=True)
+        tile_data = fast_ec.encode_intra_tile_arrays(tenc, ym, um, qy,
+                                                     qu, qv)
+        self._ref_cdfs = tenc.cdfs
+        self._ref_nmv = tenc.nmv
+        tu = obu.temporal_delimiter()
+        if pts == 0:
+            tu += obu.write_sequence_header(self.sp)
+        tu += obu.write_frame_obu(self.sp, fp, tile_data)
+        recon_out = dict(
+            y=recon["y"][:self.render_h, :self.render_w],
+            u=recon["u"][:(self.render_h + 1) // 2,
+                         :(self.render_w + 1) // 2],
+            v=recon["v"][:(self.render_h + 1) // 2,
+                         :(self.render_w + 1) // 2])
+        return Packet(data=tu, pts=pts, frame_type=obu.KEY_FRAME,
+                      recon=recon_out)
 
     def send_eos(self):
         self._eos_sent = True

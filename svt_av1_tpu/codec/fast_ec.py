@@ -82,6 +82,51 @@ class HybridEncoder:
             int(eob), int(dc_sign_ctx), bool(update))
 
 
+def encode_intra_tile_arrays(tenc, ym, um, qy, qu, qv) -> bytes:
+    """Array-native whole-tile C path (no per-block Python objects)."""
+    import svt_av1_tpu.codec.constants as cc
+    tx_types = np.zeros_like(ym)
+    return _run_tile(tenc, ym, um, tx_types,
+                     np.ascontiguousarray(qy, np.int32),
+                     np.ascontiguousarray(qu, np.int32),
+                     np.ascontiguousarray(qv, np.int32))
+
+
+def _run_tile(tenc, y_modes, uv_modes, tx_types, qy, qu, qv) -> bytes:
+    import svt_av1_tpu.codec.constants as cc
+    from svt_av1_tpu.codec.syntax import (AV1_EXT_TX_IND,
+                                          EXT_TX_SET_DTT4_IDTX)
+    cdfs = tenc.cdfs
+    scans = (_scan16(cc.TX_16X16, cc.DCT_DCT), _ctx_offsets8(cc.TX_16X16),
+             _scan16(cc.TX_8X8, cc.DCT_DCT), _ctx_offsets8(cc.TX_8X8),
+             np.ascontiguousarray(AV1_EXT_TX_IND[EXT_TX_SET_DTT4_IDTX],
+                                  dtype=np.uint8))
+    kf = cdfs.kf_y_mode
+    cdf_list = (
+        cdfs.partition,
+        kf.reshape(kf.shape[0] * kf.shape[1], kf.shape[2]),
+        cdfs.angle_delta,
+        cdfs.uv_mode[1],
+        cdfs.skip,
+        cdfs.intra_ext_tx[2][2],
+        cdfs.txb_skip[2], cdfs.txb_skip[1],
+        cdfs.eob_flag[256][0][0], cdfs.eob_flag[64][1][0],
+        cdfs.eob_extra[2][0], cdfs.eob_extra[1][1],
+        cdfs.dc_sign[0], cdfs.dc_sign[1],
+        cdfs.coeff_base[2][0], cdfs.coeff_base[1][1],
+        cdfs.coeff_base_eob[2][0], cdfs.coeff_base_eob[1][1],
+        cdfs.coeff_br[2][0], cdfs.coeff_br[1][1],
+    )
+    enc = HybridEncoder()
+    enc._n.encode_intra_tile(
+        int(tenc.mi_rows), int(tenc.mi_cols), 1, bool(tenc.update),
+        (np.ascontiguousarray(y_modes, np.uint8),
+         np.ascontiguousarray(uv_modes, np.uint8),
+         np.ascontiguousarray(tx_types, np.uint8),
+         qy, qu, qv), scans, cdf_list)
+    return enc.done()
+
+
 def encode_intra_tile(tenc, blocks) -> bytes:
     """Whole-tile C fast path for the fixed 16x16 intra grid.
 
@@ -107,31 +152,7 @@ def encode_intra_tile(tenc, blocks) -> bytes:
         qy[bi] = np.asarray(d.qcoeff_y, np.int32).reshape(-1)
         qu[bi] = np.asarray(d.qcoeff_u, np.int32).reshape(-1)
         qv[bi] = np.asarray(d.qcoeff_v, np.int32).reshape(-1)
-    scans = (_scan16(cc.TX_16X16, cc.DCT_DCT), _ctx_offsets8(cc.TX_16X16),
-             _scan16(cc.TX_8X8, cc.DCT_DCT), _ctx_offsets8(cc.TX_8X8),
-             np.ascontiguousarray(AV1_EXT_TX_IND[EXT_TX_SET_DTT4_IDTX],
-                                  dtype=np.uint8))
-    kf = cdfs.kf_y_mode
-    cdf_list = (
-        cdfs.partition,
-        kf.reshape(kf.shape[0] * kf.shape[1], kf.shape[2]),
-        cdfs.angle_delta,
-        cdfs.uv_mode[1],
-        cdfs.skip,
-        cdfs.intra_ext_tx[2][2],
-        cdfs.txb_skip[2], cdfs.txb_skip[1],
-        cdfs.eob_flag[256][0][0], cdfs.eob_flag[64][1][0],
-        cdfs.eob_extra[2][0], cdfs.eob_extra[1][1],
-        cdfs.dc_sign[0], cdfs.dc_sign[1],
-        cdfs.coeff_base[2][0], cdfs.coeff_base[1][1],
-        cdfs.coeff_base_eob[2][0], cdfs.coeff_base_eob[1][1],
-        cdfs.coeff_br[2][0], cdfs.coeff_br[1][1],
-    )
-    enc = HybridEncoder()
-    enc._n.encode_intra_tile(
-        int(tenc.mi_rows), int(tenc.mi_cols), 1, bool(tenc.update),
-        (y_modes, uv_modes, tx_types, qy, qu, qv), scans, cdf_list)
-    return enc.done()
+    return _run_tile(tenc, y_modes, uv_modes, tx_types, qy, qu, qv)
 
 
 @functools.lru_cache(maxsize=None)

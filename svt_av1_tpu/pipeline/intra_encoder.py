@@ -412,10 +412,12 @@ def _jit_frame_program_batch(nw, maxb, modes, bd=8):
     return jax.jit(batched)
 
 
-def encode_intra_frames(frames, qindex: int, modes=MODES, bd: int = 8):
+def encode_intra_frames(frames, qindex: int, modes=MODES, bd: int = 8,
+                        as_arrays: bool = False):
     """Batched all-intra encode: frames = [(y, u, v), ...] (same dims).
     Returns [(decisions, recon), ...].  One device program for the whole
-    batch."""
+    batch.  With ``as_arrays`` the decisions come back as the grid-array
+    bundle consumed by the C tile encoder (no per-block Python objects)."""
     h, w = frames[0][0].shape
     assert h % BLK == 0 and w % BLK == 0
     gh, gw = h // BLK, w // BLK
@@ -438,6 +440,24 @@ def encode_intra_frames(frames, qindex: int, modes=MODES, bd: int = 8):
         [np.asarray(o) for o in out]
     dt = np.uint8 if bd == 8 else np.uint16
     results = []
+    if as_arrays:
+        wi, wj, wby, wbx = _wave_flat_index(waves, maxb)
+        for fi in range(nf):
+            bid = wby * gw + wbx
+            ym = np.zeros(gh * gw, np.uint8)
+            um = np.zeros(gh * gw, np.uint8)
+            qy = np.zeros((gh * gw, BLK * BLK), np.int32)
+            qu = np.zeros((gh * gw, CBLK * CBLK), np.int32)
+            qv = np.zeros((gh * gw, CBLK * CBLK), np.int32)
+            ym[bid] = modes_acc[fi][wi, wj]
+            um[bid] = uv_acc[fi][wi, wj]
+            qy[bid] = qy_acc[fi][wi, wj].reshape(len(bid), -1)
+            qu[bid] = qu_acc[fi][wi, wj].reshape(len(bid), -1)
+            qv[bid] = qv_acc[fi][wi, wj].reshape(len(bid), -1)
+            recon = dict(y=ry[fi].astype(dt), u=ru[fi].astype(dt),
+                         v=rv[fi].astype(dt))
+            results.append(((ym, um, qy, qu, qv, gh, gw), recon))
+        return results
     for fi in range(nf):
         decisions = _collect_decisions(
             waves, gh, gw, modes_acc[fi], uv_acc[fi], qy_acc[fi],
@@ -446,6 +466,18 @@ def encode_intra_frames(frames, qindex: int, modes=MODES, bd: int = 8):
                      v=rv[fi].astype(dt))
         results.append((decisions, recon))
     return results
+
+
+def _wave_flat_index(waves, maxb):
+    """(wave_i, wave_j, by, bx) flat vectors over all scheduled blocks."""
+    wi, wj, wby, wbx = [], [], [], []
+    for i, wave in enumerate(waves):
+        for j, (by, bx) in enumerate(wave):
+            wi.append(i)
+            wj.append(j)
+            wby.append(by)
+            wbx.append(bx)
+    return (np.array(wi), np.array(wj), np.array(wby), np.array(wbx))
 
 
 def _schedule_arrays(gh, gw, maxb):
