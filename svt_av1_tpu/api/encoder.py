@@ -243,9 +243,17 @@ class Encoder:
             # spend more bits on them (rc_process.c kf boost analog)
             qindex = max(1, qindex - qindex // self._feat.kf_boost_div)
         if is_key:
-            decisions, recon = intra_encoder.encode_intra_frame(
-                y, u, v, qindex, modes=self._feat.intra_modes,
-                bd=self.cfg.encoder_bit_depth)
+            if self._feat.varpart and not self.cfg.enable_dlf_flag:
+                # 32/16 partition MD (quality presets; DLF must be off:
+                # interior 16-edges of a 32 transform are not deblocked)
+                from svt_av1_tpu.pipeline import varpart
+                decisions, recon = varpart.encode_intra_frame_varpart(
+                    y, u, v, qindex, modes=self._feat.intra_modes,
+                    bd=self.cfg.encoder_bit_depth)
+            else:
+                decisions, recon = intra_encoder.encode_intra_frame(
+                    y, u, v, qindex, modes=self._feat.intra_modes,
+                    bd=self.cfg.encoder_bit_depth)
         else:
             decisions, recon = inter_encoder.encode_inter_frame(
                 y, u, v, self._ref, qindex,

@@ -389,7 +389,10 @@ class TileEncoder(TileCoderBase):
         has_rows = (r4 + half) < self.mi_rows
         has_cols = (c4 + half) < self.mi_cols
         size = int(cc.block_size_wide[bsize])
-        part = (cc.PARTITION_NONE if size <= (self.leaf4 << 2)
+        # NONE where the decision map has a leaf of this exact size
+        d = self.blocks.get((r4, c4))
+        part = (cc.PARTITION_NONE
+                if d is not None and d.bsize == bsize
                 else cc.PARTITION_SPLIT)
 
         ctx_id = self.ctx.partition_ctx(r4, c4, bsize)

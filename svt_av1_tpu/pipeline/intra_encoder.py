@@ -42,25 +42,28 @@ def _morton(r: int, c: int) -> int:
     return (((r & 2) << 2) | ((c & 2) << 1) | ((r & 1) << 1) | (c & 1))
 
 
-def tr_bl_avail(by: int, bx: int, gh: int, gw: int):
+def tr_bl_avail(by: int, bx: int, gh: int, gw: int, m: int = 4):
     """(top-right, bottom-left) reconstructed-sample availability for a
-    16x16 block in the 64x64-SB z-order (spec intra edge availability;
-    exact for uniform square grids: a neighbor is available iff its
-    coding (z) order precedes ours)."""
-    r, c = by & 3, bx & 3
+    square block in the 64x64-SB z-order (spec intra edge availability;
+    exact for square partition trees: a neighbor is available iff its
+    coding (z) order precedes ours).
+
+    (by, bx) index the block's own-size grid; ``m`` is blocks-per-SB
+    side (4 for 16x16 blocks, 2 for 32x32)."""
+    r, c = by & (m - 1), bx & (m - 1)
     if by == 0 or bx + 1 >= gw:
         tr = False
     elif r == 0:
         tr = True
-    elif c == 3:
+    elif c == m - 1:
         tr = False
     else:
         tr = _morton(r - 1, c + 1) < _morton(r, c)
     if bx == 0 or by + 1 >= gh:
         bl = False
     elif c == 0:
-        bl = r < 3
-    elif r == 3:
+        bl = r < m - 1
+    elif r == m - 1:
         bl = False
     else:
         bl = _morton(r + 1, c - 1) < _morton(r, c)
@@ -139,7 +142,7 @@ def _gather_neighbors(recon, ys, xs, n, have_above, have_left, bd=8):
 def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
              qp_arrays, lam, n, tx_size, modes, plane_type,
              tx_types=None, tr_avail=None, bl_avail=None, bd=8,
-             inter=None):
+             inter=None, return_cost=False, no_write=False):
     """One wave step for one plane: returns (best_mode (B,), qcoeff
     (B,kh,kw), new recon[, choose_inter (B,)]).  ys/xs: (B,) pixel
     coords (traced ok).
@@ -235,9 +238,13 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
         best_cost = jnp.min(cost, axis=0)
         choose = inter_cost < best_cost
         best_rec = jnp.where(choose[:, None, None], inter_rec, best_rec)
+    if no_write:
+        return best_mode, best_q, best_rec, jnp.min(cost, axis=0)
     recon = _scatter_blocks(recon, best_rec, ys, xs, valid)
     if inter is not None:
         return best_mode, best_q, recon, choose
+    if return_cost:
+        return best_mode, best_q, recon, jnp.min(cost, axis=0)
     return best_mode, best_q, recon
 
 
@@ -297,14 +304,13 @@ def _jit_frame_program(nw, maxb, modes, bd=8):
 
 def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
                     have_above, have_left, qp_arrays, lam, bd=8,
-                    inter=None):
+                    inter=None, n=CBLK, tx_size=cc.TX_8X8,
+                    return_cost=False, no_write=False):
     """Joint U+V mode decision (uv_mode is signaled once per block); the
     chroma transform type is implied by the mode (not signaled).
 
     inter: optional (choose (B,), rec_u, rec_v) — blocks whose luma step
     chose the inter candidate take the precomputed inter chroma recon."""
-    n = CBLK
-    tx_size = cc.TX_8X8
     zbin, rnd, qv_, qshift, deq = qp_arrays
     qp = quant.QuantParams(zbin, rnd, qv_, qshift, deq)
     nb_u = _gather_neighbors(recon_u, ys, xs, n, have_above, have_left,
@@ -365,6 +371,8 @@ def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
         c3 = choose[:, None, None]
         rec_u = jnp.where(c3, irec_u, rec_u)
         rec_v = jnp.where(c3, irec_v, rec_v)
+    if no_write:
+        return um, qu, qvq, rec_u, rec_v
     recon_u = _scatter_blocks(recon_u, rec_u, ys, xs, valid)
     recon_v = _scatter_blocks(recon_v, rec_v, ys, xs, valid)
     return um, qu, qvq, recon_u, recon_v
@@ -618,32 +626,55 @@ def reconstruct_from_decisions(decisions: Dict, width: int, height: int,
                                qindex: int, bd: int = 8
                                ) -> Dict[str, np.ndarray]:
     """Decoder-side reconstruction from parsed BlockDecisions — shares the
-    same wave pipeline ops (used by the verification decoder)."""
-    gh, gw = height // BLK, width // BLK
-    qp = quant.make_quant_params(qindex, bd=bd)
-    recon_y = jnp.zeros((height, width), jnp.int32)
-    recon_u = jnp.zeros((height // 2, width // 2), jnp.int32)
-    recon_v = jnp.zeros_like(recon_u)
-
+    same wave pipeline ops (used by the verification decoder).  Handles
+    mixed square leaf sizes (16/32) by walking SBs in z-order."""
+    from svt_av1_tpu.codec.syntax import MAX_TX, max_chroma_tx_size
     from svt_av1_tpu.codec.syntax import _chroma_tx_type
-    for by in range(gh):
-        for bx in range(gw):
-            d = decisions[(by * 4, bx * 4)]
-            tr, bl = tr_bl_avail(by, bx, gh, gw)
-            recon_y = _recon_block(recon_y, d.qcoeff_y, d.y_mode, by * BLK,
-                                   bx * BLK, BLK, cc.TX_16X16, d.tx_type,
-                                   qp, tr, bl, bd)
-            uv_tx = _chroma_tx_type(d.uv_mode, cc.TX_8X8)
-            recon_u = _recon_block(recon_u, d.qcoeff_u, d.uv_mode, by * CBLK,
-                                   bx * CBLK, CBLK, cc.TX_8X8, uv_tx, qp,
-                                   bd=bd)
-            recon_v = _recon_block(recon_v, d.qcoeff_v, d.uv_mode, by * CBLK,
-                                   bx * CBLK, CBLK, cc.TX_8X8, uv_tx, qp,
-                                   bd=bd)
+    mi_rows, mi_cols = height // 4, width // 4
+    qp = quant.make_quant_params(qindex, bd=bd)
+    state = dict(y=jnp.zeros((height, width), jnp.int32),
+                 u=jnp.zeros((height // 2, width // 2), jnp.int32),
+                 v=jnp.zeros((height // 2, width // 2), jnp.int32))
+
+    def leaf(d):
+        n = int(cc.block_size_wide[d.bsize])
+        n4 = n >> 2
+        m = 16 // n4
+        gh_n, gw_n = height // n, width // n
+        tr, bl = tr_bl_avail(d.r4 // n4, d.c4 // n4, gh_n, gw_n, m=m)
+        tx = MAX_TX[d.bsize]
+        state["y"] = _recon_block(state["y"], d.qcoeff_y, d.y_mode,
+                                  d.r4 * 4, d.c4 * 4, n, tx, d.tx_type,
+                                  qp, tr, bl, bd)
+        ctx_tx = max_chroma_tx_size(d.bsize)
+        cn = n >> 1
+        uv_tx = _chroma_tx_type(d.uv_mode, ctx_tx)
+        for p in ("u", "v"):
+            q = d.qcoeff_u if p == "u" else d.qcoeff_v
+            state[p] = _recon_block(state[p], q, d.uv_mode, d.r4 * 2,
+                                    d.c4 * 2, cn, ctx_tx, uv_tx, qp,
+                                    bd=bd)
+
+    def walk(r4, c4, size):
+        if r4 >= mi_rows or c4 >= mi_cols:
+            return
+        d = decisions.get((r4, c4))
+        if d is not None and int(cc.block_size_wide[d.bsize]) == size:
+            leaf(d)
+            return
+        half = size >> 3  # mi units of half block
+        walk(r4, c4, size >> 1)
+        walk(r4, c4 + half, size >> 1)
+        walk(r4 + half, c4, size >> 1)
+        walk(r4 + half, c4 + half, size >> 1)
+
+    for sb_r in range(0, mi_rows, 16):
+        for sb_c in range(0, mi_cols, 16):
+            walk(sb_r, sb_c, 64)
     dt = np.uint8 if bd == 8 else np.uint16
-    return dict(y=np.asarray(recon_y).astype(dt),
-                u=np.asarray(recon_u).astype(dt),
-                v=np.asarray(recon_v).astype(dt))
+    return dict(y=np.asarray(state["y"]).astype(dt),
+                u=np.asarray(state["u"]).astype(dt),
+                v=np.asarray(state["v"]).astype(dt))
 
 
 @functools.lru_cache(maxsize=None)

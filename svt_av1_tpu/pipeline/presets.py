@@ -26,13 +26,14 @@ class PresetFeatures:
     cdef_candidates: int   # prefix of cdef_stage.SEARCH_SET
     lr_eps: Tuple[int, ...]
     kf_boost_div: int      # key-frame qindex boost = qindex // div
+    varpart: bool = False  # 32/16 square partition MD (intra frames)
 
 
 def features_for(enc_mode: int) -> PresetFeatures:
     m = max(0, min(13, int(enc_mode)))
     if m <= 4:        # quality presets
         return PresetFeatures(_ALL_MODES, 8, 7, True, 8,
-                              tuple(range(16)), 3)
+                              tuple(range(16)), 3, varpart=True)
     if m <= 8:
         return PresetFeatures(_ALL_MODES[:8], 8, 5, True, 6,
                               tuple(range(0, 16, 2)), 3)
