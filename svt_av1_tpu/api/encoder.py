@@ -77,6 +77,8 @@ class Encoder:
         self._eos_sent = False
         self._la: Deque = deque()      # lookahead source frames
         self._tf_hist = []             # last raw frame (TF backward ref)
+        self._prev_hist = None         # luma histogram (scene-cut det)
+        self._scene_cut = False
         # decoded-picture buffer (slot 0): last refreshed recon at the
         # coded size, post loop filter — what the decoder predicts from
         self._ref: Optional[Dict[str, np.ndarray]] = None
@@ -114,6 +116,8 @@ class Encoder:
                     and len(self._la) < 3 and not flush):
                 return  # wait for lookahead
             y, u, v = self._la.popleft()
+            if self.cfg.intra_period_length not in (-2, 0):
+                self._detect_scene_cut(y)
             if self._tf_active() and self._frame_is_key(self._pts):
                 from svt_av1_tpu.pipeline import tf_stage
                 neighbors = list(self._tf_hist) + list(self._la)[:2]
@@ -225,13 +229,28 @@ class Encoder:
     def _frame_is_key(self, pts: int) -> bool:
         """GOP structure from intra_period_length (SVT semantics):
         -2 auto (round 1: all intra), 0 all intra, -1 first frame only,
-        N>0 a key frame every N+1 frames."""
+        N>0 a key frame every N+1 frames.  Scene cuts (histogram
+        distance, the picture-decision analog of pd_process.c:274)
+        force a key frame in GOP modes."""
         period = self.cfg.intra_period_length
         if period in (-2, 0):
+            return True
+        if self._scene_cut:
             return True
         if period == -1:
             return pts == 0
         return pts % (period + 1) == 0
+
+    def _detect_scene_cut(self, y: np.ndarray) -> None:
+        hist = np.bincount(np.asarray(y, np.uint8).reshape(-1) >> 3,
+                           minlength=32).astype(np.float64)
+        hist /= hist.sum()
+        if self._prev_hist is None:
+            self._scene_cut = False
+        else:
+            sad = float(np.abs(hist - self._prev_hist).sum())
+            self._scene_cut = sad > 0.55
+        self._prev_hist = hist
 
     def _encode_frame(self, y, u, v, pts) -> Packet:
         qindex = self._rc.frame_qindex()

@@ -51,3 +51,31 @@ def test_level_selection():
     assert obu.choose_level(352, 288) == 0      # 2.0
     assert obu.choose_level(1920, 1080) == 8    # 4.0
     assert obu.choose_level(3840, 2160) == 12   # 5.0
+
+
+def test_scene_cut_inserts_key_frame():
+    """Picture-decision analog: a histogram scene change forces a key
+    frame inside an inter GOP, and the stream still decodes exactly."""
+    import numpy as np
+    from svt_av1_tpu.api.config import EncoderConfig
+    from svt_av1_tpu.api.encoder import Encoder
+    from svt_av1_tpu.codec.decoder import Decoder
+    rng = np.random.default_rng(0)
+    h, w = 96, 128
+    s1 = np.clip(80 + rng.normal(0, 5, (h, w)), 0, 255).astype(np.uint8)
+    s2 = np.clip(190 + rng.normal(0, 5, (h, w)), 0, 255).astype(np.uint8)
+    u = np.full((h // 2, w // 2), 100, np.uint8)
+    v = np.full((h // 2, w // 2), 120, np.uint8)
+    cfg = EncoderConfig(source_width=w, source_height=h, qp=45,
+                        intra_period_length=-1, enc_mode=10)
+    enc = Encoder(cfg)
+    dec = Decoder()
+    types = []
+    for i, y in enumerate([s1, s1, s1, s2, s2]):
+        enc.send_picture(y, u, v, eos=(i == 4))
+        p = enc.get_packet()
+        types.append(p.frame_type)
+        rec = dec.decode_temporal_unit(p.data)[0]
+        for pl in ("y", "u", "v"):
+            assert np.array_equal(rec[pl], p.recon[pl]), (i, pl)
+    assert types == [0, 1, 1, 0, 1]
