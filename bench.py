@@ -48,22 +48,21 @@ def main():
     frames = synth_frames(FRAMES)
     cfg = EncoderConfig(source_width=W, source_height=H, qp=35)
     enc = Encoder(cfg)
-    batch = 32
     # warmup (compile the batched frame program)
-    enc.send_pictures(frames[:batch])
+    enc.send_pictures(frames[:32])
     while enc.get_packet():
         pass
     t0 = time.time()
     nbytes = 0
     done = 0
-    for i in range(0, len(frames), batch):
-        enc.send_pictures(frames[i:i + batch])
-        while True:
-            p = enc.get_packet()
-            if p is None:
-                break
-            nbytes += len(p.data)
-            done += 1
+    # one submit: the encoder pipelines device chunks against host EC
+    enc.send_pictures(frames)
+    while True:
+        p = enc.get_packet()
+        if p is None:
+            break
+        nbytes += len(p.data)
+        done += 1
     dt = time.time() - t0
     fps = done / dt
     print(json.dumps({

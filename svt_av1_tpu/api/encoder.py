@@ -79,6 +79,9 @@ class Encoder:
         self._tf_hist = []             # last raw frame (TF backward ref)
         self._prev_hist = None         # luma histogram (scene-cut det)
         self._scene_cut = False
+        # 2-pass: collect stats in pass 1; apply the plan in pass 2
+        self._fp_stats = [] if config.pass_ == 1 else None
+        self._q_plan = None
         # decoded-picture buffer (slot 0): last refreshed recon at the
         # coded size, post loop filter — what the decoder predicts from
         self._ref: Optional[Dict[str, np.ndarray]] = None
@@ -90,6 +93,14 @@ class Encoder:
         self._rc = RateControlState.create(config, fps)
         from svt_av1_tpu.pipeline.presets import features_for
         self._feat = features_for(config.enc_mode)
+        if config.pass_ == 2 and config.rc_stats_buffer:
+            from svt_av1_tpu.pipeline import rate_control as rc_mod
+            stats = rc_mod.unpack_first_pass_stats(config.rc_stats_buffer)
+            self._q_plan = rc_mod.plan_second_pass(
+                stats, config.target_bit_rate, fps,
+                min_q=max(4, config.min_qp_allowed * 4),
+                max_q=min(255, config.max_qp_allowed * 4))
+            self._rc.two_pass_q = self._q_plan
 
     # -- API surface ---------------------------------------------------------
     def stream_header(self) -> bytes:
@@ -146,18 +157,33 @@ class Encoder:
                      and self.cfg.encoder_bit_depth == 8
                      and not self.sp.enable_restoration
                      and not self.sp.enable_cdef)
-        results = intra_encoder.encode_intra_frames(
-            [self._pad(y, u, v) for (y, u, v) in frames], qindex,
-            modes=self._feat.intra_modes,
-            bd=self.cfg.encoder_bit_depth, as_arrays=arrays_ok)
-        for decisions, recon in results:
-            if arrays_ok:
-                self._packets.append(self._packetize_arrays(
-                    decisions, recon, qindex, self._pts))
-            else:
-                self._packets.append(
-                    self._packetize(decisions, recon, qindex, self._pts))
-            self._pts += 1
+
+        def emit(results):
+            for decisions, recon in results:
+                if arrays_ok:
+                    self._packets.append(self._packetize_arrays(
+                        decisions, recon, qindex, self._pts))
+                else:
+                    self._packets.append(self._packetize(
+                        decisions, recon, qindex, self._pts))
+                self._pts += 1
+
+        # overlap: device compute of chunk k+1 runs while the host
+        # entropy-codes chunk k (JAX dispatch is asynchronous)
+        CH = 32
+        padded = [self._pad(y, u, v) for (y, u, v) in frames]
+        pending = None
+        for i in range(0, len(padded), CH):
+            launched = intra_encoder.encode_intra_frames_launch(
+                padded[i:i + CH], qindex, modes=self._feat.intra_modes,
+                bd=self.cfg.encoder_bit_depth)
+            if pending is not None:
+                emit(intra_encoder.encode_intra_frames_finish(
+                    pending, as_arrays=arrays_ok))
+            pending = launched
+        if pending is not None:
+            emit(intra_encoder.encode_intra_frames_finish(
+                pending, as_arrays=arrays_ok))
         if eos:
             self._eos_sent = True
 
@@ -252,12 +278,22 @@ class Encoder:
             self._scene_cut = sad > 0.55
         self._prev_hist = hist
 
+    def get_stats(self) -> bytes:
+        """First-pass stats blob for pass 2 (svt_av1_enc_get... analog;
+        feed back via EncoderConfig.rc_stats_buffer)."""
+        from svt_av1_tpu.pipeline import rate_control as rc_mod
+        assert self._fp_stats is not None, "not a pass-1 encoder"
+        return rc_mod.pack_first_pass_stats(self._fp_stats)
+
     def _encode_frame(self, y, u, v, pts) -> Packet:
-        qindex = self._rc.frame_qindex()
+        if self._q_plan is not None and pts < len(self._q_plan):
+            qindex = int(self._q_plan[pts])
+        else:
+            qindex = self._rc.frame_qindex()
         y, u, v = self._pad(y, u, v)
         is_key = self._frame_is_key(pts) or self._ref is None
         gop_has_inter = self.cfg.intra_period_length not in (-2, 0)
-        if is_key and gop_has_inter:
+        if is_key and gop_has_inter and self._q_plan is None:
             # key-frame boost: keys are referenced by the whole GOP, so
             # spend more bits on them (rc_process.c kf boost analog)
             qindex = max(1, qindex - qindex // self._feat.kf_boost_div)
@@ -284,6 +320,9 @@ class Encoder:
         pkt = self._packetize(decisions, recon, qindex, pts,
                               is_key=is_key, src=dict(y=y, u=u, v=v))
         self._rc.update(len(pkt.data) * 8)
+        if self._fp_stats is not None:
+            self._fp_stats.append((len(pkt.data) * 8, qindex,
+                                   float(is_key)))
         return pkt
 
     def _packetize(self, decisions, recon, qindex, pts,

@@ -420,18 +420,15 @@ def _jit_frame_program_batch(nw, maxb, modes, bd=8):
     return jax.jit(batched)
 
 
-def encode_intra_frames(frames, qindex: int, modes=MODES, bd: int = 8,
-                        as_arrays: bool = False):
-    """Batched all-intra encode: frames = [(y, u, v), ...] (same dims).
-    Returns [(decisions, recon), ...].  One device program for the whole
-    batch.  With ``as_arrays`` the decisions come back as the grid-array
-    bundle consumed by the C tile encoder (no per-block Python objects)."""
+def encode_intra_frames_launch(frames, qindex: int, modes=MODES,
+                               bd: int = 8):
+    """Asynchronously dispatch the batched frame program (JAX dispatch
+    is non-blocking); pair with encode_intra_frames_finish.  Enables
+    host EC of batch k to overlap device compute of batch k+1."""
     h, w = frames[0][0].shape
     assert h % BLK == 0 and w % BLK == 0
     gh, gw = h // BLK, w // BLK
     maxb = min(gh, gw)
-    nf = len(frames)
-
     qp_y = quant.make_quant_params(qindex, bd=bd)
     qstep = quant.dc_q(qindex, bd=bd) / 8.0
     lam = np.float32(0.7 * qstep * qstep)
@@ -444,12 +441,27 @@ def encode_intra_frames(frames, qindex: int, modes=MODES, bd: int = 8,
     out = prog(np.zeros_like(sy), np.zeros_like(su), np.zeros_like(su),
                sy, su, sv, bys, bxs, valid, trs, bls,
                *(np.asarray(a) for a in qp_y), lam)
+    return (out, waves, gh, gw, len(frames), bd)
+
+
+def encode_intra_frames(frames, qindex: int, modes=MODES, bd: int = 8,
+                        as_arrays: bool = False):
+    """Batched all-intra encode: frames = [(y, u, v), ...] (same dims).
+    Returns [(decisions, recon), ...].  One device program for the whole
+    batch.  With ``as_arrays`` the decisions come back as the grid-array
+    bundle consumed by the C tile encoder (no per-block Python objects)."""
+    pending = encode_intra_frames_launch(frames, qindex, modes, bd)
+    return encode_intra_frames_finish(pending, as_arrays)
+
+
+def encode_intra_frames_finish(pending, as_arrays: bool = False):
+    out, waves, gh, gw, nf, bd = pending
     (ry, ru, rv, modes_acc, uv_acc, qy_acc, qu_acc, qv_acc) = \
         [np.asarray(o) for o in out]
     dt = np.uint8 if bd == 8 else np.uint16
     results = []
     if as_arrays:
-        wi, wj, wby, wbx = _wave_flat_index(waves, maxb)
+        wi, wj, wby, wbx = _wave_flat_index(waves, 0)
         for fi in range(nf):
             bid = wby * gw + wbx
             ym = np.zeros(gh * gw, np.uint8)

@@ -48,6 +48,8 @@ class RateControlState:
         RC_PACKETIZATION_FEEDBACK_RESULT path)."""
         if self.mode == 0:
             return
+        if getattr(self, "two_pass_q", None) is not None:
+            return  # 2nd pass: per-frame q comes from the stats plan
         err = frame_bits - self.target_bits_per_frame
         self.buffer_bits += err
         # proportional on the frame error + integral on the buffer
@@ -60,3 +62,50 @@ class RateControlState:
         if self.mode == 2:
             cap = self.target_bits_per_frame * 30
             self.buffer_bits = float(np.clip(self.buffer_bits, -cap, cap))
+
+
+# ---------------------------------------------------------------------------
+# 2-pass VBR (reference: firstpass.c stats + pass2_strategy.c allocation)
+# ---------------------------------------------------------------------------
+
+STATS_MAGIC = b"SVTTPU1P"
+
+
+def pack_first_pass_stats(entries) -> bytes:
+    """entries: list of (frame_bits, qindex, is_key).  The first-pass
+    analog of FIRSTPASS_STATS (firstpass.h), serialized for
+    rc_stats_buffer."""
+    arr = np.array(entries, dtype=np.float64)
+    return STATS_MAGIC + arr.tobytes()
+
+
+def unpack_first_pass_stats(buf: bytes) -> np.ndarray:
+    assert buf[:8] == STATS_MAGIC, "bad first-pass stats buffer"
+    return np.frombuffer(buf[8:], dtype=np.float64).reshape(-1, 3)
+
+
+def plan_second_pass(stats: np.ndarray, target_bit_rate: float,
+                     fps: float, min_q: int = 4, max_q: int = 255
+                     ) -> np.ndarray:
+    """Per-frame qindex plan from first-pass complexity.
+
+    Bit allocation proportional to first-pass bits (complexity proxy),
+    inverted through the R ~ 1/qstep model around the first-pass
+    operating point (the pass2_strategy.c group-allocation analog,
+    flattened to per-frame for the round-1 IPPP structure)."""
+    from svt_av1_tpu.ops.quant import ac_q
+    n = len(stats)
+    total_budget = target_bit_rate / max(fps, 1e-6) * n
+    bits1 = np.maximum(stats[:, 0], 1.0)
+    q1 = stats[:, 1].astype(np.int32)
+    # proportional allocation with a mild flattening exponent (avoids
+    # starving easy frames entirely)
+    share = bits1 ** 0.75
+    target = total_budget * share / share.sum()
+    qsteps1 = np.array([ac_q(int(q), bd=8) for q in q1], np.float64)
+    # R ~ c / qstep  =>  qstep2 = qstep1 * bits1 / target
+    qstep2 = qsteps1 * bits1 / np.maximum(target, 1.0)
+    # invert qstep -> qindex by table search
+    table = np.array([ac_q(i, bd=8) for i in range(256)], np.float64)
+    plan = np.searchsorted(table, qstep2).clip(min_q, max_q)
+    return plan.astype(np.int32)
