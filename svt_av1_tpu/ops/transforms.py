@@ -319,6 +319,36 @@ def fwd_txfm2d(residual: jnp.ndarray, tx_type: int, tx_size: int
     return jnp.round(y).astype(jnp.int32)
 
 
+@functools.lru_cache(maxsize=None)
+def coeff_sse_scale(tx_size: int, tx_type: int) -> float:
+    """Empirical pixel-SSE per unit coefficient-SSE for this transform.
+
+    Used for transform-domain distortion estimation in mode decision
+    (the reference's fast-stage distortion shortcut): for near-orthogonal
+    AV1 transforms, pixel SSE ~= s2 * sum((coeff - dequant)^2).  Measured
+    once per (size, type) through the real integer inverse (includes all
+    stage shifts/rounding)."""
+    import jax
+    import numpy as np
+    rng = np.random.default_rng(0)
+    _, w, h, _ = txfm_block_dims(tx_size)
+    B = 8
+    # callable from inside jit traces (static args): force eager eval
+    with jax.ensure_compile_time_eval():
+        r = rng.integers(-200, 201, (B, h, w)).astype(np.int32)
+        c = np.asarray(fwd_txfm2d(r, tx_type, tx_size))
+        x1 = np.round(c).astype(np.int32)
+        d = rng.integers(-40, 41, x1.shape).astype(np.int32)
+        pred = np.full((B, h, w), 512, np.int32)
+        rec1 = np.asarray(inv_txfm2d_add(x1, pred, tx_type, tx_size,
+                                         bd=10))
+        rec2 = np.asarray(inv_txfm2d_add(x1 + d, pred, tx_type, tx_size,
+                                         bd=10))
+    num = float(((rec2 - rec1).astype(np.int64) ** 2).sum())
+    den = float((d.astype(np.int64) ** 2).sum())
+    return num / max(den, 1.0)
+
+
 def txfm_block_dims(tx_size: int) -> Tuple[int, int, int, int]:
     """(W, H, coded_W, coded_H) for a tx size."""
     w = int(cc.tx_size_wide[tx_size])

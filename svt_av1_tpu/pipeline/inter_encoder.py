@@ -72,17 +72,32 @@ def _pass_a_fn(nb, K, bd=8):
         resid = src_blk - pred
         coeffs = tf.fwd_txfm2d(resid, cc.DCT_DCT, cc.TX_16X16)
         qc, dq = quant.quantize(coeffs, qp, cc.TX_16X16)
-        rec = tf.inv_txfm2d_add(dq, pred, cc.DCT_DCT, cc.TX_16X16, bd=bd)
-        dist = jnp.sum((rec - src_blk) ** 2, axis=(1, 2)).astype(
-            jnp.float32)
+        s2 = np.float32(tf.coeff_sse_scale(cc.TX_16X16, cc.DCT_DCT))
+        dist = s2 * jnp.sum((coeffs - dq.astype(jnp.float32)) ** 2,
+                            axis=(1, 2))
         bits = _coeff_bits(qc) + _mv_bits(mvsK)
         cost = (dist + lam * bits).reshape(K, nb)
         kbest = jnp.argmin(cost, axis=0)                 # (nb,)
-        sel = kbest * nb + jnp.arange(nb)
-        best_cost = cost.reshape(K * nb)[sel]
-        best_mv = mvsK[sel]
-        best_qy = qc[sel]
-        best_rec_y = rec[sel]
+        best_cost = cost[0]
+        best_mv = mvsK[:nb]
+        best_qy = qc[:nb]
+        best_dq = dq[:nb]
+        best_pred = pred[:nb]
+        qk = qc.reshape(K, nb, BLK, BLK)
+        dqk = dq.reshape(K, nb, BLK, BLK)
+        pk_ = pred.reshape(K, nb, BLK, BLK)
+        mvk = mvsK.reshape(K, nb, 2)
+        for k in range(1, K):
+            take = kbest == k
+            t3 = take[:, None, None]
+            best_cost = jnp.where(take, cost[k], best_cost)
+            best_mv = jnp.where(take[:, None], mvk[k], best_mv)
+            best_qy = jnp.where(t3, qk[k], best_qy)
+            best_dq = jnp.where(t3, dqk[k], best_dq)
+            best_pred = jnp.where(t3, pk_[k], best_pred)
+        # normative reconstruction only for the winning candidate
+        best_rec_y = tf.inv_txfm2d_add(best_dq, best_pred, cc.DCT_DCT,
+                                       cc.TX_16X16, bd=bd)
         # chroma at the winning MV
         cys = ys // 2
         cxs = xs // 2
