@@ -345,8 +345,6 @@ class Encoder:
             # BOTH frame types: every filtered edge is a block (PU) edge,
             # and the spec filters PU edges regardless of skip
             # (deblocking_filter.c:260 `... || pu_edge`)
-            assert self.cfg.encoder_bit_depth == 8, \
-                "deblocking wired for 8-bit only (10-bit lands next)"
             lvl_y = default_filter_level(qindex)
             fp.filter_level = (lvl_y, lvl_y)
             lvl_uv = max(0, lvl_y - 2)

@@ -30,9 +30,9 @@ def loop_filter_thresholds(level: int, sharpness: int = 0
     return 2 * (level + 2) + lim, lim, level >> 4
 
 
-def _sc(x):
-    """signed char clamp."""
-    return jnp.clip(x, -128, 127)
+def _sc(x, shift=0):
+    """signed char clamp, scaled for high bit depth (bd-8 shift)."""
+    return jnp.clip(x, -128 << shift, (128 << shift) - 1)
 
 
 def _r3(x):
@@ -44,13 +44,19 @@ def _r4(x):
 
 
 def filter_lines(lines: jnp.ndarray, blimit: int, limit: int, thresh: int,
-                 filter_len: int) -> jnp.ndarray:
+                 filter_len: int, bd: int = 8) -> jnp.ndarray:
     """Filter a batch of edge-perpendicular pixel lines.
 
     lines: (L, 14) int32, samples p6..p0 (cols 0..6) then q0..q6
            (cols 7..13); the edge sits between cols 6 and 7.
     filter_len in {4, 6, 8, 14}.  Returns filtered (L, 14).
-    Bit-exact with svt_aom_lpf_*_{4,6,8,14}_c."""
+    Bit-exact with svt_aom_lpf_*_{4,6,8,14}_c and the highbd variants
+    (thresholds/clamps scaled by bd-8)."""
+    sh = bd - 8
+    blimit <<= sh
+    limit <<= sh
+    thresh <<= sh
+    flat_th = 1 << sh
     x = jnp.asarray(lines).astype(jnp.int32)
     p = {i: x[:, 6 - i] for i in range(7)}
     q = {i: x[:, 7 + i] for i in range(7)}
@@ -73,17 +79,18 @@ def filter_lines(lines: jnp.ndarray, blimit: int, limit: int, thresh: int,
                  | outer)
 
     # ---- filter4 (always computed; used where not flat) ----
-    ps1, ps0 = p[1] - 128, p[0] - 128
-    qs0, qs1 = q[0] - 128, q[1] - 128
-    f = jnp.where(hev, _sc(ps1 - qs1), 0)
-    f = jnp.where(mask, _sc(f + 3 * (qs0 - ps0)), 0)
-    f1 = _sc(f + 4) >> 3
-    f2 = _sc(f + 3) >> 3
-    n_q0 = _sc(qs0 - f1) + 128
-    n_p0 = _sc(ps0 + f2) + 128
+    off = 128 << sh
+    ps1, ps0 = p[1] - off, p[0] - off
+    qs0, qs1 = q[0] - off, q[1] - off
+    f = jnp.where(hev, _sc(ps1 - qs1, sh), 0)
+    f = jnp.where(mask, _sc(f + 3 * (qs0 - ps0), sh), 0)
+    f1 = _sc(f + 4, sh) >> 3
+    f2 = _sc(f + 3, sh) >> 3
+    n_q0 = _sc(qs0 - f1, sh) + off
+    n_p0 = _sc(ps0 + f2, sh) + off
     fo = jnp.where(hev, 0, (f1 + 1) >> 1)
-    n_q1 = _sc(qs1 - fo) + 128
-    n_p1 = _sc(ps1 + fo) + 128
+    n_q1 = _sc(qs1 - fo, sh) + off
+    n_p1 = _sc(ps1 + fo, sh) + off
 
     out = x
     out = out.at[:, 5].set(n_p1)
@@ -94,8 +101,8 @@ def filter_lines(lines: jnp.ndarray, blimit: int, limit: int, thresh: int,
         return out
 
     if filter_len == 6:
-        flat = ~((ad(p[1], p[0]) > 1) | (ad(q[1], q[0]) > 1)
-                 | (ad(p[2], p[0]) > 1) | (ad(q[2], q[0]) > 1))
+        flat = ~((ad(p[1], p[0]) > flat_th) | (ad(q[1], q[0]) > flat_th)
+                 | (ad(p[2], p[0]) > flat_th) | (ad(q[2], q[0]) > flat_th))
         wide = flat & mask
         w_p1 = (p[2] * 3 + p[1] * 2 + p[0] * 2 + q[0] + 4) >> 3
         w_p0 = (p[2] + p[1] * 2 + p[0] * 2 + q[0] * 2 + q[1] + 4) >> 3
@@ -107,9 +114,9 @@ def filter_lines(lines: jnp.ndarray, blimit: int, limit: int, thresh: int,
         out = out.at[:, 8].set(jnp.where(wide, w_q1, out[:, 8]))
         return out
 
-    flat = ~((ad(p[1], p[0]) > 1) | (ad(q[1], q[0]) > 1)
-             | (ad(p[2], p[0]) > 1) | (ad(q[2], q[0]) > 1)
-             | (ad(p[3], p[0]) > 1) | (ad(q[3], q[0]) > 1))
+    flat = ~((ad(p[1], p[0]) > flat_th) | (ad(q[1], q[0]) > flat_th)
+             | (ad(p[2], p[0]) > flat_th) | (ad(q[2], q[0]) > flat_th)
+             | (ad(p[3], p[0]) > flat_th) | (ad(q[3], q[0]) > flat_th))
     wide = flat & mask
     w_p2 = (p[3] * 3 + 2 * p[2] + p[1] + p[0] + q[0] + 4) >> 3
     w_p1 = (p[3] * 2 + p[2] + 2 * p[1] + p[0] + q[0] + q[1] + 4) >> 3
@@ -127,9 +134,9 @@ def filter_lines(lines: jnp.ndarray, blimit: int, limit: int, thresh: int,
         return out
 
     # filter14: second flatness test over the wide support
-    flat2 = ~((ad(p[4], p[0]) > 1) | (ad(q[4], q[0]) > 1)
-              | (ad(p[5], p[0]) > 1) | (ad(q[5], q[0]) > 1)
-              | (ad(p[6], p[0]) > 1) | (ad(q[6], q[0]) > 1))
+    flat2 = ~((ad(p[4], p[0]) > flat_th) | (ad(q[4], q[0]) > flat_th)
+              | (ad(p[5], p[0]) > flat_th) | (ad(q[5], q[0]) > flat_th)
+              | (ad(p[6], p[0]) > flat_th) | (ad(q[6], q[0]) > flat_th))
     vwide = flat2 & flat & mask
     o = {}
     o[5] = (p[6] * 7 + p[5] * 2 + p[4] * 2 + p[3] + p[2] + p[1] + p[0]
@@ -164,7 +171,7 @@ def filter_lines(lines: jnp.ndarray, blimit: int, limit: int, thresh: int,
 
 
 def loop_filter_plane_uniform(plane: jnp.ndarray, step: int, level: int,
-                              sharpness: int, filter_len: int
+                              sharpness: int, filter_len: int, bd: int = 8
                               ) -> jnp.ndarray:
     """Filter a plane whose tx/block grid is uniform with pitch ``step``
     (round-1 pipeline: luma step 16 / len 14, chroma step 8 / len 6).
@@ -181,7 +188,7 @@ def loop_filter_plane_uniform(plane: jnp.ndarray, step: int, level: int,
     if len(edges):
         cols = edges[:, None] + np.arange(-7, 7)[None]  # (E, 14)
         lines = x[:, cols].transpose(1, 0, 2).reshape(-1, 14)
-        f = filter_lines(lines, blimit, limit, thresh, filter_len)
+        f = filter_lines(lines, blimit, limit, thresh, filter_len, bd)
         f = f.reshape(len(edges), h, 14).transpose(1, 0, 2)
         x = x.at[:, cols].set(f)
 
@@ -190,7 +197,7 @@ def loop_filter_plane_uniform(plane: jnp.ndarray, step: int, level: int,
     if len(redges):
         rows = redges[:, None] + np.arange(-7, 7)[None]
         lines = x[rows, :].transpose(0, 2, 1).reshape(-1, 14)
-        f = filter_lines(lines, blimit, limit, thresh, filter_len)
+        f = filter_lines(lines, blimit, limit, thresh, filter_len, bd)
         f = f.reshape(len(redges), w, 14).transpose(0, 2, 1)
         x = x.at[rows, :].set(f)
     return x

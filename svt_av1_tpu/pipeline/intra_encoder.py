@@ -656,23 +656,26 @@ def encode_intra_frame(src_y: np.ndarray, src_u: np.ndarray,
 
 def apply_loop_filter(recon: Dict[str, np.ndarray], fp) -> Dict[str, np.ndarray]:
     """In-loop deblocking for the round-1 uniform grid (16x16 luma /
-    8x8 chroma).  Used identically by encoder and verification decoder."""
+    8x8 chroma).  Used identically by encoder and verification decoder.
+    Bit depth follows the recon dtype (uint8 -> 8, uint16 -> 10)."""
     from svt_av1_tpu.ops import dlf
     out = dict(recon)
+    dt = recon["y"].dtype
+    bd = 8 if dt == np.uint8 else 10
     ly = fp.filter_level[0]
     if ly > 0:
         y = dlf.loop_filter_plane_uniform(
-            recon["y"].astype(np.int32), BLK, ly, fp.sharpness, 14)
-        out["y"] = np.asarray(y).astype(np.uint8)
+            recon["y"].astype(np.int32), BLK, ly, fp.sharpness, 14, bd)
+        out["y"] = np.asarray(y).astype(dt)
     lu, lv = fp.filter_level_uv
     if lu > 0:
         u = dlf.loop_filter_plane_uniform(
-            recon["u"].astype(np.int32), CBLK, lu, fp.sharpness, 6)
-        out["u"] = np.asarray(u).astype(np.uint8)
+            recon["u"].astype(np.int32), CBLK, lu, fp.sharpness, 6, bd)
+        out["u"] = np.asarray(u).astype(dt)
     if lv > 0:
         v = dlf.loop_filter_plane_uniform(
-            recon["v"].astype(np.int32), CBLK, lv, fp.sharpness, 6)
-        out["v"] = np.asarray(v).astype(np.uint8)
+            recon["v"].astype(np.int32), CBLK, lv, fp.sharpness, 6, bd)
+        out["v"] = np.asarray(v).astype(dt)
     return out
 
 
