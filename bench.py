@@ -52,19 +52,20 @@ def main():
     enc.send_pictures(frames[:32])
     while enc.get_packet():
         pass
-    t0 = time.time()
-    nbytes = 0
-    done = 0
-    # one submit: the encoder pipelines device chunks against host EC
-    enc.send_pictures(frames)
-    while True:
-        p = enc.get_packet()
-        if p is None:
-            break
-        nbytes += len(p.data)
-        done += 1
-    dt = time.time() - t0
-    fps = done / dt
+    # median of 3 passes (the remote-TPU tunnel adds latency jitter)
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        done = 0
+        # one submit: the encoder pipelines device chunks vs host EC
+        enc.send_pictures(frames)
+        while True:
+            p = enc.get_packet()
+            if p is None:
+                break
+            done += 1
+        runs.append(done / (time.time() - t0))
+    fps = sorted(runs)[1]
     print(json.dumps({
         "metric": "cif_intra_encode_fps",
         "value": round(fps, 3),

@@ -362,52 +362,36 @@ def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
     src_all = jnp.tile(jnp.concatenate([src_ub, src_vb], axis=0),
                        (nm, 1, 1))
     resid_all = src_all - pred_all
-    qcs, dqs, dists = [], [], []
+    qcs, recs = [], []
     for mi, tx_type in enumerate(UV_TX_TYPES):
         sl = slice(mi * 2 * b, (mi + 1) * 2 * b)
-        s2 = np.float32(tf.coeff_sse_scale(tx_size, tx_type))
         coeffs = tf.fwd_txfm2d(resid_all[sl], tx_type, tx_size)
         qc, dq = quant.quantize(coeffs, qp, tx_size)
-        dists.append(s2 * jnp.sum(
-            (coeffs - dq.astype(jnp.float32)) ** 2, axis=(1, 2)))
+        recs.append(tf.inv_txfm2d_add(dq, pred_all[sl], tx_type, tx_size,
+                                      bd=bd))
         qcs.append(qc)
-        dqs.append(dq)
     qcoeff_all = jnp.concatenate(qcs, axis=0)
-    dist = jnp.concatenate(dists, axis=0)
+    rec_all = jnp.concatenate(recs, axis=0)
+    dist = jnp.sum((rec_all - src_all) ** 2, axis=(1, 2)).astype(
+        jnp.float32)
     aq = jnp.abs(qcoeff_all)
     bits = (jnp.sum(jnp.log2(1.0 + aq.astype(jnp.float32)), axis=(1, 2))
             * 2.0 + jnp.sum((aq > 0), axis=(1, 2)) + 4.0)
     cost_uv = (dist + lam * bits).reshape(nm, 2, b).sum(axis=1)  # (nm,B)
     mi_best = jnp.argmin(cost_uv, axis=0)
     qall = qcoeff_all.reshape(nm, 2, b, n, n)
-    dqall = jnp.stack(dqs).reshape(nm, 2, b, n, n)
-    pall = pred_all.reshape(nm, 2, b, n, n)
+    rall = rec_all.reshape(nm, 2, b, n, n)
     um = jnp.full((b,), UV_MODES[0], jnp.int32)
     qu, qvq = qall[0, 0], qall[0, 1]
-    dq_u, dq_v = dqall[0, 0], dqall[0, 1]
-    pred_u, pred_v = pall[0, 0], pall[0, 1]
+    rec_u, rec_v = rall[0, 0], rall[0, 1]
     for mi in range(1, nm):
         take = mi_best == mi
         t3 = take[:, None, None]
         um = jnp.where(take, UV_MODES[mi], um)
         qu = jnp.where(t3, qall[mi, 0], qu)
         qvq = jnp.where(t3, qall[mi, 1], qvq)
-        dq_u = jnp.where(t3, dqall[mi, 0], dq_u)
-        dq_v = jnp.where(t3, dqall[mi, 1], dq_v)
-        pred_u = jnp.where(t3, pall[mi, 0], pred_u)
-        pred_v = jnp.where(t3, pall[mi, 1], pred_v)
-    # normative inverse for the winning (mode-implied) tx type
-    rec_u = rec_v = None
-    both_dq = jnp.concatenate([dq_u, dq_v], axis=0)
-    both_pred = jnp.concatenate([pred_u, pred_v], axis=0)
-    for mi, tt in enumerate(UV_TX_TYPES):
-        r = tf.inv_txfm2d_add(both_dq, both_pred, tt, tx_size, bd=bd)
-        if rec_u is None:
-            rec_u, rec_v = r[:b], r[b:]
-        else:
-            t3 = (mi_best == mi)[:, None, None]
-            rec_u = jnp.where(t3, r[:b], rec_u)
-            rec_v = jnp.where(t3, r[b:], rec_v)
+        rec_u = jnp.where(t3, rall[mi, 0], rec_u)
+        rec_v = jnp.where(t3, rall[mi, 1], rec_v)
     if inter is not None:
         choose, irec_u, irec_v = inter
         c3 = choose[:, None, None]
