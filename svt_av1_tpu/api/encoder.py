@@ -46,6 +46,19 @@ def _align16(x: int) -> int:
     return (x + 15) & ~15
 
 
+def _superres_upscale_frame(recon, out_w: int, bd: int = 8):
+    """Normative horizontal superres upscale of all three planes."""
+    from svt_av1_tpu.ops.resize import superres_upscale
+    dt = recon["y"].dtype
+    out = dict(recon)
+    out["y"] = np.asarray(superres_upscale(
+        recon["y"].astype(np.int32)[None], out_w, bd))[0].astype(dt)
+    for p_ in ("u", "v"):
+        out[p_] = np.asarray(superres_upscale(
+            recon[p_].astype(np.int32)[None], out_w >> 1, bd))[0].astype(dt)
+    return out
+
+
 def _skip_map(decisions, gh: int, gw: int) -> np.ndarray:
     """(gh, gw) bool: skip flag per 16x16 leaf block."""
     m = np.zeros((gh, gw), bool)
@@ -65,10 +78,20 @@ class Encoder:
         self.render_h = config.source_height
         self.coded_w = _align16(config.source_width)
         self.coded_h = _align16(config.source_height)
+        # super-resolution (round 1: fixed half-width, all-intra, and
+        # only when the downscaled width keeps the 16-px grid)
+        self.sr_denom = 8
+        if (config.superres_mode > 0
+                and config.intra_period_length in (-2, 0)
+                and self.coded_w % 32 == 0):
+            self.sr_denom = 16
+        self.sr_w = (self.coded_w * 8 + self.sr_denom // 2) \
+            // self.sr_denom
         self.sp = obu.SequenceParams(
             width=self.coded_w, height=self.coded_h,
             bit_depth=config.encoder_bit_depth,
             enable_cdef=config.cdef_level > 0,
+            enable_superres=self.sr_denom != 8,
             enable_restoration=config.enable_restoration_filtering > 0,
             film_grain_params_present=(
                 config.film_grain_denoise_strength > 0))
@@ -143,9 +166,9 @@ class Encoder:
         """Batched submit: frames = [(y, u, v), ...].  All frames run as
         one device program (all-intra); EC still per frame on the host.
         The TPU-native analog of the reference's picture parallelism."""
-        if self.cfg.intra_period_length not in (-2, 0):
-            # GOP with inter frames: sequential (each frame depends on
-            # the previous recon); batching returns with mini-GoP DPB
+        if (self.cfg.intra_period_length not in (-2, 0)
+                or self.sr_denom != 8):
+            # GOP with inter frames or superres: sequential path
             for (y, u, v) in frames:
                 self.send_picture(y, u, v)
             if eos:
@@ -291,6 +314,16 @@ class Encoder:
         else:
             qindex = self._rc.frame_qindex()
         y, u, v = self._pad(y, u, v)
+        src_full = dict(y=y, u=u, v=v)
+        if self.sr_denom != 8:
+            # encoder-side horizontal downscale (non-normative); the
+            # loop upscales back with the normative kernel
+            y = ((y[:, 0::2].astype(np.int32)
+                  + y[:, 1::2].astype(np.int32) + 1) >> 1).astype(y.dtype)
+            u = ((u[:, 0::2].astype(np.int32)
+                  + u[:, 1::2].astype(np.int32) + 1) >> 1).astype(u.dtype)
+            v = ((v[:, 0::2].astype(np.int32)
+                  + v[:, 1::2].astype(np.int32) + 1) >> 1).astype(v.dtype)
         is_key = self._frame_is_key(pts) or self._ref is None
         gop_has_inter = self.cfg.intra_period_length not in (-2, 0)
         if is_key and gop_has_inter and self._q_plan is None:
@@ -318,7 +351,8 @@ class Encoder:
                 hme_rad0=self._feat.hme_rad0,
                 subpel_ring=self._feat.subpel_ring)
         pkt = self._packetize(decisions, recon, qindex, pts,
-                              is_key=is_key, src=dict(y=y, u=u, v=v))
+                              is_key=is_key, src=dict(y=y, u=u, v=v),
+                              src_full=src_full)
         self._rc.update(len(pkt.data) * 8)
         if self._fp_stats is not None:
             self._fp_stats.append((len(pkt.data) * 8, qindex,
@@ -326,7 +360,8 @@ class Encoder:
         return pkt
 
     def _packetize(self, decisions, recon, qindex, pts,
-                   is_key: bool = True, src=None) -> Packet:
+                   is_key: bool = True, src=None,
+                   src_full=None) -> Packet:
         frame_type = obu.KEY_FRAME if is_key else obu.INTER_FRAME
         fp = obu.FrameParams(frame_type=frame_type, show_frame=True,
                              base_q_idx=qindex,
@@ -354,7 +389,7 @@ class Encoder:
         if self.sp.enable_cdef and src is not None:
             from svt_av1_tpu.pipeline import cdef_stage
             skip16 = _skip_map(decisions, self.coded_h // 16,
-                               self.coded_w // 16)
+                               self.sr_w // 16)
             fp.cdef_damping = cdef_stage.cdef_damping(qindex)
             fp.cdef_strengths = cdef_stage.cdef_search(
                 src, recon, skip16, qindex,
@@ -363,13 +398,22 @@ class Encoder:
             recon = cdef_stage.cdef_apply(
                 recon, skip16, fp.cdef_strengths, fp.cdef_damping,
                 bd=self.cfg.encoder_bit_depth)
+        if self.sr_denom != 8 and src is not None:
+            # normative horizontal upscale (spec 7.16): after CDEF,
+            # before loop restoration; LR then works at full width,
+            # with its deblocked boundary rows upscaled the same way
+            fp.superres_denom = self.sr_denom
+            recon = _superres_upscale_frame(recon, self.coded_w,
+                                            self.cfg.encoder_bit_depth)
+            deblocked = _superres_upscale_frame(
+                deblocked, self.coded_w, self.cfg.encoder_bit_depth)
         lr_info = None
         if self.sp.enable_restoration and src is not None:
             from svt_av1_tpu.codec import lr as lr_mod
             from svt_av1_tpu.pipeline import lr_stage
             bounds = lr_stage.save_boundaries(deblocked)
             lr_info = lr_mod.make_lr_info(self.coded_w, self.coded_h)
-            lr_stage.search_lr(src, recon, bounds, lr_info,
+            lr_stage.search_lr(src_full or src, recon, bounds, lr_info,
                                bd=self.cfg.encoder_bit_depth,
                                eps_set=self._feat.lr_eps)
             fp.lr_types = tuple(i.frame_type for i in lr_info)
@@ -377,7 +421,7 @@ class Encoder:
                                       bd=self.cfg.encoder_bit_depth)
         self._ref = {k: recon[k] for k in ("y", "u", "v")}
         chain = fp.primary_ref_frame != obu.PRIMARY_REF_NONE
-        tenc = TileEncoder(self.sp.width, self.sp.height, qindex,
+        tenc = TileEncoder(self.sr_w, self.sp.height, qindex,
                            reduced_tx_set=fp.reduced_tx_set,
                            update_cdfs=not fp.disable_cdf_update,
                            frame_is_intra=is_key,

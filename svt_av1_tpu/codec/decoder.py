@@ -45,9 +45,10 @@ class Decoder:
         r.byte_align()
         tile_data = payload[r.byte_pos:]
         is_intra = fp.frame_type in (obu.KEY_FRAME, obu.INTRA_ONLY_FRAME)
+        coded_w = fp.coded_width(self.sp.width)
         chain = (not is_intra
                  and fp.primary_ref_frame != obu.PRIMARY_REF_NONE)
-        tdec = TileDecoder(self.sp.width, self.sp.height, fp.base_q_idx,
+        tdec = TileDecoder(coded_w, self.sp.height, fp.base_q_idx,
                            reduced_tx_set=fp.reduced_tx_set,
                            update_cdfs=not fp.disable_cdf_update,
                            frame_is_intra=is_intra,
@@ -70,7 +71,7 @@ class Decoder:
             self.ref_cdfs = tdec.cdfs
             self.ref_nmv = tdec.nmv
         if is_intra:
-            recon = reconstruct_from_decisions(decisions, self.sp.width,
+            recon = reconstruct_from_decisions(decisions, coded_w,
                                                self.sp.height,
                                                fp.base_q_idx,
                                                bd=self.sp.bit_depth)
@@ -78,8 +79,10 @@ class Decoder:
             from svt_av1_tpu.pipeline.inter_encoder import (
                 reconstruct_inter_from_decisions)
             assert self.ref is not None, "P frame with empty DPB"
+            assert coded_w == self.sp.width, \
+                "superres + inter needs scaled-reference MC (next round)"
             recon = reconstruct_inter_from_decisions(
-                decisions, self.ref, self.sp.width, self.sp.height,
+                decisions, self.ref, coded_w, self.sp.height,
                 fp.base_q_idx, bd=self.sp.bit_depth)
         recon = apply_loop_filter(recon, fp)
         deblocked = recon
@@ -87,11 +90,17 @@ class Decoder:
             from svt_av1_tpu.api.encoder import _skip_map
             from svt_av1_tpu.pipeline import cdef_stage
             skip16 = _skip_map(decisions, self.sp.height // 16,
-                               self.sp.width // 16)
+                               coded_w // 16)
             recon = cdef_stage.cdef_apply(recon, skip16,
                                           fp.cdef_strengths,
                                           fp.cdef_damping,
                                           bd=self.sp.bit_depth)
+        if fp.superres_denom != 8:
+            from svt_av1_tpu.api.encoder import _superres_upscale_frame
+            recon = _superres_upscale_frame(recon, self.sp.width,
+                                            self.sp.bit_depth)
+            deblocked = _superres_upscale_frame(deblocked, self.sp.width,
+                                                self.sp.bit_depth)
         if lr_info is not None:
             from svt_av1_tpu.pipeline import lr_stage
             bounds = lr_stage.save_boundaries(deblocked)

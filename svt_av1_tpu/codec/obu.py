@@ -106,6 +106,15 @@ class FrameParams:
     lr_types: Tuple[int, int, int] = (0, 0, 0)   # RESTORE_* enum
     lr_unit_size: int = 256                      # luma RU size
     lr_uv_half: bool = True                      # chroma RU = luma >> 1
+    # super-resolution: 8 = off; 9..16 = SuperresDenom (coded width =
+    # (UpscaledWidth * 8 + denom/2) / denom)
+    superres_denom: int = 8
+
+    def coded_width(self, upscaled_w: int) -> int:
+        if self.superres_denom == 8:
+            return upscaled_w
+        return (upscaled_w * 8 + self.superres_denom // 2) \
+            // self.superres_denom
     # derived
     order_hint: int = 0
     refresh_frame_flags: int = 0xFF
@@ -235,9 +244,12 @@ def write_frame_header_bits(w: BitWriter, sp: SequenceParams,
             "short ref signaling path not implemented"
         for i in range(7):
             w.f(fp.ref_frame_idx[i], 3)
-    # frame_size(): override=0 => from sequence; render_size
+    # frame_size(): override=0 => from sequence; superres; render_size
     if sp.enable_superres:
-        w.f(0, 1)  # use_superres
+        use = fp.superres_denom != 8
+        w.f(int(use), 1)
+        if use:
+            w.f(fp.superres_denom - 9, 3)  # coded_denom (DENOM_MIN 9)
     render_diff = (fp.render_width and fp.render_height and
                    (fp.render_width != sp.width or
                     fp.render_height != sp.height))
@@ -508,7 +520,8 @@ def read_frame_header(r: BitReader, sp: SequenceParams) -> FrameParams:
         assert not sp.enable_order_hint
         fp.ref_frame_idx = tuple(r.f(3) for _ in range(7))
     if sp.enable_superres:
-        assert r.f(1) == 0
+        if r.f(1):
+            fp.superres_denom = r.f(3) + 9
     if r.f(1):  # render_and_frame_size_different
         fp.render_width = r.f(16) + 1
         fp.render_height = r.f(16) + 1
