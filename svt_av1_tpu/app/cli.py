@@ -53,20 +53,38 @@ def main(argv=None):
     t0 = time.time()
     count = 0
     psnr_acc = []
+    sources = {}
+    sent = 0
+
+    def drain():
+        nonlocal count
+        while True:
+            pkt = enc.get_packet()
+            if pkt is None:
+                return
+            writer.write_frame(pkt.data, pkt.pts)
+            src_y = sources.pop(pkt.pts, None)
+            if pkt.recon is not None and src_y is not None:
+                mse = np.mean((pkt.recon["y"].astype(np.float64)
+                               - src_y.astype(np.float64)) ** 2)
+                psnr_acc.append(99.0 if mse == 0 else
+                                10 * np.log10(255.0 ** 2 / mse))
+            count += 1
+            if args.progress:
+                print(f"\rencoded {count}", end="", file=sys.stderr)
+
     for frame in reader:
-        enc.send_picture(frame.y, frame.u, frame.v)
-        pkt = enc.get_packet()
-        writer.write_frame(pkt.data, pkt.pts)
-        if pkt.recon is not None:
-            mse = np.mean((pkt.recon["y"].astype(np.float64)
-                           - frame.y.astype(np.float64)) ** 2)
-            psnr_acc.append(99.0 if mse == 0 else
-                            10 * np.log10(255.0 ** 2 / mse))
-        count += 1
-        if args.progress:
-            print(f"\rencoded {count}", end="", file=sys.stderr)
-        if args.frames and count >= args.frames:
+        sources[sent] = frame.y
+        last = bool(args.frames and sent + 1 >= args.frames)
+        enc.send_picture(frame.y, frame.u, frame.v, eos=last)
+        sent += 1
+        drain()
+        if last:
             break
+    if not enc.done:
+        enc.send_eos()
+        enc._drain(flush=True)
+        drain()
     writer.close()
     dt = time.time() - t0
     fps = count / dt if dt > 0 else 0.0
