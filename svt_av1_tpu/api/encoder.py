@@ -6,8 +6,10 @@
   enc.get_recon()          ~ svt_av1_get_recon
   enc.stream_header()      ~ svt_av1_enc_stream_header
 
-Round 1: all-intra pipeline (every frame a key frame); the mini-GoP /
-DPB / rate-control stages land next (SURVEY.md §7 steps 4-5)."""
+Supports all-intra and IPPP GOP structures (intra_period_length),
+MCTF lookahead, scene-cut keyframes, 2-pass VBR, the full in-loop
+filter chain (DLF/CDEF/superres/LR), and a single-slot DPB with CDF
+forward chaining."""
 from __future__ import annotations
 
 import dataclasses

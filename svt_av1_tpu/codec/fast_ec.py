@@ -84,7 +84,6 @@ class HybridEncoder:
 
 def encode_intra_tile_arrays(tenc, ym, um, qy, qu, qv) -> bytes:
     """Array-native whole-tile C path (no per-block Python objects)."""
-    import svt_av1_tpu.codec.constants as cc
     tx_types = np.zeros_like(ym)
     return _run_tile(tenc, ym, um, tx_types,
                      np.ascontiguousarray(qy, np.int32),
