@@ -61,6 +61,23 @@ def _superres_upscale_frame(recon, out_w: int, bd: int = 8):
     return out
 
 
+def _variance_qmap(y: np.ndarray, base_q: int) -> np.ndarray:
+    """Per-64x64 qindex from luma variance (the variance-boost AQ
+    analog, Docs/Appendix-Variance-Boost.md): smooth superblocks get a
+    lower qindex (banding protection), busy ones a higher one.  Deltas
+    are multiples of 1 << delta_q_res (= 4)."""
+    h, w = y.shape
+    sh, sw = (h + 63) // 64, (w + 63) // 64
+    qmap = np.zeros((sh, sw), np.int32)
+    yp = np.pad(y.astype(np.float64), ((0, sh * 64 - h), (0, sw * 64 - w)),
+                mode="edge")
+    blocks = yp.reshape(sh, 64, sw, 64).transpose(0, 2, 1, 3)
+    var = blocks.var(axis=(2, 3)) + 1.0
+    med = max(float(np.median(var)), 1.0)
+    delta = np.clip(np.round(np.log2(var / med) * 2.0), -3, 3) * 4
+    return np.clip(base_q + delta.astype(np.int32), 1, 255)
+
+
 def _skip_map(decisions, gh: int, gw: int) -> np.ndarray:
     """(gh, gw) bool: skip flag per 16x16 leaf block."""
     m = np.zeros((gh, gw), bool)
@@ -332,8 +349,13 @@ class Encoder:
             # key-frame boost: keys are referenced by the whole GOP, so
             # spend more bits on them (rc_process.c kf boost analog)
             qindex = max(1, qindex - qindex // self._feat.kf_boost_div)
+        qmap = None
+        if (self.cfg.enable_adaptive_quantization and is_key
+                and not self._feat.varpart):
+            qmap = _variance_qmap(y, qindex)
         if is_key:
-            if self._feat.varpart and not self.cfg.enable_dlf_flag:
+            if (self._feat.varpart and not self.cfg.enable_dlf_flag
+                    and qmap is None):
                 # 32/16 partition MD (quality presets; DLF must be off:
                 # interior 16-edges of a 32 transform are not deblocked)
                 from svt_av1_tpu.pipeline import varpart
@@ -343,7 +365,10 @@ class Encoder:
             else:
                 decisions, recon = intra_encoder.encode_intra_frame(
                     y, u, v, qindex, modes=self._feat.intra_modes,
-                    bd=self.cfg.encoder_bit_depth)
+                    bd=self.cfg.encoder_bit_depth, qmap=qmap)
+                if qmap is not None:
+                    for (r4, c4), d in decisions.items():
+                        d.qindex = int(qmap[r4 // 16, c4 // 16])
         else:
             decisions, recon = inter_encoder.encode_inter_frame(
                 y, u, v, self._ref, qindex,
@@ -354,7 +379,8 @@ class Encoder:
                 subpel_ring=self._feat.subpel_ring)
         pkt = self._packetize(decisions, recon, qindex, pts,
                               is_key=is_key, src=dict(y=y, u=u, v=v),
-                              src_full=src_full)
+                              src_full=src_full,
+                              delta_q=qmap is not None)
         self._rc.update(len(pkt.data) * 8)
         if self._fp_stats is not None:
             self._fp_stats.append((len(pkt.data) * 8, qindex,
@@ -363,7 +389,7 @@ class Encoder:
 
     def _packetize(self, decisions, recon, qindex, pts,
                    is_key: bool = True, src=None,
-                   src_full=None) -> Packet:
+                   src_full=None, delta_q: bool = False) -> Packet:
         frame_type = obu.KEY_FRAME if is_key else obu.INTER_FRAME
         fp = obu.FrameParams(frame_type=frame_type, show_frame=True,
                              base_q_idx=qindex,
@@ -373,6 +399,9 @@ class Encoder:
             fp.refresh_frame_flags = 0x01
             if self._ref_cdfs is not None:
                 fp.primary_ref_frame = 0  # chain CDFs from slot 0
+        if delta_q:
+            fp.delta_q_present = True
+            fp.delta_q_res = 2
         if self.cfg.film_grain_denoise_strength > 0:
             from svt_av1_tpu.codec.film_grain import default_grain_params
             fp.film_grain = default_grain_params(
@@ -431,6 +460,8 @@ class Encoder:
                            init_nmv=self._ref_nmv if chain else None)
         if lr_info is not None:
             tenc.set_lr(lr_info)
+        if fp.delta_q_present:
+            tenc.set_delta_q(fp.delta_q_res)
         tile_data = tenc.encode(decisions)
         if not fp.disable_frame_end_update_cdf:
             self._ref_cdfs = tenc.cdfs

@@ -66,6 +66,8 @@ class Decoder:
                 lr_mod.PlaneLrInfo(fp.lr_types[2], csize, cw, ch),
             ]
             tdec.set_lr(lr_info)
+        if fp.delta_q_present:
+            tdec.set_delta_q(fp.delta_q_res)
         decisions = tdec.decode(tile_data)
         if not fp.disable_frame_end_update_cdf:
             self.ref_cdfs = tdec.cdfs

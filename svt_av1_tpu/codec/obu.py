@@ -109,6 +109,9 @@ class FrameParams:
     # super-resolution: 8 = off; 9..16 = SuperresDenom (coded width =
     # (UpscaledWidth * 8 + denom/2) / denom)
     superres_denom: int = 8
+    # per-SB adaptive quantization
+    delta_q_present: bool = False
+    delta_q_res: int = 0   # log2 of the delta step
 
     def coded_width(self, upscaled_w: int) -> int:
         if self.superres_denom == 8:
@@ -282,8 +285,12 @@ def write_frame_header_bits(w: BitWriter, sp: SequenceParams,
     w.f(0, 1)   # segmentation_enabled
     # delta_q_params
     if fp.base_q_idx > 0:
-        w.f(0, 1)  # delta_q_present
-    # delta_lf_params: only when delta_q_present
+        w.f(int(fp.delta_q_present), 1)
+        if fp.delta_q_present:
+            w.f(fp.delta_q_res, 2)
+    # delta_lf_params: only when delta_q_present (and !allow_intrabc)
+    if fp.delta_q_present:
+        w.f(0, 1)  # delta_lf_present
     # loop_filter_params (CodedLossless=False, allow_intrabc=False)
     w.f(fp.filter_level[0], 6)
     w.f(fp.filter_level[1], 6)
@@ -555,7 +562,11 @@ def read_frame_header(r: BitReader, sp: SequenceParams) -> FrameParams:
     assert r.f(1) == 0  # qm
     assert r.f(1) == 0  # segmentation
     if fp.base_q_idx > 0:
-        assert r.f(1) == 0  # delta_q_present
+        fp.delta_q_present = bool(r.f(1))
+        if fp.delta_q_present:
+            fp.delta_q_res = r.f(2)
+    if fp.delta_q_present:
+        assert r.f(1) == 0  # delta_lf_present
     l0 = r.f(6)
     l1 = r.f(6)
     fp.filter_level = (l0, l1)

@@ -127,6 +127,8 @@ class BlockDecision:
     is_inter: bool = False
     mv: tuple = (0, 0)      # (row, col) 1/8 pel
     ref: int = mv_pred.LAST_FRAME
+    # per-SB adaptive quantization (0 = frame base_q_idx)
+    qindex: int = 0
 
     @property
     def skip(self) -> bool:
@@ -307,6 +309,10 @@ class TileCoderBase:
         # loop restoration: list of codec.lr.PlaneLrInfo or None
         self.lr = None
         self.lr_ref = None
+        # per-SB delta_q (None = disabled)
+        self.delta_q_res = None
+        self.current_qindex = base_q_idx
+        self._read_deltas = False
         self.ctx = ContextState(self.mi_rows, self.mi_cols)
         self.migrid = mv_pred.MiGrid(self.mi_rows, self.mi_cols)
         self.sb_cols = (self.mi_cols + 15) >> 4
@@ -316,6 +322,43 @@ class TileCoderBase:
         from svt_av1_tpu.codec import lr as lr_mod
         self.lr = lr
         self.lr_ref = lr_mod._RefState()
+
+    def set_delta_q(self, res_log2: int) -> None:
+        """Enable per-SB delta_q coding (spec read_delta_qindex)."""
+        self.delta_q_res = res_log2
+        self.current_qindex = self.base_q_idx
+        self._read_deltas = False
+
+    def _code_delta_q(self, coder, target_qindex: int,
+                      is_decoder: bool) -> None:
+        """Code/parse one SB's qindex delta; updates current_qindex."""
+        cdf = self.cdfs.delta_q
+        if is_decoder:
+            ab = coder.read_symbol(cdf, 4)
+            if self.update:
+                update_cdf(cdf, ab, 4)
+            if ab == 3:
+                rem = coder.read_literal(3) + 1
+                ab = coder.read_literal(rem) + (1 << rem) + 1
+            reduced = 0
+            if ab:
+                reduced = -ab if coder.read_literal(1) else ab
+        else:
+            want = target_qindex if target_qindex else self.base_q_idx
+            reduced = (want - self.current_qindex) >> self.delta_q_res
+            ab = abs(reduced)
+            sym = min(ab, 3)
+            coder.encode_symbol(sym, cdf, 4)
+            if self.update:
+                update_cdf(cdf, sym, 4)
+            if ab >= 3:
+                rem = (ab - 1).bit_length() - 1
+                coder.encode_literal(rem - 1, 3)
+                coder.encode_literal(ab - 1 - (1 << rem), rem)
+            if ab:
+                coder.encode_literal(int(reduced < 0), 1)
+        self.current_qindex = int(np.clip(
+            self.current_qindex + (reduced << self.delta_q_res), 1, 255))
 
     # shared helpers ---------------------------------------------------------
     def tx_type_signaled(self, tx_size: int, is_inter: bool = False) -> bool:
@@ -357,6 +400,7 @@ class TileEncoder(TileCoderBase):
         native_ok = use_native and fast_ec.available()
         if (native_ok and self.frame_is_intra and leaf_size == 16
                 and self.base_q_idx > 0 and self.lr is None
+                and self.delta_q_res is None
                 and all(d.bsize == cc.BLOCK_16X16
                         and d.tx_type == cc.DCT_DCT
                         and d.qcoeff_u is not None
@@ -377,6 +421,7 @@ class TileEncoder(TileCoderBase):
                         self.enc, self.cdfs, self.lr, self.lr_ref,
                         sb_r * 16, sb_c * 16, self.mi_rows, self.mi_cols,
                         self.update)
+                self._read_deltas = self.delta_q_res is not None
                 self._encode_partition(sb_r * 16, sb_c * 16, cc.BLOCK_64X64)
         return self.enc.done()
 
@@ -437,6 +482,10 @@ class TileEncoder(TileCoderBase):
         enc.encode_symbol(int(skip), cdfs.skip[sctx], 2)
         if self.update:
             update_cdf(cdfs.skip[sctx], int(skip), 2)
+
+        if self._read_deltas:
+            self._code_delta_q(enc, d.qindex, is_decoder=False)
+            self._read_deltas = False
 
         is_inter = (not self.frame_is_intra) and d.is_inter
         if self.frame_is_intra:
@@ -616,6 +665,7 @@ class TileDecoder(TileCoderBase):
                         self.dec, self.cdfs, self.lr, self.lr_ref,
                         sb_r * 16, sb_c * 16, self.mi_rows, self.mi_cols,
                         self.update)
+                self._read_deltas = self.delta_q_res is not None
                 self._decode_partition(sb_r * 16, sb_c * 16, cc.BLOCK_64X64)
         return self.out
 
@@ -664,6 +714,10 @@ class TileDecoder(TileCoderBase):
         skip = dec.read_symbol(cdfs.skip[sctx], 2)
         if self.update:
             update_cdf(cdfs.skip[sctx], skip, 2)
+
+        if self._read_deltas:
+            self._code_delta_q(dec, 0, is_decoder=True)
+            self._read_deltas = False
 
         is_inter = False
         inter_mode = 0
@@ -777,7 +831,9 @@ class TileDecoder(TileCoderBase):
         self.out[(r4, c4)] = BlockDecision(
             r4=r4, c4=c4, bsize=bsize, y_mode=y_mode, uv_mode=uv_mode,
             tx_type=tx_type, qcoeff_y=qy, qcoeff_u=qu, qcoeff_v=qv,
-            is_inter=is_inter, mv=mv, ref=ref)
+            is_inter=is_inter, mv=mv, ref=ref,
+            qindex=(self.current_qindex
+                    if self.delta_q_res is not None else 0))
 
     def _read_angle(self, mode):
         if cc.V_PRED <= mode <= cc.D67_PRED:

@@ -106,7 +106,11 @@ def quantize(coeffs: jnp.ndarray, qp: QuantParams, tx_size: int,
     sel = dc_mask[None].astype(jnp.int32)  # 1 at DC
 
     def pick(arr):
+        """(2,) shared or (B, 2) per-block constants -> (B|1, H, W)."""
         arr = jnp.asarray(arr)
+        if arr.ndim == 2:
+            return jnp.where(sel == 1, arr[:, 0, None, None],
+                             arr[:, 1, None, None])
         return jnp.where(sel == 1, arr[0], arr[1])
 
     # zbin/round are rounded down by the tx scale (ROUND_POWER_OF_TWO)

@@ -166,7 +166,15 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
     src_blk = _gather_block(src, ys, xs, n, n)
 
     zbin, rnd, qv, qshift, deq = qp_arrays
-    qp = quant.QuantParams(zbin, rnd, qv, qshift, deq)
+    per_block_qp = jnp.asarray(zbin).ndim == 2  # (B, 2) AQ rows
+    nm_ = len(modes)
+    if per_block_qp:
+        # stacked mode pass: tile per-block rows across the mode axis
+        qp = quant.QuantParams(*(jnp.tile(a, (nm_, 1)) for a in qp_arrays))
+        lam_flat = jnp.tile(lam, nm_)
+    else:
+        qp = quant.QuantParams(zbin, rnd, qv, qshift, deq)
+        lam_flat = lam
 
     # predictions for every mode (mode-specific gathers, cheap), then ONE
     # stacked transform/quant/recon pass over (n_modes*B) blocks — a much
@@ -218,7 +226,7 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
     aq = jnp.abs(qcoeff_all)
     bits = (jnp.sum(jnp.log2(1.0 + aq.astype(jnp.float32)), axis=(1, 2))
             * 2.0 + jnp.sum((aq > 0), axis=(1, 2)) + 8.0)
-    cost = (dist + lam * bits).reshape(nm, b)
+    cost = (dist + lam_flat * bits).reshape(nm, b)
     # D203 reads bottom-left recon, which the wavefront hasn't written
     # yet when the spec marks BL available — restrict it to blocks where
     # both encoder and decoder replicate the last left sample instead
@@ -284,13 +292,17 @@ def _jit_wave_step(n, tx_size, modes, maxb):
     return jax.jit(step)
 
 
-def _frame_program_fn(nw, maxb, modes, bd=8):
+def _frame_program_fn(nw, maxb, modes, bd=8, aq=False, gw=0):
     """Whole-key-frame program: fori_loop over waves, each iteration runs
-    luma MD (all modes) + chroma MD and scatters recon in place."""
+    luma MD (all modes) + chroma MD and scatters recon in place.
+
+    aq: per-block adaptive quantization — the qp fields arrive as
+    (n_blocks, 2) rows and lam as (n_blocks,); each wave gathers its
+    slots' rows (needs ``gw``, the 16-block grid width)."""
 
     def frame(recon_y, recon_u, recon_v, src_y, src_u, src_v,
               bys, bxs, valid, trs, bls, zbin, rnd, qv, qshift, deq, lam):
-        qp = (zbin, rnd, qv, qshift, deq)
+        qp_all = (zbin, rnd, qv, qshift, deq)
         modes_acc = jnp.zeros((nw, maxb), jnp.int32)
         uv_modes_acc = jnp.zeros((nw, maxb), jnp.int32)
         qy_acc = jnp.zeros((nw, maxb, BLK, BLK), jnp.int32)
@@ -304,14 +316,21 @@ def _frame_program_fn(nw, maxb, modes, bd=8):
             va = valid[i]
             ha = (by > 0) & va
             hl = (bx > 0) & va
+            if aq:
+                bid = by * gw + bx
+                qp = tuple(f[bid] for f in qp_all)
+                lam_w = lam[bid]
+            else:
+                qp = qp_all
+                lam_w = lam
             m, q, ry = _rd_step(ry, src_y, by * BLK, bx * BLK, va, ha, hl,
-                                qp, lam, BLK, cc.TX_16X16, modes, 0,
+                                qp, lam_w, BLK, cc.TX_16X16, modes, 0,
                                 tr_avail=trs[i] & va, bl_avail=bls[i] & va,
                                 bd=bd)
             # chroma: joint mode decision over U+V (one signaled uv_mode)
             um, qu, qvq, ru, rv = _rd_step_chroma(
                 ru, rv, src_u, src_v, by * CBLK, bx * CBLK, va, ha, hl,
-                qp, lam, bd=bd)
+                qp, lam_w, bd=bd)
             return (ry, ru, rv, ma.at[i].set(m), uma.at[i].set(um),
                     qya.at[i].set(q), qua.at[i].set(qu),
                     qva.at[i].set(qvq))
@@ -324,8 +343,8 @@ def _frame_program_fn(nw, maxb, modes, bd=8):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_frame_program(nw, maxb, modes, bd=8):
-    return jax.jit(_frame_program_fn(nw, maxb, modes, bd))
+def _jit_frame_program(nw, maxb, modes, bd=8, aq=False, gw=0):
+    return jax.jit(_frame_program_fn(nw, maxb, modes, bd, aq=aq, gw=gw))
 
 
 def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
@@ -338,7 +357,15 @@ def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
     inter: optional (choose (B,), rec_u, rec_v) — blocks whose luma step
     chose the inter candidate take the precomputed inter chroma recon."""
     zbin, rnd, qv_, qshift, deq = qp_arrays
-    qp = quant.QuantParams(zbin, rnd, qv_, qshift, deq)
+    nm_c = len(UV_MODES)
+    if jnp.asarray(zbin).ndim == 2:
+        # per-block AQ rows; each (mode, plane-pair) group is 2*B blocks
+        qp = quant.QuantParams(
+            *(jnp.tile(a, (2, 1)) for a in qp_arrays))
+        lam_flat = jnp.tile(lam, nm_c * 2)
+    else:
+        qp = quant.QuantParams(zbin, rnd, qv_, qshift, deq)
+        lam_flat = lam
     nb_u = _gather_neighbors(recon_u, ys, xs, n, have_above, have_left,
                              bd=bd)
     nb_v = _gather_neighbors(recon_v, ys, xs, n, have_above, have_left,
@@ -377,7 +404,7 @@ def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
     aq = jnp.abs(qcoeff_all)
     bits = (jnp.sum(jnp.log2(1.0 + aq.astype(jnp.float32)), axis=(1, 2))
             * 2.0 + jnp.sum((aq > 0), axis=(1, 2)) + 4.0)
-    cost_uv = (dist + lam * bits).reshape(nm, 2, b).sum(axis=1)  # (nm,B)
+    cost_uv = (dist + lam_flat * bits).reshape(nm, 2, b).sum(axis=1)
     mi_best = jnp.argmin(cost_uv, axis=0)
     qall = qcoeff_all.reshape(nm, 2, b, n, n)
     rall = rec_all.reshape(nm, 2, b, n, n)
@@ -560,20 +587,40 @@ def _collect_decisions(waves, gh, gw, modes_np, uv_modes_np, qy_np, qu_np,
 
 def encode_intra_frame(src_y: np.ndarray, src_u: np.ndarray,
                        src_v: np.ndarray, qindex: int, modes=MODES,
-                       bd: int = 8) -> Tuple[Dict, Dict[str, np.ndarray]]:
+                       bd: int = 8, qmap=None
+                       ) -> Tuple[Dict, Dict[str, np.ndarray]]:
     """Encode one key frame.  Returns ({(r4,c4): BlockDecision}, recon).
 
     The entire frame is ONE device program (fori_loop over waves); the
     only host work is building the static wave schedule and pulling the
-    per-block results for entropy coding."""
+    per-block results for entropy coding.
+
+    qmap: optional (sb_rows, sb_cols) int array of per-64x64 qindex
+    values (adaptive quantization); None = uniform ``qindex``."""
     h, w = src_y.shape
     assert h % BLK == 0 and w % BLK == 0, "round 1: dims multiple of 16"
     gh, gw = h // BLK, w // BLK
     maxb = min(gh, gw)
 
-    qp_y = quant.make_quant_params(qindex, bd=bd)
-    qstep = quant.dc_q(qindex, bd=bd) / 8.0
-    lam = np.float32(0.7 * qstep * qstep)
+    aq = qmap is not None
+    if aq:
+        nb = gh * gw
+        fields = [np.zeros((nb, 2), np.int32) for _ in range(5)]
+        lam = np.zeros(nb, np.float32)
+        for by in range(gh):
+            for bx in range(gw):
+                q = int(qmap[by // 4, bx // 4])
+                qp_b = quant.make_quant_params(q, bd=bd)
+                bid = by * gw + bx
+                for fi in range(5):
+                    fields[fi][bid] = qp_b[fi]
+                qs = quant.dc_q(q, bd=bd) / 8.0
+                lam[bid] = 0.7 * qs * qs
+        qp_y = tuple(fields)
+    else:
+        qp_y = quant.make_quant_params(qindex, bd=bd)
+        qstep = quant.dc_q(qindex, bd=bd) / 8.0
+        lam = np.float32(0.7 * qstep * qstep)
 
     waves = _wave_schedule(gh, gw, maxb)
     nw = len(waves)
@@ -590,7 +637,7 @@ def encode_intra_frame(src_y: np.ndarray, src_u: np.ndarray,
         for j, (by, bx) in enumerate(wave):
             trs[i, j], bls[i, j] = tr_bl_avail(by, bx, gh, gw)
 
-    prog = _jit_frame_program(nw, maxb, tuple(modes), bd)
+    prog = _jit_frame_program(nw, maxb, tuple(modes), bd, aq=aq, gw=gw)
     out = prog(jnp.zeros((h, w), jnp.int32),
                jnp.zeros((h // 2, w // 2), jnp.int32),
                jnp.zeros((h // 2, w // 2), jnp.int32),
@@ -599,7 +646,7 @@ def encode_intra_frame(src_y: np.ndarray, src_u: np.ndarray,
                jnp.asarray(src_v.astype(np.int32)),
                jnp.asarray(bys), jnp.asarray(bxs), jnp.asarray(valid),
                jnp.asarray(trs), jnp.asarray(bls),
-               *(jnp.asarray(a) for a in qp_y), lam)
+               *(jnp.asarray(a) for a in qp_y), jnp.asarray(lam))
     (recon_y, recon_u, recon_v, modes_acc, uv_modes_acc, qy_acc, qu_acc,
      qv_acc) = out
 
@@ -684,16 +731,18 @@ def reconstruct_from_decisions(decisions: Dict, width: int, height: int,
         gh_n, gw_n = height // n, width // n
         tr, bl = tr_bl_avail(d.r4 // n4, d.c4 // n4, gh_n, gw_n, m=m)
         tx = MAX_TX[d.bsize]
+        qp_b = (quant.make_quant_params(d.qindex, bd=bd)
+                if d.qindex else qp)
         state["y"] = _recon_block(state["y"], d.qcoeff_y, d.y_mode,
                                   d.r4 * 4, d.c4 * 4, n, tx, d.tx_type,
-                                  qp, tr, bl, bd)
+                                  qp_b, tr, bl, bd)
         ctx_tx = max_chroma_tx_size(d.bsize)
         cn = n >> 1
         uv_tx = _chroma_tx_type(d.uv_mode, ctx_tx)
         for p in ("u", "v"):
             q = d.qcoeff_u if p == "u" else d.qcoeff_v
             state[p] = _recon_block(state[p], q, d.uv_mode, d.r4 * 2,
-                                    d.c4 * 2, cn, ctx_tx, uv_tx, qp,
+                                    d.c4 * 2, cn, ctx_tx, uv_tx, qp_b,
                                     bd=bd)
 
     def walk(r4, c4, size):
