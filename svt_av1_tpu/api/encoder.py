@@ -75,15 +75,25 @@ def _variance_qmap(y: np.ndarray, base_q: int) -> np.ndarray:
     var = blocks.var(axis=(2, 3)) + 1.0
     med = max(float(np.median(var)), 1.0)
     delta = np.clip(np.round(np.log2(var / med) * 2.0), -3, 3) * 4
-    return np.clip(base_q + delta.astype(np.int32), 1, 255)
+    # positive deltas must keep base_q+delta congruent mod
+    # (1 << delta_q_res) below 255, or the decoder's clamped
+    # CurrentQIndex diverges from the qindex we quantized with
+    res_mask = (1 << 2) - 1  # delta_q_res = 2
+    delta_hi = (255 - base_q) & ~res_mask
+    delta = np.clip(delta.astype(np.int32), None, delta_hi)
+    return np.clip(base_q + delta, 1, 255)
 
 
 def _skip_map(decisions, gh: int, gw: int) -> np.ndarray:
-    """(gh, gw) bool: skip flag per 16x16 leaf block."""
+    """(gh, gw) bool: skip flag per 16x16 cell, filled from each leaf
+    decision's true block size (varpart emits 32x32 leaves)."""
     m = np.zeros((gh, gw), bool)
-    for by in range(gh):
-        for bx in range(gw):
-            m[by, bx] = decisions[(by * 4, bx * 4)].skip
+    from svt_av1_tpu.codec import constants as cc
+    for d in decisions.values():
+        n4 = int(cc.block_size_wide[d.bsize]) >> 2
+        by, bx = d.r4 // 4, d.c4 // 4
+        nb = max(1, n4 // 4)
+        m[by:by + nb, bx:bx + nb] = d.skip
     return m
 
 
@@ -200,14 +210,18 @@ class Encoder:
                      and not self.sp.enable_restoration
                      and not self.sp.enable_cdef)
 
-        def emit(results):
+        def emit(results, q):
             for decisions, recon in results:
                 if arrays_ok:
-                    self._packets.append(self._packetize_arrays(
-                        decisions, recon, qindex, self._pts))
+                    pkt = self._packetize_arrays(
+                        decisions, recon, q, self._pts)
                 else:
-                    self._packets.append(self._packetize(
-                        decisions, recon, qindex, self._pts))
+                    pkt = self._packetize(
+                        decisions, recon, q, self._pts)
+                self._packets.append(pkt)
+                self._rc.update(len(pkt.data) * 8)
+                if self._fp_stats is not None:
+                    self._fp_stats.append((len(pkt.data) * 8, q, 1.0))
                 self._pts += 1
 
         # overlap: device compute of chunk k+1 runs while the host
@@ -216,16 +230,17 @@ class Encoder:
         padded = [self._pad(y, u, v) for (y, u, v) in frames]
         pending = None
         for i in range(0, len(padded), CH):
+            q = self._rc.frame_qindex() if i else qindex
             launched = intra_encoder.encode_intra_frames_launch(
-                padded[i:i + CH], qindex, modes=self._feat.intra_modes,
+                padded[i:i + CH], q, modes=self._feat.intra_modes,
                 bd=self.cfg.encoder_bit_depth)
             if pending is not None:
                 emit(intra_encoder.encode_intra_frames_finish(
-                    pending, as_arrays=arrays_ok))
-            pending = launched
+                    pending[0], as_arrays=arrays_ok), pending[1])
+            pending = (launched, q)
         if pending is not None:
             emit(intra_encoder.encode_intra_frames_finish(
-                pending, as_arrays=arrays_ok))
+                pending[0], as_arrays=arrays_ok), pending[1])
         if eos:
             self._eos_sent = True
 
@@ -310,8 +325,10 @@ class Encoder:
         return pts % (period + 1) == 0
 
     def _detect_scene_cut(self, y: np.ndarray) -> None:
-        hist = np.bincount(np.asarray(y, np.uint8).reshape(-1) >> 3,
-                           minlength=32).astype(np.float64)
+        shift = 3 + self.cfg.encoder_bit_depth - 8
+        hist = np.bincount(
+            (np.asarray(y).astype(np.int64) >> shift).reshape(-1),
+            minlength=32).astype(np.float64)
         hist /= hist.sum()
         if self._prev_hist is None:
             self._scene_cut = False
@@ -366,9 +383,6 @@ class Encoder:
                 decisions, recon = intra_encoder.encode_intra_frame(
                     y, u, v, qindex, modes=self._feat.intra_modes,
                     bd=self.cfg.encoder_bit_depth, qmap=qmap)
-                if qmap is not None:
-                    for (r4, c4), d in decisions.items():
-                        d.qindex = int(qmap[r4 // 16, c4 // 16])
         else:
             decisions, recon = inter_encoder.encode_inter_frame(
                 y, u, v, self._ref, qindex,

@@ -67,8 +67,9 @@ def main(argv=None):
             if pkt.recon is not None and src_y is not None:
                 mse = np.mean((pkt.recon["y"].astype(np.float64)
                                - src_y.astype(np.float64)) ** 2)
+                peak = float((1 << hdr.bit_depth) - 1)
                 psnr_acc.append(99.0 if mse == 0 else
-                                10 * np.log10(255.0 ** 2 / mse))
+                                10 * np.log10(peak ** 2 / mse))
             count += 1
             if args.progress:
                 print(f"\rencoded {count}", end="", file=sys.stderr)

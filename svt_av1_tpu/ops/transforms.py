@@ -327,14 +327,21 @@ def coeff_sse_scale(tx_size: int, tx_type: int) -> float:
     (the reference's fast-stage distortion shortcut): for near-orthogonal
     AV1 transforms, pixel SSE ~= s2 * sum((coeff - dequant)^2).  Measured
     once per (size, type) through the real integer inverse (includes all
-    stage shifts/rounding)."""
+    stage shifts/rounding).
+
+    Computed on the host CPU backend: this is called at TRACE time from
+    inside jitted programs (static args), and the result must never
+    touch the session's default accelerator — on a mismatched/AOT TPU
+    client a trace-time device_put aborts compilation."""
     import jax
     import numpy as np
     rng = np.random.default_rng(0)
     _, w, h, _ = txfm_block_dims(tx_size)
     B = 8
-    # callable from inside jit traces (static args): force eager eval
-    with jax.ensure_compile_time_eval():
+    # callable from inside jit traces (static args): force eager eval,
+    # pinned to the CPU backend (always present)
+    with jax.ensure_compile_time_eval(), \
+            jax.default_device(jax.local_devices(backend="cpu")[0]):
         r = rng.integers(-200, 201, (B, h, w)).astype(np.int32)
         c = np.asarray(fwd_txfm2d(r, tx_type, tx_size))
         x1 = np.round(c).astype(np.int32)

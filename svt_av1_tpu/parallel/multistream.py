@@ -28,23 +28,21 @@ def make_mesh(n_devices: int, devices=None) -> Mesh:
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_frame_program(mesh: Mesh, nw: int, maxb: int, modes):
+def _sharded_frame_program(mesh: Mesh, gh: int, gw: int, modes):
     """The full per-frame MD+recon program, vmapped over frames and
     sharded over the mesh's stream axis."""
-    single = ie._frame_program_fn(nw, maxb, modes)
+    single = ie._frame_program_fn(gh, gw, modes)
 
-    def batched(ry, ru, rv, sy, su, sv, bys, bxs, valid, trs, bls,
-                zbin, rnd, qv, qshift, deq, lam):
+    def batched(sy, su, sv, zbin, rnd, qv, qshift, deq, lam):
         return jax.vmap(
-            lambda a, b, c, d, e, f: single(
-                a, b, c, d, e, f, bys, bxs, valid, trs, bls,
-                zbin, rnd, qv, qshift, deq, lam)
-        )(ry, ru, rv, sy, su, sv)
+            lambda a, b, c: single(a, b, c, zbin, rnd, qv, qshift, deq,
+                                   lam)
+        )(sy, su, sv)
 
     s = NamedSharding(mesh, P("stream"))
     rep = NamedSharding(mesh, P())
     return jax.jit(batched,
-                   in_shardings=(s,) * 6 + (rep,) * 11,
+                   in_shardings=(s,) * 3 + (rep,) * 6,
                    out_shardings=(s,) * 8)
 
 
@@ -55,37 +53,31 @@ def encode_intra_frames_sharded(frames: List[Tuple], qindex: int,
     the frame batch sharded across devices."""
     h, w = frames[0][0].shape
     gh, gw = h // ie.BLK, w // ie.BLK
-    maxb = min(gh, gw)
     qp_y = quant.make_quant_params(qindex)
     qstep = quant.dc_q(qindex) / 8.0
     lam = np.float32(0.7 * qstep * qstep)
-    waves, bys, bxs, valid, trs, bls = ie._schedule_arrays(gh, gw, maxb)
-    prog = _sharded_frame_program(mesh, len(waves), maxb, tuple(modes))
-    sy = np.stack([f[0] for f in frames]).astype(np.int32)
-    su = np.stack([f[1] for f in frames]).astype(np.int32)
-    sv = np.stack([f[2] for f in frames]).astype(np.int32)
+    prog = _sharded_frame_program(mesh, gh, gw, tuple(modes))
+    sy = np.stack([f[0] for f in frames]).astype(np.uint8)
+    su = np.stack([f[1] for f in frames]).astype(np.uint8)
+    sv = np.stack([f[2] for f in frames]).astype(np.uint8)
     with mesh:
-        out = prog(np.zeros_like(sy), np.zeros_like(su),
-                   np.zeros_like(su), sy, su, sv, bys, bxs, valid, trs,
-                   bls, *(np.asarray(a) for a in qp_y), lam)
-    (ry, ru, rv, modes_acc, uv_acc, qy_acc, qu_acc, qv_acc) = \
+        out = prog(sy, su, sv, *(np.asarray(a) for a in qp_y), lam)
+    (ry, ru, rv, ym_a, um_a, qy_a, qu_a, qv_a) = \
         [np.asarray(o) for o in out]
     results = []
     for fi in range(len(frames)):
-        decisions = ie._collect_decisions(
-            waves, gh, gw, modes_acc[fi], uv_acc[fi], qy_acc[fi],
-            qu_acc[fi], qv_acc[fi])
-        recon = dict(y=ry[fi].astype(np.uint8), u=ru[fi].astype(np.uint8),
-                     v=rv[fi].astype(np.uint8))
+        decisions = ie._collect_decisions_dense(
+            gh, gw, ym_a[fi], um_a[fi], qy_a[fi], qu_a[fi], qv_a[fi])
+        recon = dict(y=ry[fi], u=ru[fi], v=rv[fi])
         results.append((decisions, recon))
     return results
 
 
 def demo_multi_stream(n_devices: int, height: int = 64, width: int = 64,
-                      qindex: int = 140):
+                      qindex: int = 140, devices=None):
     """One sharded multi-stream encode step end-to-end (used by
     __graft_entry__.dryrun_multichip)."""
-    mesh = make_mesh(n_devices)
+    mesh = make_mesh(n_devices, devices=devices)
     rng = np.random.default_rng(0)
     frames = []
     for _ in range(n_devices):

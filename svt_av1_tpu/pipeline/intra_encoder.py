@@ -282,38 +282,54 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
     return best_mode, best_q, recon
 
 
-@functools.lru_cache(maxsize=None)
-def _jit_wave_step(n, tx_size, modes, maxb):
-    def step(recon, src, ys, xs, valid, have_above, have_left,
-             zbin, rnd, qv, qshift, deq, lam):
-        return _rd_step(recon, src, ys, xs, valid, have_above, have_left,
-                        (zbin, rnd, qv, qshift, deq), lam, n, tx_size,
-                        modes, 0)
-    return jax.jit(step)
+def _natural_maxb(gh: int, gw: int) -> int:
+    """Largest wave size under the 2:1 slope (no slot padding needed)."""
+    return max(1, min(gh, (gw + 1) // 2))
 
 
-def _frame_program_fn(nw, maxb, modes, bd=8, aq=False, gw=0):
+def _frame_program_fn(gh, gw, modes, bd=8, aq=False):
     """Whole-key-frame program: fori_loop over waves, each iteration runs
     luma MD (all modes) + chroma MD and scatters recon in place.
 
+    The wave schedule is static for (gh, gw) and baked into the program.
+    Outputs are packed device-side for the host: recon in the source
+    dtype, per-block decisions re-laid out from (wave, slot) into a dense
+    raster (gh*gw) order, and coefficients narrowed to int16 (levels for
+    16x16/8x8 transforms are bounded by 32767/dequant_min <= 16384) —
+    this cuts the device->host transfer ~6x, which dominates wall time
+    on a tunneled TPU.
+
     aq: per-block adaptive quantization — the qp fields arrive as
     (n_blocks, 2) rows and lam as (n_blocks,); each wave gathers its
-    slots' rows (needs ``gw``, the 16-block grid width)."""
+    slots' rows."""
+    maxb = _natural_maxb(gh, gw)
+    waves, bys, bxs, valid, trs, bls = _schedule_arrays(gh, gw, maxb)
+    nw = len(waves)
+    wi, wj, wby, wbx = _wave_flat_index(waves, 0)
+    perm = np.zeros(gh * gw, np.int32)
+    perm[wby * gw + wbx] = wi * maxb + wj
+    h, w = gh * BLK, gw * BLK
+    rdt = jnp.uint8 if bd == 8 else jnp.uint16
 
-    def frame(recon_y, recon_u, recon_v, src_y, src_u, src_v,
-              bys, bxs, valid, trs, bls, zbin, rnd, qv, qshift, deq, lam):
+    def frame(src_y8, src_u8, src_v8, zbin, rnd, qv, qshift, deq, lam):
+        src_y = src_y8.astype(jnp.int32)
+        src_u = src_u8.astype(jnp.int32)
+        src_v = src_v8.astype(jnp.int32)
+        recon_y = jnp.zeros((h, w), jnp.int32)
+        recon_u = jnp.zeros((h // 2, w // 2), jnp.int32)
+        recon_v = jnp.zeros((h // 2, w // 2), jnp.int32)
         qp_all = (zbin, rnd, qv, qshift, deq)
         modes_acc = jnp.zeros((nw, maxb), jnp.int32)
         uv_modes_acc = jnp.zeros((nw, maxb), jnp.int32)
-        qy_acc = jnp.zeros((nw, maxb, BLK, BLK), jnp.int32)
-        qu_acc = jnp.zeros((nw, maxb, CBLK, CBLK), jnp.int32)
-        qv_acc = jnp.zeros((nw, maxb, CBLK, CBLK), jnp.int32)
+        qy_acc = jnp.zeros((nw, maxb, BLK, BLK), jnp.int16)
+        qu_acc = jnp.zeros((nw, maxb, CBLK, CBLK), jnp.int16)
+        qv_acc = jnp.zeros((nw, maxb, CBLK, CBLK), jnp.int16)
 
         def body(i, carry):
             ry, ru, rv, ma, uma, qya, qua, qva = carry
-            by = bys[i]
-            bx = bxs[i]
-            va = valid[i]
+            by = jnp.asarray(bys)[i]
+            bx = jnp.asarray(bxs)[i]
+            va = jnp.asarray(valid)[i]
             ha = (by > 0) & va
             hl = (bx > 0) & va
             if aq:
@@ -325,26 +341,38 @@ def _frame_program_fn(nw, maxb, modes, bd=8, aq=False, gw=0):
                 lam_w = lam
             m, q, ry = _rd_step(ry, src_y, by * BLK, bx * BLK, va, ha, hl,
                                 qp, lam_w, BLK, cc.TX_16X16, modes, 0,
-                                tr_avail=trs[i] & va, bl_avail=bls[i] & va,
+                                tr_avail=jnp.asarray(trs)[i] & va,
+                                bl_avail=jnp.asarray(bls)[i] & va,
                                 bd=bd)
             # chroma: joint mode decision over U+V (one signaled uv_mode)
             um, qu, qvq, ru, rv = _rd_step_chroma(
                 ru, rv, src_u, src_v, by * CBLK, bx * CBLK, va, ha, hl,
                 qp, lam_w, bd=bd)
             return (ry, ru, rv, ma.at[i].set(m), uma.at[i].set(um),
-                    qya.at[i].set(q), qua.at[i].set(qu),
-                    qva.at[i].set(qvq))
+                    qya.at[i].set(q.astype(jnp.int16)),
+                    qua.at[i].set(qu.astype(jnp.int16)),
+                    qva.at[i].set(qvq.astype(jnp.int16)))
 
         init = (recon_y, recon_u, recon_v, modes_acc, uv_modes_acc,
                 qy_acc, qu_acc, qv_acc)
-        return jax.lax.fori_loop(0, nw, body, init)
+        ry, ru, rv, ma, uma, qya, qua, qva = jax.lax.fori_loop(
+            0, nw, body, init)
+        # dense raster re-layout (static gather) + output narrowing
+        pj = jnp.asarray(perm)
+        ym = ma.reshape(-1)[pj].astype(jnp.uint8)
+        um = uma.reshape(-1)[pj].astype(jnp.uint8)
+        qy = qya.reshape(nw * maxb, BLK * BLK)[pj]
+        qu = qua.reshape(nw * maxb, CBLK * CBLK)[pj]
+        qvp = qva.reshape(nw * maxb, CBLK * CBLK)[pj]
+        return (ry.astype(rdt), ru.astype(rdt), rv.astype(rdt),
+                ym, um, qy, qu, qvp)
 
     return frame
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_frame_program(nw, maxb, modes, bd=8, aq=False, gw=0):
-    return jax.jit(_frame_program_fn(nw, maxb, modes, bd, aq=aq, gw=gw))
+def _jit_frame_program(gh, gw, modes, bd=8, aq=False):
+    return jax.jit(_frame_program_fn(gh, gw, modes, bd, aq=aq))
 
 
 def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
@@ -456,19 +484,17 @@ def _wave_schedule(gh: int, gw: int, maxb: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_frame_program_batch(nw, maxb, modes, bd=8):
+def _jit_frame_program_batch(gh, gw, modes, bd=8):
     """vmap of the frame program over a leading frame axis — all-intra
     frames are independent, so a batch shares one device dispatch
     (amortizes host<->device transfers; also the multi-stream shape)."""
-    single = _frame_program_fn(nw, maxb, modes, bd)
+    single = _frame_program_fn(gh, gw, modes, bd)
 
-    def batched(ry, ru, rv, sy, su, sv, bys, bxs, valid, trs, bls,
-                zbin, rnd, qv, qshift, deq, lam):
+    def batched(sy, su, sv, zbin, rnd, qv, qshift, deq, lam):
         return jax.vmap(
-            lambda a, b, c, d, e, f: single(
-                a, b, c, d, e, f, bys, bxs, valid, trs, bls,
-                zbin, rnd, qv, qshift, deq, lam)
-        )(ry, ru, rv, sy, su, sv)
+            lambda a, b, c: single(a, b, c, zbin, rnd, qv, qshift, deq,
+                                   lam)
+        )(sy, su, sv)
 
     return jax.jit(batched)
 
@@ -481,20 +507,16 @@ def encode_intra_frames_launch(frames, qindex: int, modes=MODES,
     h, w = frames[0][0].shape
     assert h % BLK == 0 and w % BLK == 0
     gh, gw = h // BLK, w // BLK
-    maxb = min(gh, gw)
     qp_y = quant.make_quant_params(qindex, bd=bd)
     qstep = quant.dc_q(qindex, bd=bd) / 8.0
     lam = np.float32(0.7 * qstep * qstep)
-    waves, bys, bxs, valid, trs, bls = _schedule_arrays(gh, gw, maxb)
-    nw = len(waves)
-    prog = _jit_frame_program_batch(nw, maxb, tuple(modes), bd)
-    sy = np.stack([f[0] for f in frames]).astype(np.int32)
-    su = np.stack([f[1] for f in frames]).astype(np.int32)
-    sv = np.stack([f[2] for f in frames]).astype(np.int32)
-    out = prog(np.zeros_like(sy), np.zeros_like(su), np.zeros_like(su),
-               sy, su, sv, bys, bxs, valid, trs, bls,
-               *(np.asarray(a) for a in qp_y), lam)
-    return (out, waves, gh, gw, len(frames), bd)
+    prog = _jit_frame_program_batch(gh, gw, tuple(modes), bd)
+    sdt = np.uint8 if bd == 8 else np.uint16
+    sy = np.stack([f[0] for f in frames]).astype(sdt)
+    su = np.stack([f[1] for f in frames]).astype(sdt)
+    sv = np.stack([f[2] for f in frames]).astype(sdt)
+    out = prog(sy, su, sv, *(np.asarray(a) for a in qp_y), lam)
+    return (out, gh, gw, len(frames), bd)
 
 
 def encode_intra_frames(frames, qindex: int, modes=MODES, bd: int = 8,
@@ -508,36 +530,19 @@ def encode_intra_frames(frames, qindex: int, modes=MODES, bd: int = 8,
 
 
 def encode_intra_frames_finish(pending, as_arrays: bool = False):
-    out, waves, gh, gw, nf, bd = pending
-    (ry, ru, rv, modes_acc, uv_acc, qy_acc, qu_acc, qv_acc) = \
+    out, gh, gw, nf, bd = pending
+    (ry, ru, rv, ym_a, um_a, qy_a, qu_a, qv_a) = \
         [np.asarray(o) for o in out]
-    dt = np.uint8 if bd == 8 else np.uint16
     results = []
-    if as_arrays:
-        wi, wj, wby, wbx = _wave_flat_index(waves, 0)
-        for fi in range(nf):
-            bid = wby * gw + wbx
-            ym = np.zeros(gh * gw, np.uint8)
-            um = np.zeros(gh * gw, np.uint8)
-            qy = np.zeros((gh * gw, BLK * BLK), np.int32)
-            qu = np.zeros((gh * gw, CBLK * CBLK), np.int32)
-            qv = np.zeros((gh * gw, CBLK * CBLK), np.int32)
-            ym[bid] = modes_acc[fi][wi, wj]
-            um[bid] = uv_acc[fi][wi, wj]
-            qy[bid] = qy_acc[fi][wi, wj].reshape(len(bid), -1)
-            qu[bid] = qu_acc[fi][wi, wj].reshape(len(bid), -1)
-            qv[bid] = qv_acc[fi][wi, wj].reshape(len(bid), -1)
-            recon = dict(y=ry[fi].astype(dt), u=ru[fi].astype(dt),
-                         v=rv[fi].astype(dt))
-            results.append(((ym, um, qy, qu, qv, gh, gw), recon))
-        return results
     for fi in range(nf):
-        decisions = _collect_decisions(
-            waves, gh, gw, modes_acc[fi], uv_acc[fi], qy_acc[fi],
-            qu_acc[fi], qv_acc[fi])
-        recon = dict(y=ry[fi].astype(dt), u=ru[fi].astype(dt),
-                     v=rv[fi].astype(dt))
-        results.append((decisions, recon))
+        recon = dict(y=ry[fi], u=ru[fi], v=rv[fi])
+        if as_arrays:
+            results.append(((ym_a[fi], um_a[fi], qy_a[fi], qu_a[fi],
+                             qv_a[fi], gh, gw), recon))
+        else:
+            decisions = _collect_decisions_dense(
+                gh, gw, ym_a[fi], um_a[fi], qy_a[fi], qu_a[fi], qv_a[fi])
+            results.append((decisions, recon))
     return results
 
 
@@ -571,17 +576,24 @@ def _schedule_arrays(gh, gw, maxb):
     return waves, bys, bxs, valid, trs, bls
 
 
-def _collect_decisions(waves, gh, gw, modes_np, uv_modes_np, qy_np, qu_np,
-                       qv_np):
+def _collect_decisions_dense(gh, gw, ym, um, qy, qu, qv_,
+                             qmap=None):
+    """Build per-block BlockDecisions from dense raster (gh*gw) arrays."""
+    qy = qy.astype(np.int32).reshape(gh * gw, BLK, BLK)
+    qu = qu.astype(np.int32).reshape(gh * gw, CBLK, CBLK)
+    qv_ = qv_.astype(np.int32).reshape(gh * gw, CBLK, CBLK)
     decisions = {}
-    for i, wave in enumerate(waves):
-        for j, (by, bx) in enumerate(wave):
+    for by in range(gh):
+        for bx in range(gw):
+            bid = by * gw + bx
             r4, c4 = by * (BLK >> 2), bx * (BLK >> 2)
             decisions[(r4, c4)] = BlockDecision(
                 r4=r4, c4=c4, bsize=cc.BLOCK_16X16,
-                y_mode=int(modes_np[i, j]), uv_mode=int(uv_modes_np[i, j]),
-                tx_type=cc.DCT_DCT, qcoeff_y=qy_np[i, j],
-                qcoeff_u=qu_np[i, j], qcoeff_v=qv_np[i, j])
+                y_mode=int(ym[bid]), uv_mode=int(um[bid]),
+                tx_type=cc.DCT_DCT, qcoeff_y=qy[bid],
+                qcoeff_u=qu[bid], qcoeff_v=qv_[bid],
+                qindex=(int(qmap[by // 4, bx // 4])
+                        if qmap is not None else 0))
     return decisions
 
 
@@ -600,7 +612,6 @@ def encode_intra_frame(src_y: np.ndarray, src_u: np.ndarray,
     h, w = src_y.shape
     assert h % BLK == 0 and w % BLK == 0, "round 1: dims multiple of 16"
     gh, gw = h // BLK, w // BLK
-    maxb = min(gh, gw)
 
     aq = qmap is not None
     if aq:
@@ -622,66 +633,16 @@ def encode_intra_frame(src_y: np.ndarray, src_u: np.ndarray,
         qstep = quant.dc_q(qindex, bd=bd) / 8.0
         lam = np.float32(0.7 * qstep * qstep)
 
-    waves = _wave_schedule(gh, gw, maxb)
-    nw = len(waves)
-    bys = np.zeros((nw, maxb), np.int32)
-    bxs = np.zeros((nw, maxb), np.int32)
-    valid = np.zeros((nw, maxb), bool)
-    trs = np.zeros((nw, maxb), bool)
-    bls = np.zeros((nw, maxb), bool)
-    for i, wave in enumerate(waves):
-        nb = len(wave)
-        bys[i, :nb] = [b[0] for b in wave]
-        bxs[i, :nb] = [b[1] for b in wave]
-        valid[i, :nb] = True
-        for j, (by, bx) in enumerate(wave):
-            trs[i, j], bls[i, j] = tr_bl_avail(by, bx, gh, gw)
-
-    prog = _jit_frame_program(nw, maxb, tuple(modes), bd, aq=aq, gw=gw)
-    out = prog(jnp.zeros((h, w), jnp.int32),
-               jnp.zeros((h // 2, w // 2), jnp.int32),
-               jnp.zeros((h // 2, w // 2), jnp.int32),
-               jnp.asarray(src_y.astype(np.int32)),
-               jnp.asarray(src_u.astype(np.int32)),
-               jnp.asarray(src_v.astype(np.int32)),
-               jnp.asarray(bys), jnp.asarray(bxs), jnp.asarray(valid),
-               jnp.asarray(trs), jnp.asarray(bls),
-               *(jnp.asarray(a) for a in qp_y), jnp.asarray(lam))
-    (recon_y, recon_u, recon_v, modes_acc, uv_modes_acc, qy_acc, qu_acc,
-     qv_acc) = out
-
-    y_modes = np.zeros((gh, gw), np.int32)
-    uv_modes = np.zeros((gh, gw), np.int32)
-    qy = np.zeros((gh, gw, BLK, BLK), np.int32)
-    qu = np.zeros((gh, gw, CBLK, CBLK), np.int32)
-    qv_ = np.zeros((gh, gw, CBLK, CBLK), np.int32)
-    modes_np = np.asarray(modes_acc)
-    uv_modes_np = np.asarray(uv_modes_acc)
-    qy_np = np.asarray(qy_acc)
-    qu_np = np.asarray(qu_acc)
-    qv_np = np.asarray(qv_acc)
-    for i, wave in enumerate(waves):
-        for j, (by, bx) in enumerate(wave):
-            y_modes[by, bx] = modes_np[i, j]
-            uv_modes[by, bx] = uv_modes_np[i, j]
-            qy[by, bx] = qy_np[i, j]
-            qu[by, bx] = qu_np[i, j]
-            qv_[by, bx] = qv_np[i, j]
-
-    decisions = {}
-    for by in range(gh):
-        for bx in range(gw):
-            r4, c4 = by * (BLK >> 2), bx * (BLK >> 2)
-            decisions[(r4, c4)] = BlockDecision(
-                r4=r4, c4=c4, bsize=cc.BLOCK_16X16,
-                y_mode=int(y_modes[by, bx]),
-                uv_mode=int(uv_modes[by, bx]),
-                tx_type=cc.DCT_DCT, qcoeff_y=qy[by, bx],
-                qcoeff_u=qu[by, bx], qcoeff_v=qv_[by, bx])
-    dt = np.uint8 if bd == 8 else np.uint16
-    recon = dict(y=np.asarray(recon_y).astype(dt),
-                 u=np.asarray(recon_u).astype(dt),
-                 v=np.asarray(recon_v).astype(dt))
+    sdt = np.uint8 if bd == 8 else np.uint16
+    prog = _jit_frame_program(gh, gw, tuple(modes), bd, aq=aq)
+    out = prog(np.asarray(src_y, sdt), np.asarray(src_u, sdt),
+               np.asarray(src_v, sdt),
+               *(np.asarray(a) for a in qp_y), np.asarray(lam))
+    (recon_y, recon_u, recon_v, ym_a, um_a, qy_a, qu_a, qv_a) = \
+        [np.asarray(o) for o in out]
+    decisions = _collect_decisions_dense(gh, gw, ym_a, um_a, qy_a, qu_a,
+                                         qv_a, qmap=qmap)
+    recon = dict(y=recon_y, u=recon_u, v=recon_v)
     return decisions, recon
 
 
