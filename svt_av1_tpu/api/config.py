@@ -50,6 +50,7 @@ class EncoderConfig:
     screen_content_mode: int = 0
     enable_tpl_la: int = 0
     fast_decode: int = 0
+    stat_report: int = 0              # per-frame PSNR/SSIM on packets
     # threading analog
     level_of_parallelism: int = 0
     # multi-pass
@@ -103,6 +104,7 @@ _PARAM_MAP = {
     "scm": ("screen_content_mode", int),
     "enable-tpl-la": ("enable_tpl_la", int),
     "fast-decode": ("fast_decode", int),
+    "enable-stat-report": ("stat_report", int),
     "lp": ("level_of_parallelism", int),
     "pass": ("pass_", int),
     "fps-num": ("frame_rate_numerator", int),

@@ -42,6 +42,7 @@ class Packet:
     pts: int
     frame_type: int
     recon: Optional[Dict[str, np.ndarray]] = None
+    stats: Optional[dict] = None   # --enable-stat-report analog
 
 
 def _align16(x: int) -> int:
@@ -210,14 +211,22 @@ class Encoder:
                      and not self.sp.enable_restoration
                      and not self.sp.enable_cdef)
 
-        def emit(results, q):
-            for decisions, recon in results:
-                if arrays_ok:
-                    pkt = self._packetize_arrays(
-                        decisions, recon, q, self._pts)
-                else:
-                    pkt = self._packetize(
-                        decisions, recon, q, self._pts)
+        from svt_av1_tpu.utils.profiling import stage
+
+        def emit(results, q, srcs):
+            for (decisions, recon), src in zip(results, srcs):
+                with stage("host_ec"):
+                    if arrays_ok:
+                        pkt = self._packetize_arrays(
+                            decisions, recon, q, self._pts)
+                    else:
+                        pkt = self._packetize(
+                            decisions, recon, q, self._pts)
+                if self.cfg.stat_report:
+                    from svt_av1_tpu.utils import metrics
+                    pkt.stats = metrics.frame_stats(
+                        dict(y=src[0], u=src[1], v=src[2]), pkt.recon,
+                        self.cfg.encoder_bit_depth)
                 self._packets.append(pkt)
                 self._rc.update(len(pkt.data) * 8)
                 if self._fp_stats is not None:
@@ -231,16 +240,22 @@ class Encoder:
         pending = None
         for i in range(0, len(padded), CH):
             q = self._rc.frame_qindex() if i else qindex
-            launched = intra_encoder.encode_intra_frames_launch(
-                padded[i:i + CH], q, modes=self._feat.intra_modes,
-                bd=self.cfg.encoder_bit_depth)
+            chunk = padded[i:i + CH]
+            with stage("device_dispatch"):
+                launched = intra_encoder.encode_intra_frames_launch(
+                    chunk, q, modes=self._feat.intra_modes,
+                    bd=self.cfg.encoder_bit_depth)
             if pending is not None:
-                emit(intra_encoder.encode_intra_frames_finish(
-                    pending[0], as_arrays=arrays_ok), pending[1])
-            pending = (launched, q)
+                with stage("device_wait_transfer"):
+                    results = intra_encoder.encode_intra_frames_finish(
+                        pending[0], as_arrays=arrays_ok)
+                emit(results, pending[1], pending[2])
+            pending = (launched, q, chunk)
         if pending is not None:
-            emit(intra_encoder.encode_intra_frames_finish(
-                pending[0], as_arrays=arrays_ok), pending[1])
+            with stage("device_wait_transfer"):
+                results = intra_encoder.encode_intra_frames_finish(
+                    pending[0], as_arrays=arrays_ok)
+            emit(results, pending[1], pending[2])
         if eos:
             self._eos_sent = True
 
@@ -344,6 +359,12 @@ class Encoder:
         assert self._fp_stats is not None, "not a pass-1 encoder"
         return rc_mod.pack_first_pass_stats(self._fp_stats)
 
+    def stage_stats(self):
+        """Per-stage host timing accumulated since process start (the
+        observability analog of SRM occupancy reports / SVT_LOG)."""
+        from svt_av1_tpu.utils import profiling
+        return profiling.stage_stats()
+
     def _encode_frame(self, y, u, v, pts) -> Packet:
         if self._q_plan is not None and pts < len(self._q_plan):
             qindex = int(self._q_plan[pts])
@@ -360,6 +381,7 @@ class Encoder:
                   + u[:, 1::2].astype(np.int32) + 1) >> 1).astype(u.dtype)
             v = ((v[:, 0::2].astype(np.int32)
                   + v[:, 1::2].astype(np.int32) + 1) >> 1).astype(v.dtype)
+        from svt_av1_tpu.utils.profiling import stage
         is_key = self._frame_is_key(pts) or self._ref is None
         gop_has_inter = self.cfg.intra_period_length not in (-2, 0)
         if is_key and gop_has_inter and self._q_plan is None:
@@ -376,25 +398,33 @@ class Encoder:
                 # 32/16 partition MD (quality presets; DLF must be off:
                 # interior 16-edges of a 32 transform are not deblocked)
                 from svt_av1_tpu.pipeline import varpart
-                decisions, recon = varpart.encode_intra_frame_varpart(
-                    y, u, v, qindex, modes=self._feat.intra_modes,
-                    bd=self.cfg.encoder_bit_depth)
+                with stage("device_md_intra"):
+                    decisions, recon = varpart.encode_intra_frame_varpart(
+                        y, u, v, qindex, modes=self._feat.intra_modes,
+                        bd=self.cfg.encoder_bit_depth)
             else:
-                decisions, recon = intra_encoder.encode_intra_frame(
-                    y, u, v, qindex, modes=self._feat.intra_modes,
-                    bd=self.cfg.encoder_bit_depth, qmap=qmap)
+                with stage("device_md_intra"):
+                    decisions, recon = intra_encoder.encode_intra_frame(
+                        y, u, v, qindex, modes=self._feat.intra_modes,
+                        bd=self.cfg.encoder_bit_depth, qmap=qmap)
         else:
-            decisions, recon = inter_encoder.encode_inter_frame(
-                y, u, v, self._ref, qindex,
-                modes=self._feat.intra_modes,
-                bd=self.cfg.encoder_bit_depth,
-                hme_rad2=self._feat.hme_rad2,
-                hme_rad0=self._feat.hme_rad0,
-                subpel_ring=self._feat.subpel_ring)
+            with stage("device_md_inter"):
+                decisions, recon = inter_encoder.encode_inter_frame(
+                    y, u, v, self._ref, qindex,
+                    modes=self._feat.intra_modes,
+                    bd=self.cfg.encoder_bit_depth,
+                    hme_rad2=self._feat.hme_rad2,
+                    hme_rad0=self._feat.hme_rad0,
+                    subpel_ring=self._feat.subpel_ring)
         pkt = self._packetize(decisions, recon, qindex, pts,
                               is_key=is_key, src=dict(y=y, u=u, v=v),
                               src_full=src_full,
                               delta_q=qmap is not None)
+        if self.cfg.stat_report and pkt.recon is not None:
+            from svt_av1_tpu.utils import metrics
+            ss = src_full or dict(y=y, u=u, v=v)
+            pkt.stats = metrics.frame_stats(
+                ss, pkt.recon, self.cfg.encoder_bit_depth)
         self._rc.update(len(pkt.data) * 8)
         if self._fp_stats is not None:
             self._fp_stats.append((len(pkt.data) * 8, qindex,
@@ -420,6 +450,7 @@ class Encoder:
             from svt_av1_tpu.codec.film_grain import default_grain_params
             fp.film_grain = default_grain_params(
                 self.cfg.film_grain_denoise_strength)
+        from svt_av1_tpu.utils.profiling import stage
         if self.cfg.enable_dlf_flag:
             # uniform filtering is conformant for the fixed 16x16 grid on
             # BOTH frame types: every filtered edge is a block (PU) edge,
@@ -429,20 +460,22 @@ class Encoder:
             fp.filter_level = (lvl_y, lvl_y)
             lvl_uv = max(0, lvl_y - 2)
             fp.filter_level_uv = (lvl_uv, lvl_uv)
-            recon = intra_encoder.apply_loop_filter(recon, fp)
+            with stage("dlf"):
+                recon = intra_encoder.apply_loop_filter(recon, fp)
         deblocked = recon  # post-DLF, pre-CDEF (LR boundary source)
         if self.sp.enable_cdef and src is not None:
             from svt_av1_tpu.pipeline import cdef_stage
             skip16 = _skip_map(decisions, self.coded_h // 16,
                                self.sr_w // 16)
             fp.cdef_damping = cdef_stage.cdef_damping(qindex)
-            fp.cdef_strengths = cdef_stage.cdef_search(
-                src, recon, skip16, qindex,
-                bd=self.cfg.encoder_bit_depth,
-                max_candidates=self._feat.cdef_candidates)
-            recon = cdef_stage.cdef_apply(
-                recon, skip16, fp.cdef_strengths, fp.cdef_damping,
-                bd=self.cfg.encoder_bit_depth)
+            with stage("cdef"):
+                fp.cdef_strengths = cdef_stage.cdef_search(
+                    src, recon, skip16, qindex,
+                    bd=self.cfg.encoder_bit_depth,
+                    max_candidates=self._feat.cdef_candidates)
+                recon = cdef_stage.cdef_apply(
+                    recon, skip16, fp.cdef_strengths, fp.cdef_damping,
+                    bd=self.cfg.encoder_bit_depth)
         if self.sr_denom != 8 and src is not None:
             # normative horizontal upscale (spec 7.16): after CDEF,
             # before loop restoration; LR then works at full width,
@@ -456,14 +489,16 @@ class Encoder:
         if self.sp.enable_restoration and src is not None:
             from svt_av1_tpu.codec import lr as lr_mod
             from svt_av1_tpu.pipeline import lr_stage
-            bounds = lr_stage.save_boundaries(deblocked)
-            lr_info = lr_mod.make_lr_info(self.coded_w, self.coded_h)
-            lr_stage.search_lr(src_full or src, recon, bounds, lr_info,
-                               bd=self.cfg.encoder_bit_depth,
-                               eps_set=self._feat.lr_eps)
-            fp.lr_types = tuple(i.frame_type for i in lr_info)
-            recon = lr_stage.apply_lr(recon, bounds, lr_info,
-                                      bd=self.cfg.encoder_bit_depth)
+            with stage("restoration"):
+                bounds = lr_stage.save_boundaries(deblocked)
+                lr_info = lr_mod.make_lr_info(self.coded_w, self.coded_h)
+                lr_stage.search_lr(src_full or src, recon, bounds,
+                                   lr_info,
+                                   bd=self.cfg.encoder_bit_depth,
+                                   eps_set=self._feat.lr_eps)
+                fp.lr_types = tuple(i.frame_type for i in lr_info)
+                recon = lr_stage.apply_lr(recon, bounds, lr_info,
+                                          bd=self.cfg.encoder_bit_depth)
         self._ref = {k: recon[k] for k in ("y", "u", "v")}
         chain = fp.primary_ref_frame != obu.PRIMARY_REF_NONE
         tenc = TileEncoder(self.sr_w, self.sp.height, qindex,
@@ -476,7 +511,8 @@ class Encoder:
             tenc.set_lr(lr_info)
         if fp.delta_q_present:
             tenc.set_delta_q(fp.delta_q_res)
-        tile_data = tenc.encode(decisions)
+        with stage("host_ec"):
+            tile_data = tenc.encode(decisions)
         if not fp.disable_frame_end_update_cdf:
             self._ref_cdfs = tenc.cdfs
             self._ref_nmv = tenc.nmv
