@@ -72,6 +72,9 @@ class EncoderConfig:
             raise ConfigError(f"bad preset {self.enc_mode}")
         if self.rate_control_mode not in (0, 1, 2):
             raise ConfigError(f"bad rc mode {self.rate_control_mode}")
+        if not (0 <= self.hierarchical_levels <= 5):
+            raise ConfigError(
+                f"bad hierarchical_levels {self.hierarchical_levels}")
         return self
 
 

@@ -39,10 +39,11 @@ def default_filter_level(qindex: int) -> int:
 @dataclasses.dataclass
 class Packet:
     data: bytes
-    pts: int
+    pts: int               # display order of the content (poc)
     frame_type: int
     recon: Optional[Dict[str, np.ndarray]] = None
     stats: Optional[dict] = None   # --enable-stat-report analog
+    displayed: bool = True  # False for hidden (show_frame=0) frames
 
 
 def _align16(x: int) -> int:
@@ -146,6 +147,23 @@ class Encoder:
         self._rc = RateControlState.create(config, fps)
         from svt_av1_tpu.pipeline.presets import features_for
         self._feat = features_for(config.enc_mode)
+        self._seq_hdr_sent = False
+        # hierarchical (random access) prediction structure: explicit
+        # hierarchical_levels with a GOP that has inter frames
+        self._hier = 0
+        if (config.hierarchical_levels > 0
+                and config.intra_period_length not in (-2, 0)
+                and config.pred_structure == 2):
+            self._hier = min(5, config.hierarchical_levels)
+            self._h_frames: Dict[int, tuple] = {}  # poc -> (y, u, v)
+            self._h_next_in = 0       # next arriving poc
+            self._h_sched = 0         # first unscheduled poc
+            self._h_anchor = None     # display poc of last coded anchor
+            self._h_cuts = set()      # scene-cut pocs
+            self._dpb: Dict[int, int] = {}       # stored poc -> slot
+            self._slot_free = set(range(8))
+            self._slot_recon: Dict[int, Dict] = {}
+            self._slot_state: Dict[int, tuple] = {}
         if config.pass_ == 2 and config.rc_stats_buffer:
             from svt_av1_tpu.pipeline import rate_control as rc_mod
             stats = rc_mod.unpack_first_pass_stats(config.rc_stats_buffer)
@@ -165,6 +183,17 @@ class Encoder:
         synchronous; with enable_tf the encoder holds a small lookahead
         so key frames can be temporally filtered against future frames
         (the reference's picture-decision delay)."""
+        if self._hier:
+            self._detect_scene_cut(y)
+            if self._scene_cut:
+                self._h_cuts.add(self._h_next_in)
+            self._h_frames[self._h_next_in] = (
+                np.asarray(y), np.asarray(u), np.asarray(v))
+            self._h_next_in += 1
+            self._drain_hier(flush=eos)
+            if eos:
+                self._eos_sent = True
+            return
         self._la.append((np.asarray(y), np.asarray(u), np.asarray(v)))
         self._drain(flush=eos)
         if eos:
@@ -175,6 +204,9 @@ class Encoder:
                 and self.cfg.intra_period_length not in (-2, 0))
 
     def _drain(self, flush: bool):
+        if self._hier:
+            self._drain_hier(flush)
+            return
         while self._la:
             if (self._tf_active() and self._frame_is_key(self._pts)
                     and len(self._la) < 3 and not flush):
@@ -191,6 +223,172 @@ class Encoder:
             self._tf_hist = [(y, u, v)]
             self._packets.append(self._encode_frame(y, u, v, self._pts))
             self._pts += 1
+
+    # -- hierarchical (random access) GOP ------------------------------------
+    def _is_key_poc(self, poc: int) -> bool:
+        period = self.cfg.intra_period_length
+        if poc == 0 or poc in self._h_cuts:
+            return True
+        if period == -1:
+            return False
+        return poc % (period + 1) == 0
+
+    def _drain_hier(self, flush: bool):
+        """Schedule complete mini-GoPs from the lookahead (the picture-
+        decision mini-GoP assembly analog, pd_process.c:639-860)."""
+        from svt_av1_tpu.pipeline import gop
+        N = 1 << self._hier
+        while True:
+            p0 = self._h_sched
+            if p0 not in self._h_frames:
+                return
+            if self._h_anchor is None or self._is_key_poc(p0):
+                self._encode_key_job(p0)
+                self._h_sched = p0 + 1
+                continue
+            avail = 0
+            while p0 + avail in self._h_frames:
+                avail += 1
+            n = 0
+            while n < min(N, avail):
+                if self._is_key_poc(p0 + n):
+                    break
+                n += 1
+            if (n < N and n == avail and not flush
+                    and not self._is_key_poc(p0 + n)):
+                return  # mini-GoP may still grow
+            self._encode_minigop(p0, n)
+            self._h_sched = p0 + n
+
+    def _encode_key_job(self, poc: int):
+        y, u, v = self._h_frames.pop(poc)
+        if self._tf_active():
+            from svt_av1_tpu.pipeline import tf_stage
+            neighbors = [self._h_frames[p] for p in (poc + 1, poc + 2)
+                         if p in self._h_frames]
+            if neighbors:
+                y, u, v = tf_stage.mctf_filter_frame((y, u, v), neighbors)
+        y, u, v = self._pad(y, u, v)
+        qindex = self._base_q_for(poc)
+        qindex = max(1, qindex - qindex // self._feat.kf_boost_div)
+        decisions, recon = intra_encoder.encode_intra_frame(
+            y, u, v, qindex, modes=self._feat.intra_modes,
+            bd=self.cfg.encoder_bit_depth)
+        pkt, full, tenc = self._packetize(
+            decisions, recon, qindex, poc, is_key=True,
+            src=dict(y=y, u=u, v=v), chain=None, return_state=True)
+        # key refresh (0xFF): our map keeps the key in slot 0 only
+        self._dpb = {poc: 0}
+        self._slot_free = set(range(1, 8))
+        self._slot_recon = {0: full}
+        self._slot_state = {0: (tenc.cdfs, tenc.nmv)}
+        self._h_anchor = poc
+        self._finish_packet(pkt, qindex)
+
+    def _base_q_for(self, poc: int) -> int:
+        if self._q_plan is not None and poc < len(self._q_plan):
+            return int(self._q_plan[poc])
+        return self._rc.frame_qindex()
+
+    def _finish_packet(self, pkt: Packet, qindex: int):
+        self._packets.append(pkt)
+        self._rc.update(len(pkt.data) * 8)
+        if self._fp_stats is not None:
+            self._fp_stats.append(
+                (len(pkt.data) * 8, qindex,
+                 float(pkt.frame_type == obu.KEY_FRAME)))
+
+    def _encode_minigop(self, p0: int, n: int):
+        from svt_av1_tpu.pipeline import gop
+        anchor = self._h_anchor
+        assert anchor == p0 - 1
+        events = gop.minigop_schedule(anchor, n)
+        end_poc = anchor + n
+        last_use: Dict[int, int] = {}
+        for i, ev in enumerate(events):
+            if isinstance(ev, gop.CodeEvent):
+                last_use[ev.last_poc] = i
+                if ev.bwd_poc is not None:
+                    last_use[ev.bwd_poc] = i
+            else:
+                last_use[ev.poc] = i
+        base_q = self._base_q_for(p0)
+        for i, ev in enumerate(events):
+            if isinstance(ev, gop.CodeEvent):
+                self._encode_inter_job(ev, base_q)
+            else:
+                self._emit_show_existing(ev.poc)
+            for poc, li in list(last_use.items()):
+                if li == i and poc != end_poc and poc in self._dpb:
+                    slot = self._dpb.pop(poc)
+                    self._slot_free.add(slot)
+                    self._slot_recon.pop(slot, None)
+                    self._slot_state.pop(slot, None)
+        self._h_anchor = end_poc
+
+    def _encode_inter_job(self, ev, base_q: int):
+        from svt_av1_tpu.codec import mv_pred
+        from svt_av1_tpu.pipeline import gop
+        y, u, v = self._h_frames.pop(ev.poc)
+        y, u, v = self._pad(y, u, v)
+        qindex = gop.layer_qindex(base_q, ev.layer, self._hier + 1)
+        last_slot = self._dpb[ev.last_poc]
+        refs = {mv_pred.LAST_FRAME: self._slot_recon[last_slot]}
+        bwd_slot = None
+        if ev.bwd_poc is not None:
+            bwd_slot = self._dpb[ev.bwd_poc]
+            refs[mv_pred.ALTREF_FRAME] = self._slot_recon[bwd_slot]
+        from svt_av1_tpu.utils.profiling import stage
+        with stage("device_md_inter"):
+            decisions, recon = inter_encoder.encode_inter_frame(
+                y, u, v, refs, qindex, modes=self._feat.intra_modes,
+                bd=self.cfg.encoder_bit_depth,
+                hme_rad2=self._feat.hme_rad2,
+                hme_rad0=self._feat.hme_rad0,
+                subpel_ring=self._feat.subpel_ring)
+        slot = min(self._slot_free) if ev.store else None
+        if ev.store:
+            self._slot_free.remove(slot)
+
+        def fp_setup(fp):
+            fp.show_frame = ev.shown
+            fp.showable_frame = not ev.shown
+            fp.refresh_frame_flags = (1 << slot) if ev.store else 0
+            idx = [last_slot] * 7
+            if bwd_slot is not None:
+                idx[mv_pred.BWDREF_FRAME - 1] = bwd_slot
+                idx[mv_pred.ALTREF2_FRAME - 1] = bwd_slot
+                idx[mv_pred.ALTREF_FRAME - 1] = bwd_slot
+            fp.ref_frame_idx = tuple(idx)
+            fp.primary_ref_frame = 0  # chain CDFs from LAST
+
+        pkt, full, tenc = self._packetize(
+            decisions, recon, qindex, ev.poc, is_key=False,
+            src=dict(y=y, u=u, v=v),
+            chain=self._slot_state[last_slot], fp_setup=fp_setup,
+            return_state=True)
+        if ev.store:
+            self._dpb[ev.poc] = slot
+            self._slot_recon[slot] = full
+            self._slot_state[slot] = (tenc.cdfs, tenc.nmv)
+        pkt.displayed = ev.shown
+        if not ev.shown:
+            pkt.recon = None
+        self._finish_packet(pkt, qindex)
+
+    def _emit_show_existing(self, poc: int):
+        slot = self._dpb[poc]
+        data = obu.temporal_delimiter() + obu.write_show_existing(slot)
+        full = self._slot_recon[slot]
+        recon = dict(
+            y=full["y"][:self.render_h, :self.render_w],
+            u=full["u"][:(self.render_h + 1) // 2,
+                        :(self.render_w + 1) // 2],
+            v=full["v"][:(self.render_h + 1) // 2,
+                        :(self.render_w + 1) // 2])
+        self._packets.append(Packet(data=data, pts=poc,
+                                    frame_type=obu.INTER_FRAME,
+                                    recon=recon))
 
     def send_pictures(self, frames, eos: bool = False):
         """Batched submit: frames = [(y, u, v), ...].  All frames run as
@@ -285,8 +483,9 @@ class Encoder:
         self._ref_cdfs = tenc.cdfs
         self._ref_nmv = tenc.nmv
         tu = obu.temporal_delimiter()
-        if pts == 0:
+        if not self._seq_hdr_sent:
             tu += obu.write_sequence_header(self.sp)
+            self._seq_hdr_sent = True
         tu += obu.write_frame_obu(self.sp, fp, tile_data)
         recon_out = dict(
             y=recon["y"][:self.render_h, :self.render_w],
@@ -433,16 +632,28 @@ class Encoder:
 
     def _packetize(self, decisions, recon, qindex, pts,
                    is_key: bool = True, src=None,
-                   src_full=None, delta_q: bool = False) -> Packet:
+                   src_full=None, delta_q: bool = False,
+                   fp_setup=None, chain="auto",
+                   return_state: bool = False) -> Packet:
+        """Filters + entropy coding + OBU assembly for one frame.
+
+        fp_setup: optional callable mutating the FrameParams (hierarchical
+        GOP sets show_frame / refresh / ref_frame_idx / primary_ref).
+        chain: "auto" = single-slot CDF chaining via self._ref_cdfs;
+        None = no chaining; (cdfs, nmv) = explicit state.
+        return_state: also return (full filtered recon, tile encoder)."""
         frame_type = obu.KEY_FRAME if is_key else obu.INTER_FRAME
         fp = obu.FrameParams(frame_type=frame_type, show_frame=True,
                              base_q_idx=qindex,
                              render_width=self.render_w,
                              render_height=self.render_h)
-        if not is_key:
+        auto_chain = chain == "auto"
+        if not is_key and auto_chain:
             fp.refresh_frame_flags = 0x01
             if self._ref_cdfs is not None:
                 fp.primary_ref_frame = 0  # chain CDFs from slot 0
+        if fp_setup is not None:
+            fp_setup(fp)
         if delta_q:
             fp.delta_q_present = True
             fp.delta_q_res = 2
@@ -499,26 +710,34 @@ class Encoder:
                 fp.lr_types = tuple(i.frame_type for i in lr_info)
                 recon = lr_stage.apply_lr(recon, bounds, lr_info,
                                           bd=self.cfg.encoder_bit_depth)
-        self._ref = {k: recon[k] for k in ("y", "u", "v")}
-        chain = fp.primary_ref_frame != obu.PRIMARY_REF_NONE
+        if auto_chain:
+            self._ref = {k: recon[k] for k in ("y", "u", "v")}
+            do_chain = fp.primary_ref_frame != obu.PRIMARY_REF_NONE
+            init_cdfs = self._ref_cdfs if do_chain else None
+            init_nmv = self._ref_nmv if do_chain else None
+        elif chain is not None:
+            init_cdfs, init_nmv = chain
+        else:
+            init_cdfs = init_nmv = None
         tenc = TileEncoder(self.sr_w, self.sp.height, qindex,
                            reduced_tx_set=fp.reduced_tx_set,
                            update_cdfs=not fp.disable_cdf_update,
                            frame_is_intra=is_key,
-                           init_cdfs=self._ref_cdfs if chain else None,
-                           init_nmv=self._ref_nmv if chain else None)
+                           init_cdfs=init_cdfs,
+                           init_nmv=init_nmv)
         if lr_info is not None:
             tenc.set_lr(lr_info)
         if fp.delta_q_present:
             tenc.set_delta_q(fp.delta_q_res)
         with stage("host_ec"):
             tile_data = tenc.encode(decisions)
-        if not fp.disable_frame_end_update_cdf:
+        if auto_chain and not fp.disable_frame_end_update_cdf:
             self._ref_cdfs = tenc.cdfs
             self._ref_nmv = tenc.nmv
         tu = obu.temporal_delimiter()
-        if pts == 0:
+        if not self._seq_hdr_sent:
             tu += obu.write_sequence_header(self.sp)
+            self._seq_hdr_sent = True
         tu += obu.write_frame_obu(self.sp, fp, tile_data)
         recon_out = dict(
             y=recon["y"][:self.render_h, :self.render_w],
@@ -526,5 +745,8 @@ class Encoder:
                          :(self.render_w + 1) // 2],
             v=recon["v"][:(self.render_h + 1) // 2,
                          :(self.render_w + 1) // 2])
-        return Packet(data=tu, pts=pts, frame_type=frame_type,
-                      recon=recon_out)
+        pkt = Packet(data=tu, pts=pts, frame_type=frame_type,
+                     recon=recon_out)
+        if return_state:
+            return pkt, recon, tenc
+        return pkt

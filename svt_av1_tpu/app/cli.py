@@ -63,6 +63,8 @@ def main(argv=None):
             if pkt is None:
                 return
             writer.write_frame(pkt.data, pkt.pts)
+            if not pkt.displayed:
+                continue  # hidden frame: displayed later (show_existing)
             src_y = sources.pop(pkt.pts, None)
             if pkt.recon is not None and src_y is not None:
                 mse = np.mean((pkt.recon["y"].astype(np.float64)

@@ -19,12 +19,20 @@ from svt_av1_tpu.pipeline.intra_encoder import (apply_loop_filter,
 class Decoder:
     def __init__(self):
         self.sp: Optional[obu.SequenceParams] = None
-        # decoded-picture buffer: slot 0 holds the last refreshed frame
-        self.ref: Optional[Dict[str, np.ndarray]] = None
-        self.ref_cdfs = None
-        self.ref_nmv = None
+        # decoded-picture buffer: 8 slots, each with its saved CDF state
+        # (spec 7.20 reference frame update; CdfFrame[] per slot)
+        self.slots: list = [None] * 8
+        self.slot_cdfs: list = [None] * 8
+        self.slot_nmv: list = [None] * 8
+
+    @property
+    def ref(self):
+        """Slot 0 (legacy single-ref accessor)."""
+        return self.slots[0]
 
     def decode_temporal_unit(self, data: bytes) -> List[Dict[str, np.ndarray]]:
+        """Returns the *displayed* frames of this TU (shown frames and
+        show_existing_frame outputs; hidden frames decode silently)."""
         frames = []
         for obu_type, payload in obu.parse_obus(data):
             if obu_type == obu.OBU_TEMPORAL_DELIMITER:
@@ -33,12 +41,20 @@ class Decoder:
                 self.sp = obu.read_sequence_header(payload)
             elif obu_type == obu.OBU_FRAME:
                 assert self.sp is not None, "no sequence header seen"
-                frames.append(self._decode_frame(payload))
+                recon, shown = self._decode_frame(payload)
+                if shown:
+                    frames.append(recon)
+            elif obu_type == obu.OBU_FRAME_HEADER:
+                idx = obu.parse_show_existing(payload)
+                assert idx is not None, \
+                    "frame-header OBU only used for show_existing here"
+                assert self.slots[idx] is not None, "empty DPB slot shown"
+                frames.append(dict(self.slots[idx]))
             else:
                 raise NotImplementedError(f"obu type {obu_type}")
         return frames
 
-    def _decode_frame(self, payload: bytes) -> Dict[str, np.ndarray]:
+    def _decode_frame(self, payload: bytes):
         from svt_av1_tpu.utils.bitio import BitReader
         r = BitReader(payload)
         fp = obu.read_frame_header(r, self.sp)
@@ -48,12 +64,17 @@ class Decoder:
         coded_w = fp.coded_width(self.sp.width)
         chain = (not is_intra
                  and fp.primary_ref_frame != obu.PRIMARY_REF_NONE)
+        init_cdfs = init_nmv = None
+        if chain:
+            pslot = fp.ref_frame_idx[fp.primary_ref_frame]
+            init_cdfs = self.slot_cdfs[pslot]
+            init_nmv = self.slot_nmv[pslot]
         tdec = TileDecoder(coded_w, self.sp.height, fp.base_q_idx,
                            reduced_tx_set=fp.reduced_tx_set,
                            update_cdfs=not fp.disable_cdf_update,
                            frame_is_intra=is_intra,
-                           init_cdfs=self.ref_cdfs if chain else None,
-                           init_nmv=self.ref_nmv if chain else None)
+                           init_cdfs=init_cdfs,
+                           init_nmv=init_nmv)
         lr_info = None
         if self.sp.enable_restoration:
             from svt_av1_tpu.codec import lr as lr_mod
@@ -69,9 +90,6 @@ class Decoder:
         if fp.delta_q_present:
             tdec.set_delta_q(fp.delta_q_res)
         decisions = tdec.decode(tile_data)
-        if not fp.disable_frame_end_update_cdf:
-            self.ref_cdfs = tdec.cdfs
-            self.ref_nmv = tdec.nmv
         if is_intra:
             recon = reconstruct_from_decisions(decisions, coded_w,
                                                self.sp.height,
@@ -80,11 +98,16 @@ class Decoder:
         else:
             from svt_av1_tpu.pipeline.inter_encoder import (
                 reconstruct_inter_from_decisions)
-            assert self.ref is not None, "P frame with empty DPB"
             assert coded_w == self.sp.width, \
                 "superres + inter needs scaled-reference MC (next round)"
+            refs = {}
+            for enum in range(1, 8):
+                slot = fp.ref_frame_idx[enum - 1]
+                if self.slots[slot] is not None:
+                    refs[enum] = self.slots[slot]
+            assert refs, "inter frame with empty DPB"
             recon = reconstruct_inter_from_decisions(
-                decisions, self.ref, coded_w, self.sp.height,
+                decisions, refs, coded_w, self.sp.height,
                 fp.base_q_idx, bd=self.sp.bit_depth)
         recon = apply_loop_filter(recon, fp)
         deblocked = recon
@@ -108,7 +131,18 @@ class Decoder:
             bounds = lr_stage.save_boundaries(deblocked)
             recon = lr_stage.apply_lr(recon, bounds, lr_info,
                                       bd=self.sp.bit_depth)
-        if fp.refresh_frame_flags:
-            self.ref = {k: recon[k] for k in ("y", "u", "v")}
+        refresh = fp.refresh_frame_flags
+        if fp.frame_type == obu.KEY_FRAME and fp.show_frame:
+            refresh = 0xFF
+        end_cdfs = (tdec.cdfs
+                    if not fp.disable_frame_end_update_cdf else init_cdfs)
+        end_nmv = (tdec.nmv
+                   if not fp.disable_frame_end_update_cdf else init_nmv)
+        stored = {k: recon[k] for k in ("y", "u", "v")}
+        for i in range(8):
+            if refresh & (1 << i):
+                self.slots[i] = stored
+                self.slot_cdfs[i] = end_cdfs
+                self.slot_nmv[i] = end_nmv
         recon["decisions"] = decisions
-        return recon
+        return recon, fp.show_frame

@@ -26,6 +26,12 @@ REFMV_OFFSET = 4
 
 INTRA_FRAME = 0
 LAST_FRAME = 1
+LAST2_FRAME = 2
+LAST3_FRAME = 3
+GOLDEN_FRAME = 4
+BWDREF_FRAME = 5
+ALTREF2_FRAME = 6
+ALTREF_FRAME = 7
 
 # inter prediction modes (PredictionMode tail; intra modes are 0..12)
 NEARESTMV = 13

@@ -345,6 +345,27 @@ def write_frame_header_bits(w: BitWriter, sp: SequenceParams,
                                 frame_type_key=fp.frame_type == KEY_FRAME)
 
 
+def write_show_existing(idx: int) -> bytes:
+    """show_existing_frame header (spec 5.9.2): displays DPB slot ``idx``.
+    Behavioral reference: packetization of show_existing pictures
+    (pd_process.c show_existing paths + packetization_process.c)."""
+    w = BitWriter()
+    w.f(1, 1)       # show_existing_frame
+    w.f(idx, 3)     # frame_to_show_map_idx
+    # frame ids / decoder model absent; shown frame is non-key: no more
+    w.trailing_bits()
+    return write_obu(OBU_FRAME_HEADER, w.data())
+
+
+def parse_show_existing(payload: bytes) -> Optional[int]:
+    """If the frame-header OBU is a show_existing_frame, return the DPB
+    slot index; else None."""
+    r = BitReader(payload)
+    if r.f(1) == 0:
+        return None
+    return r.f(3)
+
+
 def write_frame_obu(sp: SequenceParams, fp: FrameParams,
                     tile_data: bytes) -> bytes:
     """OBU_FRAME = frame_header + byte-align + tile group (single tile)."""

@@ -230,7 +230,7 @@ class ContextState:
         return counts
 
     def single_ref_ctxs(self, r4, c4):
-        """(p1, p3, p4) contexts (entropy_coding.c:2031ff): each is the
+        """(p1..p6) contexts (entropy_coding.c:2031-2081): each is the
         equal?1 : (a<b ? 0 : 2) comparison over neighbor ref counts."""
         n = self.neighbor_ref_counts(r4, c4)
 
@@ -241,7 +241,13 @@ class ContextState:
         bwd = int(n[5] + n[6] + n[7])
         ll2 = int(n[1] + n[2])
         l3g = int(n[3] + n[4])
-        return cmp(fwd, bwd), cmp(ll2, l3g), cmp(int(n[1]), int(n[2]))
+        brfarf2 = int(n[5] + n[6])
+        return (cmp(fwd, bwd),                 # p1: fwd vs bwd
+                cmp(brfarf2, int(n[7])),       # p2: BWD/ALT2 vs ALT
+                cmp(ll2, l3g),                 # p3
+                cmp(int(n[1]), int(n[2])),     # p4: LAST vs LAST2
+                cmp(int(n[3]), int(n[4])),     # p5: LAST3 vs GOLDEN
+                cmp(int(n[5]), int(n[6])))     # p6: BWD vs ALT2
 
     # ---- coefficients ----
     def txb_ctx(self, plane: int, pr4: int, pc4: int, tx_size: int,
@@ -573,14 +579,31 @@ class TileEncoder(TileCoderBase):
                 update_cdf(acdf, 3, 7)
 
     def _encode_single_ref(self, r4, c4, ref):
-        """Single-reference tree: LAST only in round 1."""
-        assert ref == mv_pred.LAST_FRAME
-        p1, p3, p4 = self.ctx.single_ref_ctxs(r4, c4)
-        for ctx_id, bit_id in ((p1, 0), (p3, 2), (p4, 3)):
+        """Single-reference tree (entropy_coding.c write_ref_frames
+        single-ref branch): bit0 fwd/bwd, then p2/p6 (backward) or
+        p3/p4/p5 (forward)."""
+        p1, p2, p3, p4, p5, p6 = self.ctx.single_ref_ctxs(r4, c4)
+
+        def wbit(bit, ctx_id, bit_id):
             cdf = self.cdfs.single_ref[ctx_id][bit_id]
-            self.enc.encode_symbol(0, cdf, 2)
+            self.enc.encode_symbol(int(bit), cdf, 2)
             if self.update:
-                update_cdf(cdf, 0, 2)
+                update_cdf(cdf, int(bit), 2)
+
+        bit0 = mv_pred.BWDREF_FRAME <= ref <= mv_pred.ALTREF_FRAME
+        wbit(bit0, p1, 0)
+        if bit0:
+            bit1 = ref == mv_pred.ALTREF_FRAME
+            wbit(bit1, p2, 1)
+            if not bit1:
+                wbit(ref == mv_pred.ALTREF2_FRAME, p6, 5)
+        else:
+            bit2 = ref in (mv_pred.LAST3_FRAME, mv_pred.GOLDEN_FRAME)
+            wbit(bit2, p3, 2)
+            if not bit2:
+                wbit(ref != mv_pred.LAST_FRAME, p4, 3)
+            else:
+                wbit(ref != mv_pred.LAST3_FRAME, p5, 4)
 
     def _encode_inter_mode(self, mode, stack: mv_pred.MvStack):
         """write_inter_mode + write_drl_idx (entropy_coding.c:1426,1447)."""
@@ -844,16 +867,25 @@ class TileDecoder(TileCoderBase):
             assert delta == 3, "nonzero angle deltas unsupported (round 1)"
 
     def _read_single_ref(self, r4, c4) -> int:
-        p1, p3, p4 = self.ctx.single_ref_ctxs(r4, c4)
-        bits = []
-        for ctx_id, bit_id in ((p1, 0), (p3, 2), (p4, 3)):
+        p1, p2, p3, p4, p5, p6 = self.ctx.single_ref_ctxs(r4, c4)
+
+        def rbit(ctx_id, bit_id):
             cdf = self.cdfs.single_ref[ctx_id][bit_id]
             b = self.dec.read_symbol(cdf, 2)
             if self.update:
                 update_cdf(cdf, b, 2)
-            bits.append(b)
-        assert bits == [0, 0, 0], "only LAST_FRAME emitted in round 1"
-        return mv_pred.LAST_FRAME
+            return b
+
+        if rbit(p1, 0):                       # backward group
+            if rbit(p2, 1):
+                return mv_pred.ALTREF_FRAME
+            return (mv_pred.ALTREF2_FRAME if rbit(p6, 5)
+                    else mv_pred.BWDREF_FRAME)
+        if rbit(p3, 2):                       # LAST3/GOLDEN
+            return (mv_pred.GOLDEN_FRAME if rbit(p5, 4)
+                    else mv_pred.LAST3_FRAME)
+        return (mv_pred.LAST2_FRAME if rbit(p4, 3)
+                else mv_pred.LAST_FRAME)
 
     def _read_inter_mode(self, stack: mv_pred.MvStack):
         dec, cdfs = self.dec, self.cdfs

@@ -174,25 +174,13 @@ def _jit_inter_programs(h, w, nw, maxb, modes, bd=8, k_cands=K_CANDS):
     return pass_a, pass_b
 
 
-def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
-                       src_v: np.ndarray, ref: Dict[str, np.ndarray],
-                       qindex: int, modes=MODES, bd: int = 8,
-                       hme_rad2: int = 8, hme_rad0: int = 7,
-                       subpel_ring: bool = True
-                       ) -> Tuple[Dict, Dict[str, np.ndarray]]:
-    """Encode one P frame against ``ref`` (the previous decoded frame).
-    Returns ({(r4,c4): BlockDecision}, recon)."""
+def _pass_a_for_ref(ref, src_y, src_u, src_v, qindex, bd, hme_rad2,
+                    hme_rad0, subpel_ring, pass_a, ys, xs, qp_j, lam):
+    """HME + pass-A candidate evaluation against one reference frame."""
     h, w = src_y.shape
-    assert h % BLK == 0 and w % BLK == 0
-    gh, gw = h // BLK, w // BLK
-    nb = gh * gw
-
-    # open-loop HME (device) for the NEWMV candidate, widened to its
-    # quarter-pel ring (subpel refinement happens inside pass A's RD)
+    nb = ys.shape[0]
     mv_y, mv_x, _ = me_pipe.hierarchical_me(src_y, ref["y"],
                                             rad2=hme_rad2, rad0=hme_rad0)
-    ys = (np.arange(nb) // gw * BLK).astype(np.int32)
-    xs = (np.arange(nb) % gw * BLK).astype(np.int32)
     hme = np.stack([mv_y.reshape(nb) * 8, mv_x.reshape(nb) * 8],
                    axis=-1).astype(np.int32)
     ring = _SUBPEL_RING if subpel_ring else _SUBPEL_RING[:1]
@@ -200,7 +188,40 @@ def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
     cand = np.zeros((nb, k_cands, 2), np.int32)
     cand[:, 1:] = hme[:, None, :] + ring[None, :, :]
     cand = mc.clamp_mvs_for_pad(cand, ys[:, None], xs[:, None], BLK, h, w)
+    refp_y = jnp.asarray(mc.pad_plane(ref["y"].astype(np.int32), mc.PAD))
+    refp_u = jnp.asarray(mc.pad_plane(ref["u"].astype(np.int32),
+                                      mc.PAD // 2))
+    refp_v = jnp.asarray(mc.pad_plane(ref["v"].astype(np.int32),
+                                      mc.PAD // 2))
+    return pass_a(src_y, src_u, src_v, refp_y, refp_u, refp_v,
+                  jnp.asarray(ys), jnp.asarray(xs), jnp.asarray(cand),
+                  *qp_j, lam)
 
+
+def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
+                       src_v: np.ndarray, ref, qindex: int, modes=MODES,
+                       bd: int = 8, hme_rad2: int = 8, hme_rad0: int = 7,
+                       subpel_ring: bool = True
+                       ) -> Tuple[Dict, Dict[str, np.ndarray]]:
+    """Encode one inter frame.
+
+    ref: either a single plane dict (LAST only, IPPP) or
+    {ref_enum: plane_dict} for multi-reference MD — every block evaluates
+    candidates against each reference and the RD winner's reference is
+    signaled per block (reference write_ref_frames single-ref tree).
+    Returns ({(r4,c4): BlockDecision}, recon)."""
+    from svt_av1_tpu.codec import mv_pred
+    if "y" in ref:
+        refs = {mv_pred.LAST_FRAME: ref}
+    else:
+        refs = {r: p for r, p in ref.items() if p is not None}
+    h, w = src_y.shape
+    assert h % BLK == 0 and w % BLK == 0
+    gh, gw = h // BLK, w // BLK
+    nb = gh * gw
+
+    ys = (np.arange(nb) // gw * BLK).astype(np.int32)
+    xs = (np.arange(nb) % gw * BLK).astype(np.int32)
     qp_y = quant.make_quant_params(qindex, bd=bd)
     qstep = quant.dc_q(qindex, bd=bd) / 8.0
     lam = np.float32(0.7 * qstep * qstep)
@@ -208,34 +229,41 @@ def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
     waves, bys, bxs, valid, trs, bls = _schedule_arrays(gh, gw,
                                                         min(gh, gw))
     nw = len(waves)
+    ring = _SUBPEL_RING if subpel_ring else _SUBPEL_RING[:1]
     pass_a, pass_b = _jit_inter_programs(h, w, nw, min(gh, gw),
-                                         tuple(modes), bd, k_cands)
-    refp_y = jnp.asarray(mc.pad_plane(ref["y"].astype(np.int32), mc.PAD))
-    refp_u = jnp.asarray(mc.pad_plane(ref["u"].astype(np.int32),
-                                      mc.PAD // 2))
-    refp_v = jnp.asarray(mc.pad_plane(ref["v"].astype(np.int32),
-                                      mc.PAD // 2))
+                                         tuple(modes), bd, 1 + len(ring))
     sy = jnp.asarray(src_y.astype(np.int32))
     su = jnp.asarray(src_u.astype(np.int32))
     sv = jnp.asarray(src_v.astype(np.int32))
     qp_j = tuple(jnp.asarray(a) for a in qp_y)
 
-    (icost, imv, iqy, irec_y, iqu, irec_u, iqv, irec_v) = pass_a(
-        sy, su, sv, refp_y, refp_u, refp_v, jnp.asarray(ys),
-        jnp.asarray(xs), jnp.asarray(cand), *qp_j, lam)
+    # pass A against each reference; elementwise host merge by RD cost
+    best = None
+    iref = None
+    for renum in sorted(refs):
+        out_r = [np.asarray(o) for o in _pass_a_for_ref(
+            refs[renum], sy, su, sv, qindex, bd, hme_rad2, hme_rad0,
+            subpel_ring, pass_a, ys, xs, qp_j, lam)]
+        if best is None:
+            best = out_r
+            iref = np.full(nb, renum, np.int32)
+        else:
+            take = out_r[0] < best[0]
+            iref = np.where(take, renum, iref)
+            for fi in range(len(best)):
+                t = take.reshape((nb,) + (1,) * (best[fi].ndim - 1))
+                best[fi] = np.where(t, out_r[fi], best[fi])
+    (icost, imv, iqy, irec_y, iqu, irec_u, iqv, irec_v) = best
 
     out = pass_b(jnp.zeros((h, w), jnp.int32),
                  jnp.zeros((h // 2, w // 2), jnp.int32),
                  jnp.zeros((h // 2, w // 2), jnp.int32),
                  sy, su, sv, jnp.asarray(bys), jnp.asarray(bxs),
                  jnp.asarray(valid), jnp.asarray(trs), jnp.asarray(bls),
-                 icost, irec_y, irec_u, irec_v, *qp_j, lam)
+                 jnp.asarray(icost), jnp.asarray(irec_y),
+                 jnp.asarray(irec_u), jnp.asarray(irec_v), *qp_j, lam)
     (recon_y, recon_u, recon_v, modes_acc, uv_acc, choose_acc,
      qy_acc, qu_acc, qv_acc) = [np.asarray(o) for o in out]
-    imv = np.asarray(imv)
-    iqy = np.asarray(iqy)
-    iqu = np.asarray(iqu)
-    iqv = np.asarray(iqv)
 
     decisions = {}
     for i, wave in enumerate(waves):
@@ -248,7 +276,8 @@ def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
                     uv_mode=cc.DC_PRED, tx_type=cc.DCT_DCT,
                     qcoeff_y=iqy[bid], qcoeff_u=iqu[bid],
                     qcoeff_v=iqv[bid], is_inter=True,
-                    mv=(int(imv[bid, 0]), int(imv[bid, 1])))
+                    mv=(int(imv[bid, 0]), int(imv[bid, 1])),
+                    ref=int(iref[bid]))
             else:
                 decisions[(r4, c4)] = BlockDecision(
                     r4=r4, c4=c4, bsize=cc.BLOCK_16X16,
@@ -262,15 +291,19 @@ def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
     return decisions, recon
 
 
-def reconstruct_inter_from_decisions(decisions: Dict,
-                                     ref: Dict[str, np.ndarray],
+def reconstruct_inter_from_decisions(decisions: Dict, ref,
                                      width: int, height: int, qindex: int,
                                      bd: int = 8) -> Dict[str, np.ndarray]:
-    """Decoder-side reconstruction of a P frame.
+    """Decoder-side reconstruction of an inter frame.
 
+    ref: single plane dict (LAST only) or {ref_enum: plane_dict}.
     Inter blocks have no in-frame dependencies — they reconstruct as one
-    device batch; intra blocks then run in coding order over the mixed
-    recon (their neighbors, inter or intra, are already written)."""
+    device batch per reference; intra blocks then run in coding order
+    over the mixed recon (their neighbors, inter or intra, are already
+    written)."""
+    from svt_av1_tpu.codec import mv_pred
+    refs = ({mv_pred.LAST_FRAME: ref} if "y" in ref
+            else {r: p for r, p in ref.items() if p is not None})
     gh, gw = height // BLK, width // BLK
     qp = quant.make_quant_params(qindex, bd=bd)
     qp_j = tuple(jnp.asarray(a) for a in qp)
@@ -278,7 +311,36 @@ def reconstruct_inter_from_decisions(decisions: Dict,
     recon_u = jnp.zeros((height // 2, width // 2), jnp.int32)
     recon_v = jnp.zeros_like(recon_u)
 
-    inter_keys = [k for k, d in decisions.items() if d.is_inter]
+    for renum, refp in refs.items():
+        recon_y, recon_u, recon_v = _recon_inter_blocks_for_ref(
+            decisions, renum, refp, recon_y, recon_u, recon_v, qp_j, bd)
+
+    for by in range(gh):
+        for bx in range(gw):
+            d = decisions[(by * 4, bx * 4)]
+            if d.is_inter:
+                continue
+            tr, bl = tr_bl_avail(by, bx, gh, gw)
+            recon_y = _recon_block(recon_y, d.qcoeff_y, d.y_mode,
+                                   by * BLK, bx * BLK, BLK, cc.TX_16X16,
+                                   d.tx_type, qp, tr, bl, bd)
+            uv_tx = _chroma_tx_type(d.uv_mode, cc.TX_8X8)
+            recon_u = _recon_block(recon_u, d.qcoeff_u, d.uv_mode,
+                                   by * CBLK, bx * CBLK, CBLK, cc.TX_8X8,
+                                   uv_tx, qp, bd=bd)
+            recon_v = _recon_block(recon_v, d.qcoeff_v, d.uv_mode,
+                                   by * CBLK, bx * CBLK, CBLK, cc.TX_8X8,
+                                   uv_tx, qp, bd=bd)
+    dt = np.uint8 if bd == 8 else np.uint16
+    return dict(y=np.asarray(recon_y).astype(dt),
+                u=np.asarray(recon_u).astype(dt),
+                v=np.asarray(recon_v).astype(dt))
+
+
+def _recon_inter_blocks_for_ref(decisions, renum, ref, recon_y, recon_u,
+                                recon_v, qp_j, bd):
+    inter_keys = [k for k, d in decisions.items()
+                  if d.is_inter and d.ref == renum]
     if inter_keys:
         ys = np.array([k[0] * 4 for k in inter_keys], np.int32)
         xs = np.array([k[1] * 4 for k in inter_keys], np.int32)
@@ -314,24 +376,4 @@ def reconstruct_inter_from_decisions(decisions: Dict,
                 recon_u = recon_u.at[crows, ccols].set(rec_c)
             else:
                 recon_v = recon_v.at[crows, ccols].set(rec_c)
-
-    for by in range(gh):
-        for bx in range(gw):
-            d = decisions[(by * 4, bx * 4)]
-            if d.is_inter:
-                continue
-            tr, bl = tr_bl_avail(by, bx, gh, gw)
-            recon_y = _recon_block(recon_y, d.qcoeff_y, d.y_mode,
-                                   by * BLK, bx * BLK, BLK, cc.TX_16X16,
-                                   d.tx_type, qp, tr, bl, bd)
-            uv_tx = _chroma_tx_type(d.uv_mode, cc.TX_8X8)
-            recon_u = _recon_block(recon_u, d.qcoeff_u, d.uv_mode,
-                                   by * CBLK, bx * CBLK, CBLK, cc.TX_8X8,
-                                   uv_tx, qp, bd=bd)
-            recon_v = _recon_block(recon_v, d.qcoeff_v, d.uv_mode,
-                                   by * CBLK, bx * CBLK, CBLK, cc.TX_8X8,
-                                   uv_tx, qp, bd=bd)
-    dt = np.uint8 if bd == 8 else np.uint16
-    return dict(y=np.asarray(recon_y).astype(dt),
-                u=np.asarray(recon_u).astype(dt),
-                v=np.asarray(recon_v).astype(dt))
+    return recon_y, recon_u, recon_v

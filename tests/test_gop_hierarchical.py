@@ -1,0 +1,103 @@
+"""Hierarchical (random access) GOP: mini-GoP scheduling, multi-ref DPB,
+show_existing display, CDF chaining across slots — encoder recon must
+equal decoder output frame by frame in display order."""
+import numpy as np
+import pytest
+
+from svt_av1_tpu.api.config import EncoderConfig
+from svt_av1_tpu.api.encoder import Encoder
+from svt_av1_tpu.codec.decoder import Decoder
+from svt_av1_tpu.pipeline import gop
+
+
+def test_minigop_schedule_dyadic():
+    ev = gop.minigop_schedule(0, 4)
+    kinds = [(e.poc, type(e).__name__) for e in ev]
+    assert kinds == [(4, "CodeEvent"), (2, "CodeEvent"), (1, "CodeEvent"),
+                     (2, "ShowEvent"), (3, "CodeEvent"), (4, "ShowEvent")]
+    c4, c2, c1, _, c3, _ = ev
+    assert (c4.last_poc, c4.bwd_poc, c4.shown) == (0, None, False)
+    assert (c2.last_poc, c2.bwd_poc, c2.shown) == (0, 4, False)
+    assert (c1.last_poc, c1.bwd_poc, c1.shown) == (0, 2, True)
+    assert (c3.last_poc, c3.bwd_poc, c3.shown) == (2, 4, True)
+    assert not c1.store and not c3.store and c2.store and c4.store
+
+
+def test_minigop_schedule_nondyadic():
+    for n in (1, 2, 3, 5, 6, 7):
+        ev = gop.minigop_schedule(10, n)
+        shows = [e.poc for e in ev if isinstance(e, gop.ShowEvent)]
+        codes = [e.poc for e in ev if isinstance(e, gop.CodeEvent)]
+        assert sorted(codes) == list(range(11, 11 + n))
+        # display order = shown-at-code + show_existing = 11..10+n
+        disp = []
+        for e in ev:
+            if isinstance(e, gop.CodeEvent) and e.shown:
+                disp.append(e.poc)
+            elif isinstance(e, gop.ShowEvent):
+                disp.append(e.poc)
+        assert disp == list(range(11, 11 + n))
+
+
+def _frames(n, h=64, w=64, seed=3):
+    rng = np.random.default_rng(seed)
+    base_y = rng.integers(0, 200, (h, w)).astype(np.int32)
+    base_u = rng.integers(0, 200, (h // 2, w // 2)).astype(np.int32)
+    base_v = rng.integers(0, 200, (h // 2, w // 2)).astype(np.int32)
+    out = []
+    for t in range(n):
+        # smooth global motion + noise: inter prediction is useful
+        y = np.clip(np.roll(base_y, t, axis=1)
+                    + rng.integers(-3, 4, (h, w)), 0, 255)
+        u = np.clip(base_u + rng.integers(-2, 3, base_u.shape), 0, 255)
+        v = np.clip(base_v + rng.integers(-2, 3, base_v.shape), 0, 255)
+        out.append((y.astype(np.uint8), u.astype(np.uint8),
+                    v.astype(np.uint8)))
+    return out
+
+
+@pytest.mark.parametrize("levels,n", [(2, 9), (3, 9)])
+def test_hier_roundtrip(levels, n):
+    frames = _frames(n)
+    cfg = EncoderConfig(source_width=64, source_height=64, qp=30,
+                        intra_period_length=31,
+                        hierarchical_levels=levels)
+    enc = Encoder(cfg)
+    for i, (y, u, v) in enumerate(frames):
+        enc.send_picture(y, u, v, eos=(i == n - 1))
+    pkts = []
+    while True:
+        p = enc.get_packet()
+        if p is None:
+            break
+        pkts.append(p)
+    # every displayed poc exactly once, in order
+    disp = [p for p in pkts if p.displayed]
+    assert [p.pts for p in disp] == list(range(n))
+    # decode and compare display output to encoder recon bit-exactly
+    dec = Decoder()
+    decoded = []
+    for p in pkts:
+        decoded.extend(dec.decode_temporal_unit(p.data))
+    assert len(decoded) == n
+    for i, (p, rec) in enumerate(zip(disp, decoded)):
+        for pl in ("y", "u", "v"):
+            assert np.array_equal(rec[pl], p.recon[pl]), (i, pl)
+
+
+def test_hier_uses_backward_ref():
+    from svt_av1_tpu.codec import mv_pred
+    from svt_av1_tpu.pipeline import inter_encoder
+    rng = np.random.default_rng(0)
+    h = w = 64
+    # future ref matches source; past ref is noise -> ALTREF must win
+    src = rng.integers(0, 255, (h, w)).astype(np.uint8)
+    su = rng.integers(0, 255, (h // 2, w // 2)).astype(np.uint8)
+    noise = rng.integers(0, 255, (h, w)).astype(np.uint8)
+    past = dict(y=noise, u=su, v=su)
+    fut = dict(y=src, u=su, v=su)
+    decisions, recon = inter_encoder.encode_inter_frame(
+        src, su, su, {mv_pred.LAST_FRAME: past,
+                      mv_pred.ALTREF_FRAME: fut}, 120)
+    refs = {d.ref for d in decisions.values() if d.is_inter}
+    assert mv_pred.ALTREF_FRAME in refs
