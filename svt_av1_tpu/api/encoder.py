@@ -159,6 +159,7 @@ class Encoder:
             self._h_next_in = 0       # next arriving poc
             self._h_sched = 0         # first unscheduled poc
             self._h_anchor = None     # display poc of last coded anchor
+            self._h_anchor_src = None  # anchor's padded source luma (TPL)
             self._h_cuts = set()      # scene-cut pocs
             self._dpb: Dict[int, int] = {}       # stored poc -> slot
             self._slot_free = set(range(8))
@@ -243,6 +244,14 @@ class Encoder:
             if p0 not in self._h_frames:
                 return
             if self._h_anchor is None or self._is_key_poc(p0):
+                if self.cfg.enable_tpl_la and not flush:
+                    # hold the key until its TPL lookahead is in
+                    la = 0
+                    while (p0 + 1 + la in self._h_frames
+                           and not self._is_key_poc(p0 + 1 + la)):
+                        la += 1
+                    if la < N:
+                        return
                 self._encode_key_job(p0)
                 self._h_sched = p0 + 1
                 continue
@@ -270,13 +279,38 @@ class Encoder:
                 y, u, v = tf_stage.mctf_filter_frame((y, u, v), neighbors)
         y, u, v = self._pad(y, u, v)
         qindex = self._base_q_for(poc)
-        qindex = max(1, qindex - qindex // self._feat.kf_boost_div)
+        qmap = None
+        if self.cfg.enable_tpl_la:
+            # TPL over the key + lookahead IPP chain: how much does the
+            # future lean on this key frame (and on which of its SBs)?
+            from svt_av1_tpu.pipeline import tpl
+            chain = [y]
+            for p in range(poc + 1, poc + 1 + (1 << self._hier)):
+                if p not in self._h_frames or self._is_key_poc(p):
+                    break
+                chain.append(self._pad(*self._h_frames[p])[0])
+            stats = [tpl.tpl_frame_stats(chain[0], None)]
+            deps = [None]
+            for i in range(1, len(chain)):
+                stats.append(tpl.tpl_frame_stats(chain[i], chain[i - 1]))
+                deps.append(i - 1)
+            dep0 = tpl.synthesize(stats, deps)[0]
+            qindex = tpl.tpl_adjust_qindex(qindex, tpl.r0_of(stats[0],
+                                                             dep0), 0)
+            qmap = tpl.beta_qmap(stats[0], dep0, qindex,
+                                 bd=self.cfg.encoder_bit_depth)
+            if np.all(qmap == qindex):
+                qmap = None
+        else:
+            qindex = max(1, qindex - qindex // self._feat.kf_boost_div)
         decisions, recon = intra_encoder.encode_intra_frame(
             y, u, v, qindex, modes=self._feat.intra_modes,
-            bd=self.cfg.encoder_bit_depth)
+            bd=self.cfg.encoder_bit_depth, qmap=qmap)
         pkt, full, tenc = self._packetize(
             decisions, recon, qindex, poc, is_key=True,
-            src=dict(y=y, u=u, v=v), chain=None, return_state=True)
+            src=dict(y=y, u=u, v=v), chain=None, return_state=True,
+            delta_q=qmap is not None)
+        self._h_anchor_src = y
         # key refresh (0xFF): our map keeps the key in slot 0 only
         self._dpb = {poc: 0}
         self._slot_free = set(range(1, 8))
@@ -313,9 +347,59 @@ class Encoder:
             else:
                 last_use[ev.poc] = i
         base_q = self._base_q_for(p0)
+        tpl_r0 = None
+        if self.cfg.enable_tpl_la:
+            # TPL over anchor + mini-GoP along BOTH pyramid edges
+            # (LAST + ALTREF), in decode order so reverse processing
+            # sees every child before its reference; extended with an
+            # IPP lookahead tail so the next anchor earns its credit
+            # (the lad_mg window, initial_rc_process.c:421-432)
+            from svt_av1_tpu.pipeline import tpl
+            src_of = {anchor: self._h_anchor_src}
+            for p in range(p0, p0 + n):
+                src_of[p] = self._pad(*self._h_frames[p])[0]
+            order = [anchor]
+            deps: list = [None]
+            idx_of = {anchor: 0}
+            for ev in events:
+                if not isinstance(ev, gop.CodeEvent):
+                    continue
+                idx_of[ev.poc] = len(order)
+                order.append(ev.poc)
+                d = [idx_of[ev.last_poc]]
+                if ev.bwd_poc is not None:
+                    d.append(idx_of[ev.bwd_poc])
+                deps.append(d)
+            end_poc = anchor + n
+            tail = end_poc
+            for p in range(end_poc + 1, end_poc + 1 + n):
+                if p not in self._h_frames or self._is_key_poc(p):
+                    break
+                src_of[p] = self._pad(*self._h_frames[p])[0]
+                idx_of[p] = len(order)
+                order.append(p)
+                deps.append([idx_of[tail]])
+                tail = p
+            stats = []
+            for i, p in enumerate(order):
+                refs = (None if deps[i] is None
+                        else [src_of[order[j]] for j in deps[i]])
+                stats.append(tpl.tpl_frame_stats(src_of[p], refs))
+            mc_dep = tpl.synthesize(stats, deps)
+            tpl_r0 = {p: tpl.r0_of(stats[i], mc_dep[i])
+                      for i, p in enumerate(order)}
+            self._h_anchor_src = src_of[end_poc]
         for i, ev in enumerate(events):
             if isinstance(ev, gop.CodeEvent):
-                self._encode_inter_job(ev, base_q)
+                if tpl_r0 is not None:
+                    from svt_av1_tpu.pipeline import tpl
+                    q = gop.layer_qindex(base_q, ev.layer,
+                                         self._hier + 1)
+                    q = tpl.tpl_adjust_qindex(q, tpl_r0[ev.poc],
+                                              ev.layer)
+                    self._encode_inter_job(ev, q, layered=False)
+                else:
+                    self._encode_inter_job(ev, base_q)
             else:
                 self._emit_show_existing(ev.poc)
             for poc, li in list(last_use.items()):
@@ -326,12 +410,13 @@ class Encoder:
                     self._slot_state.pop(slot, None)
         self._h_anchor = end_poc
 
-    def _encode_inter_job(self, ev, base_q: int):
+    def _encode_inter_job(self, ev, base_q: int, layered: bool = True):
         from svt_av1_tpu.codec import mv_pred
         from svt_av1_tpu.pipeline import gop
         y, u, v = self._h_frames.pop(ev.poc)
         y, u, v = self._pad(y, u, v)
-        qindex = gop.layer_qindex(base_q, ev.layer, self._hier + 1)
+        qindex = (gop.layer_qindex(base_q, ev.layer, self._hier + 1)
+                  if layered else base_q)
         last_slot = self._dpb[ev.last_poc]
         refs = {mv_pred.LAST_FRAME: self._slot_recon[last_slot]}
         bwd_slot = None
