@@ -1,0 +1,155 @@
+"""Mode-decision rate estimation (md_rate_estimation.c + rd_cost.c role).
+
+Two table families, both derived from the entropy coder:
+
+* ``true_tables_for_qindex`` — *accurate* per-level/eob bit costs.
+  Preferably calibrated against the REAL coder: tools/fit_md_rate.py
+  regresses default-CDF txb bits over MD-produced blocks (2-4% rms).
+  Falls back to an analytic context-averaged CDF derivation.  Use these
+  to PREDICT rate (rate control, recode decisions).
+
+* ``tables_for_qindex`` — the tables MD *decides* with.  Empirical
+  finding (round 2, measured on the bench clip at qp 25-46): pricing
+  candidates with accurate static bits LOSES ~5-8% BD-rate versus a
+  sparsity-biased curve.  AV1's coder adapts: modes/levels the encoder
+  actually concentrates on become cheap, so the marginal cost of a
+  coefficient is below its static cost, while dense mid-level blocks
+  poison the shared CDFs for every later block.  The reference avoids
+  this trap by re-deriving rate tables from *rolling* CDFs per SB
+  (enc_dec_process.c:3304-3318); our batched design instead prices with
+  a sparsity-calibrated curve (concentration-seeking, like the
+  reference's fast stages) plus the fitted eob-position costs, which
+  measured at parity-or-better with the accurate tables' PSNR at 1-4%
+  fewer bits.  Mode-signaling costs are deliberately ZERO for the same
+  reason (static mode costs push toward a-priori-cheap modes whose
+  real adapted cost is higher than the content-matched ones).
+
+All outputs are small numpy float32 arrays passed into the jitted MD
+programs as runtime arguments (one compile serves every qindex).
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict
+
+import numpy as np
+
+from svt_av1_tpu.codec import constants as cc
+from svt_av1_tpu.codec.cdf import FrameCDFs, get_q_ctx
+
+MAX_LEVEL = 63   # cost tables cover |level| 0..MAX_LEVEL
+
+
+def _sym_bits(icdf_row: np.ndarray, nsyms: int) -> np.ndarray:
+    """Per-symbol bits from one inverse-CDF row (icdf = 32768 - cdf)."""
+    v = np.concatenate([[32768], icdf_row[:nsyms].astype(np.int64)])
+    p = (v[:-1] - v[1:]) / 32768.0
+    return (-np.log2(np.maximum(p, 1.0 / 32768.0))).astype(np.float32)
+
+
+def _avg_bits(rows: np.ndarray, nsyms: int) -> np.ndarray:
+    """Average per-symbol bits over all leading context axes."""
+    flat = rows.reshape(-1, rows.shape[-1])
+    return np.mean(np.stack([_sym_bits(r, nsyms) for r in flat]), axis=0)
+
+
+@functools.lru_cache(maxsize=1)
+def _fitted():
+    """Calibrated tables from tools/fit_md_rate.py (real-coder bits)."""
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "md_rate_fit.npz")
+    if not os.path.exists(path):
+        return None
+    return dict(np.load(path))
+
+
+def _analytic_eob_table(c: FrameCDFs, ncoeffs: int) -> np.ndarray:
+    npt = int(np.log2(ncoeffs)) + 1
+    cls = _avg_bits(c.eob_flag[ncoeffs], npt)
+    out = np.zeros(ncoeffs + 1, np.float32)
+    for eob in range(1, ncoeffs + 1):
+        pt = (1 if eob == 1 else 2 if eob == 2
+              else int(np.floor(np.log2(eob - 1))) + 2)
+        b = cls[pt - 1]
+        if pt >= 3:
+            b += pt - 2   # eob_extra + literal magnitude bits
+        out[eob] = b
+    return out
+
+
+@functools.lru_cache(maxsize=32)
+def true_tables_for_qindex(qindex: int) -> Dict[str, np.ndarray]:
+    """Accurate per-level / eob / mode bit costs (rate PREDICTION)."""
+    c = FrameCDFs(qindex)
+    base = _avg_bits(c.coeff_base, 4)
+    br = _avg_bits(c.coeff_br, 4)
+    lv = np.zeros(MAX_LEVEL + 1, np.float32)
+    for level in range(MAX_LEVEL + 1):
+        b = base[min(level, 3)]
+        if level >= 3:
+            extra = level - 3
+            rounds = 0
+            while rounds < 4 and extra >= 0:
+                step = min(extra, 3)
+                b += br[step]
+                if step < 3:
+                    break
+                extra -= 3
+                rounds += 1
+            if level > 14:
+                rem = level - 15 + 1
+                b += 2 * int(np.floor(np.log2(rem))) + 1  # exp-golomb
+        if level > 0:
+            b += 1.0  # sign
+        lv[level] = b
+    txb = float(_avg_bits(c.txb_skip, 2)[0])
+    out = dict(coef_y=lv, coef_uv=lv,
+               txb_base=np.array([txb, txb], np.float32),
+               eob_y=_analytic_eob_table(c, 256),
+               eob_uv=_analytic_eob_table(c, 64))
+    fit = _fitted()
+    bk = get_q_ctx(qindex)
+    if fit is not None and f"b{bk}_coef_y" in fit:
+        out["coef_y"] = fit[f"b{bk}_coef_y"].astype(np.float32)
+        out["eob_y"] = fit[f"b{bk}_eob_y"].astype(np.float32)
+        out["coef_uv"] = fit[f"b{bk}_coef_uv"].astype(np.float32)
+        out["eob_uv"] = fit[f"b{bk}_eob_uv"].astype(np.float32)
+        out["txb_base"] = np.zeros(2, np.float32)  # in the eob tables
+    return out
+
+
+@functools.lru_cache(maxsize=32)
+def tables_for_qindex(qindex: int) -> Dict[str, np.ndarray]:
+    """MD DECISION tables (see module docstring for why these are a
+    sparsity-calibrated curve rather than the true static costs)."""
+    t = true_tables_for_qindex(qindex)
+    lvl = np.arange(MAX_LEVEL + 1)
+    spars = (2.0 * np.log2(1.0 + lvl) + (lvl > 0)).astype(np.float32)
+    c = FrameCDFs(qindex)
+    kf = _avg_bits(c.kf_y_mode, cc.INTRA_MODES)
+    angle0 = _avg_bits(c.angle_delta, 7)[3]
+    y_mode = kf.copy()
+    for m in range(cc.V_PRED, cc.D67_PRED + 1):
+        y_mode[m] += angle0
+    uv = _avg_bits(c.uv_mode[1], cc.UV_INTRA_MODES)[:cc.INTRA_MODES]
+    return dict(coef_y=spars, coef_uv=spars,
+                txb_base=np.zeros(2, np.float32),
+                eob_y=t["eob_y"], eob_uv=t["eob_uv"],
+                # informational (decision weight 0, see docstring)
+                y_mode_bits=np.zeros_like(y_mode),
+                uv_mode_bits=np.zeros(cc.INTRA_MODES, np.float32),
+                y_mode_bits_true=y_mode.astype(np.float32),
+                uv_mode_bits_true=uv.astype(np.float32))
+
+
+def md_rate_args(qindex: int, modes, uv_modes) -> tuple:
+    """(coef_y (64,), coef_uv (64,), txb_base (2,),
+    mode_bits (len(modes),), uv_bits (len(uv_modes),), eob_y (257,),
+    eob_uv (65,)) ready to feed the MD device programs."""
+    t = tables_for_qindex(int(qindex))
+    mode_bits = np.array([t["y_mode_bits"][m] for m in modes], np.float32)
+    uv_bits = np.array([t["uv_mode_bits"][m] for m in uv_modes],
+                       np.float32)
+    return (t["coef_y"], t["coef_uv"], t["txb_base"], mode_bits, uv_bits,
+            t["eob_y"], t["eob_uv"])

@@ -33,16 +33,18 @@ def _sharded_frame_program(mesh: Mesh, gh: int, gw: int, modes):
     sharded over the mesh's stream axis."""
     single = ie._frame_program_fn(gh, gw, modes)
 
-    def batched(sy, su, sv, zbin, rnd, qv, qshift, deq, lam):
+    def batched(sy, su, sv, zbin, rnd, qv, qshift, deq, lam,
+                cy_t, cuv_t, txbb, modeb, uvb, eoby, eobuv):
         return jax.vmap(
             lambda a, b, c: single(a, b, c, zbin, rnd, qv, qshift, deq,
-                                   lam)
+                                   lam, cy_t, cuv_t, txbb, modeb, uvb,
+                                   eoby, eobuv)
         )(sy, su, sv)
 
     s = NamedSharding(mesh, P("stream"))
     rep = NamedSharding(mesh, P())
     return jax.jit(batched,
-                   in_shardings=(s,) * 3 + (rep,) * 6,
+                   in_shardings=(s,) * 3 + (rep,) * 13,
                    out_shardings=(s,) * 8)
 
 
@@ -60,8 +62,10 @@ def encode_intra_frames_sharded(frames: List[Tuple], qindex: int,
     sy = np.stack([f[0] for f in frames]).astype(np.uint8)
     su = np.stack([f[1] for f in frames]).astype(np.uint8)
     sv = np.stack([f[2] for f in frames]).astype(np.uint8)
+    from svt_av1_tpu.codec.rate_est import md_rate_args
+    rt = md_rate_args(qindex, tuple(modes), ie.UV_MODES)
     with mesh:
-        out = prog(sy, su, sv, *(np.asarray(a) for a in qp_y), lam)
+        out = prog(sy, su, sv, *(np.asarray(a) for a in qp_y), lam, *rt)
     (ry, ru, rv, ym_a, um_a, qy_a, qu_a, qv_a) = \
         [np.asarray(o) for o in out]
     results = []

@@ -43,10 +43,13 @@ _SUBPEL_RING = np.array(
 K_CANDS = 1 + len(_SUBPEL_RING)  # ZERO + HME ring
 
 
-def _coeff_bits(qcoeff):
+def _coeff_bits(qcoeff, coefb=None, base=8.0):
     aq = jnp.abs(qcoeff)
-    return (jnp.sum(jnp.log2(1.0 + aq.astype(jnp.float32)), axis=(1, 2))
-            * 2.0 + jnp.sum((aq > 0), axis=(1, 2)) + 8.0)
+    if coefb is None:
+        return (jnp.sum(jnp.log2(1.0 + aq.astype(jnp.float32)),
+                        axis=(1, 2)) * 2.0
+                + jnp.sum((aq > 0), axis=(1, 2)) + 8.0)
+    return jnp.sum(coefb[jnp.clip(aq, 0, 63)], axis=(1, 2)) + base
 
 
 def _mv_bits(mvs):
@@ -59,7 +62,8 @@ def _pass_a_fn(nb, K, bd=8):
     """Build the all-blocks inter candidate evaluator."""
 
     def run(src_y, src_u, src_v, refp_y, refp_u, refp_v, ys, xs,
-            cand_mvs, zbin, rnd, qv, qshift, deq, lam):
+            cand_mvs, zbin, rnd, qv, qshift, deq, lam, coefb, txbb,
+            eoby):
         qp = quant.QuantParams(zbin, rnd, qv, qshift, deq)
         ysK = jnp.tile(ys, K)
         xsK = jnp.tile(xs, K)
@@ -75,7 +79,11 @@ def _pass_a_fn(nb, K, bd=8):
         s2 = np.float32(tf.coeff_sse_scale(cc.TX_16X16, cc.DCT_DCT))
         dist = s2 * jnp.sum((coeffs - dq.astype(jnp.float32)) ** 2,
                             axis=(1, 2))
-        bits = _coeff_bits(qc) + _mv_bits(mvsK)
+        from svt_av1_tpu.pipeline.intra_encoder import (_scan_pos,
+                                                        _txb_bits)
+        pos16 = jnp.asarray(_scan_pos(cc.TX_16X16))
+        bits = (_txb_bits(jnp.abs(qc), coefb, txbb[0], eoby, pos16)
+                + _mv_bits(mvsK))
         cost = (dist + lam * bits).reshape(K, nb)
         kbest = jnp.argmin(cost, axis=0)                 # (nb,)
         best_cost = cost[0]
@@ -127,7 +135,8 @@ def _inter_frame_program_fn(nw, maxb, modes, gw, bd=8):
 
     def frame(recon_y, recon_u, recon_v, src_y, src_u, src_v,
               bys, bxs, valid, trs, bls, icost, irec_y, irec_u, irec_v,
-              zbin, rnd, qv, qshift, deq, lam):
+              zbin, rnd, qv, qshift, deq, lam, cy_t, cuv_t, txbb, modeb,
+              uvb, eoby, eobuv):
         qp = (zbin, rnd, qv, qshift, deq)
         modes_acc = jnp.zeros((nw, maxb), jnp.int32)
         uv_modes_acc = jnp.zeros((nw, maxb), jnp.int32)
@@ -148,12 +157,14 @@ def _inter_frame_program_fn(nw, maxb, modes, gw, bd=8):
                 ry, src_y, by * BLK, bx * BLK, va, ha, hl,
                 qp, lam, BLK, cc.TX_16X16, modes, 0,
                 tr_avail=trs[i] & va, bl_avail=bls[i] & va, bd=bd,
-                inter=(icost[bid], irec_y[bid]))
+                inter=(icost[bid], irec_y[bid]),
+                rates=(cy_t, txbb, modeb, eoby))
             choose = choose & va
             um, qu, qvq, ru, rv = _rd_step_chroma(
                 ru, rv, src_u, src_v, by * CBLK, bx * CBLK, va, ha, hl,
                 qp, lam, bd=bd,
-                inter=(choose, irec_u[bid], irec_v[bid]))
+                inter=(choose, irec_u[bid], irec_v[bid]),
+                rates=(cuv_t, txbb, uvb, eobuv))
             return (ry, ru, rv, ma.at[i].set(m), uma.at[i].set(um),
                     ca.at[i].set(choose), qya.at[i].set(q),
                     qua.at[i].set(qu), qva.at[i].set(qvq))
@@ -193,9 +204,11 @@ def _pass_a_for_ref(ref, src_y, src_u, src_v, qindex, bd, hme_rad2,
                                       mc.PAD // 2))
     refp_v = jnp.asarray(mc.pad_plane(ref["v"].astype(np.int32),
                                       mc.PAD // 2))
+    from svt_av1_tpu.codec.rate_est import md_rate_args
+    rt = md_rate_args(qindex, (), ())
     return pass_a(src_y, src_u, src_v, refp_y, refp_u, refp_v,
                   jnp.asarray(ys), jnp.asarray(xs), jnp.asarray(cand),
-                  *qp_j, lam)
+                  *qp_j, lam, rt[0], rt[2], rt[5])
 
 
 def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
@@ -255,13 +268,17 @@ def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
                 best[fi] = np.where(t, out_r[fi], best[fi])
     (icost, imv, iqy, irec_y, iqu, irec_u, iqv, irec_v) = best
 
+    from svt_av1_tpu.codec.rate_est import md_rate_args
+    from svt_av1_tpu.pipeline.intra_encoder import UV_MODES
+    rt = md_rate_args(qindex, tuple(modes), UV_MODES)
     out = pass_b(jnp.zeros((h, w), jnp.int32),
                  jnp.zeros((h // 2, w // 2), jnp.int32),
                  jnp.zeros((h // 2, w // 2), jnp.int32),
                  sy, su, sv, jnp.asarray(bys), jnp.asarray(bxs),
                  jnp.asarray(valid), jnp.asarray(trs), jnp.asarray(bls),
                  jnp.asarray(icost), jnp.asarray(irec_y),
-                 jnp.asarray(irec_u), jnp.asarray(irec_v), *qp_j, lam)
+                 jnp.asarray(irec_u), jnp.asarray(irec_v), *qp_j, lam,
+                 *(jnp.asarray(a) for a in rt))
     (recon_y, recon_u, recon_v, modes_acc, uv_acc, choose_acc,
      qy_acc, qu_acc, qv_acc) = [np.asarray(o) for o in out]
 

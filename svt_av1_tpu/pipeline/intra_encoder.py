@@ -37,6 +37,36 @@ BLK = 16
 CBLK = 8
 
 
+def _scan_pos(tx_size: int) -> np.ndarray:
+    """(n, n) scan position of each coefficient (inverse default scan;
+    the 2-D tx classes used in MD all share the default scan)."""
+    from svt_av1_tpu.codec import tables as tb
+    scan = np.asarray(tb.get_scan(tx_size, cc.DCT_DCT))
+    pos = np.zeros(scan.shape[0], np.int32)
+    pos[scan] = np.arange(scan.shape[0], dtype=np.int32)
+    n = int(np.sqrt(scan.shape[0]))
+    return pos.reshape(n, n)
+
+
+def _txb_bits(qcoeff_abs, coef_bits, base, eob_tbl, pos):
+    """CDF-derived txb rate with eob-position awareness: nonzero levels
+    pay their level cost, zeros before eob pay the zero-symbol cost,
+    zeros after eob are free, plus the eob class cost and the txb flag
+    (md_rate_estimation.c coefficient-rate role).
+
+    The decision tables' level curve is analytic (rate_est docstring:
+    2*log2(1+l) + 1 per nonzero), so the per-coefficient cost is pure
+    VPU math — no per-coefficient gather ever touches the TPU."""
+    nzm = qcoeff_abs > 0
+    eob = jnp.max(jnp.where(nzm, pos + 1, 0), axis=(1, 2))
+    af = qcoeff_abs.astype(jnp.float32)
+    nz_bits = (2.0 * jnp.sum(jnp.log2(1.0 + af), axis=(1, 2))
+               + jnp.sum(nzm, axis=(1, 2)).astype(jnp.float32))
+    nz_cnt = jnp.sum(nzm, axis=(1, 2)).astype(jnp.float32)
+    zeros_before = eob.astype(jnp.float32) - nz_cnt
+    return nz_bits + zeros_before * coef_bits[0] + eob_tbl[eob] + base
+
+
 def _morton(r: int, c: int) -> int:
     """z-order (coding order) index of a block within its superblock."""
     return (((r & 2) << 2) | ((c & 2) << 1) | ((r & 1) << 1) | (c & 1))
@@ -142,7 +172,8 @@ def _gather_neighbors(recon, ys, xs, n, have_above, have_left, bd=8):
 def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
              qp_arrays, lam, n, tx_size, modes, plane_type,
              tx_types=None, tr_avail=None, bl_avail=None, bd=8,
-             inter=None, return_cost=False, no_write=False):
+             inter=None, return_cost=False, no_write=False,
+             rates=None, full_d=False):
     """One wave step for one plane: returns (best_mode (B,), qcoeff
     (B,kh,kw), new recon[, choose_inter (B,)]).  ys/xs: (B,) pixel
     coords (traced ok).
@@ -198,16 +229,25 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
     src_all = jnp.tile(src_blk, (nm, 1, 1))
     resid_all = src_all - pred_all
     if same_tx:
-        # transform-domain distortion: pixel SSE ~ s2 * coeff-error SSE
-        # (reference fast-stage shortcut); the normative inverse runs
-        # only for the winning mode below
         tx0 = cc.DCT_DCT if tx_types is None else tx_types[0]
-        s2 = np.float32(tf.coeff_sse_scale(tx_size, tx0))
         coeffs = tf.fwd_txfm2d(resid_all, tx0, tx_size)
         qcoeff_all, dq_all = quant.quantize(coeffs, qp, tx_size)
-        dist = s2 * jnp.sum(
-            (coeffs - dq_all.astype(jnp.float32)) ** 2, axis=(1, 2))
-        rec_all = None
+        if rates is not None and full_d:
+            # full-RD path: true pixel distortion via the normative
+            # inverse for EVERY candidate (md_stage_3 fidelity); costs
+            # ~35% throughput for ~0.04 dB — quality presets only
+            rec_all = tf.inv_txfm2d_add(dq_all, pred_all, tx0, tx_size,
+                                        bd=bd)
+            dist = jnp.sum((rec_all - src_all) ** 2,
+                           axis=(1, 2)).astype(jnp.float32)
+        else:
+            # transform-domain distortion: pixel SSE ~ s2 * coeff-error
+            # SSE (reference fast-stage shortcut); the normative inverse
+            # runs only for the winning mode below
+            s2 = np.float32(tf.coeff_sse_scale(tx_size, tx0))
+            dist = s2 * jnp.sum(
+                (coeffs - dq_all.astype(jnp.float32)) ** 2, axis=(1, 2))
+            rec_all = None
     else:
         qcs, dqs, dists = [], [], []
         for mi in range(nm):
@@ -224,8 +264,18 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
         dist = jnp.concatenate(dists, axis=0)
         rec_all = None
     aq = jnp.abs(qcoeff_all)
-    bits = (jnp.sum(jnp.log2(1.0 + aq.astype(jnp.float32)), axis=(1, 2))
-            * 2.0 + jnp.sum((aq > 0), axis=(1, 2)) + 8.0)
+    if rates is None:
+        # round-1 heuristic rate proxy (fallback for light paths)
+        bits = (jnp.sum(jnp.log2(1.0 + aq.astype(jnp.float32)),
+                        axis=(1, 2)) * 2.0
+                + jnp.sum((aq > 0), axis=(1, 2)) + 8.0)
+    else:
+        # CDF-derived costs (codec/rate_est.py): eob-aware coefficient
+        # bits + the mode's actual signaling cost
+        coef_bits, txb_base, mode_bits, eob_tbl = rates
+        pos = jnp.asarray(_scan_pos(tx_size))
+        bits = (_txb_bits(aq, coef_bits, txb_base[0], eob_tbl, pos)
+                + jnp.repeat(mode_bits, b))
     cost = (dist + lam_flat * bits).reshape(nm, b)
     # D203 reads bottom-left recon, which the wavefront hasn't written
     # yet when the spec marks BL available — restrict it to blocks where
@@ -253,8 +303,15 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
         best_pred = jnp.where(t3, p_r[mi], best_pred)
     # normative reconstruction for the winner only
     if same_tx:
-        best_rec = tf.inv_txfm2d_add(best_dq, best_pred, tx0, tx_size,
-                                     bd=bd)
+        if rec_all is not None:
+            r_r = rec_all.reshape(nm, b, n, n)
+            best_rec = r_r[0]
+            for mi in range(1, nm):
+                best_rec = jnp.where((mi_best == mi)[:, None, None],
+                                     r_r[mi], best_rec)
+        else:
+            best_rec = tf.inv_txfm2d_add(best_dq, best_pred, tx0,
+                                         tx_size, bd=bd)
     else:
         # mixed per-mode tx types: run each type's inverse on the
         # selected data and pick the matching output
@@ -311,7 +368,8 @@ def _frame_program_fn(gh, gw, modes, bd=8, aq=False):
     h, w = gh * BLK, gw * BLK
     rdt = jnp.uint8 if bd == 8 else jnp.uint16
 
-    def frame(src_y8, src_u8, src_v8, zbin, rnd, qv, qshift, deq, lam):
+    def frame(src_y8, src_u8, src_v8, zbin, rnd, qv, qshift, deq, lam,
+              cy_t, cuv_t, txbb, modeb, uvb, eoby, eobuv):
         src_y = src_y8.astype(jnp.int32)
         src_u = src_u8.astype(jnp.int32)
         src_v = src_v8.astype(jnp.int32)
@@ -343,11 +401,11 @@ def _frame_program_fn(gh, gw, modes, bd=8, aq=False):
                                 qp, lam_w, BLK, cc.TX_16X16, modes, 0,
                                 tr_avail=jnp.asarray(trs)[i] & va,
                                 bl_avail=jnp.asarray(bls)[i] & va,
-                                bd=bd)
+                                bd=bd, rates=(cy_t, txbb, modeb, eoby))
             # chroma: joint mode decision over U+V (one signaled uv_mode)
             um, qu, qvq, ru, rv = _rd_step_chroma(
                 ru, rv, src_u, src_v, by * CBLK, bx * CBLK, va, ha, hl,
-                qp, lam_w, bd=bd)
+                qp, lam_w, bd=bd, rates=(cuv_t, txbb, uvb, eobuv))
             return (ry, ru, rv, ma.at[i].set(m), uma.at[i].set(um),
                     qya.at[i].set(q.astype(jnp.int16)),
                     qua.at[i].set(qu.astype(jnp.int16)),
@@ -378,7 +436,7 @@ def _jit_frame_program(gh, gw, modes, bd=8, aq=False):
 def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
                     have_above, have_left, qp_arrays, lam, bd=8,
                     inter=None, n=CBLK, tx_size=cc.TX_8X8,
-                    return_cost=False, no_write=False):
+                    return_cost=False, no_write=False, rates=None):
     """Joint U+V mode decision (uv_mode is signaled once per block); the
     chroma transform type is implied by the mode (not signaled).
 
@@ -430,9 +488,17 @@ def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
     dist = jnp.sum((rec_all - src_all) ** 2, axis=(1, 2)).astype(
         jnp.float32)
     aq = jnp.abs(qcoeff_all)
-    bits = (jnp.sum(jnp.log2(1.0 + aq.astype(jnp.float32)), axis=(1, 2))
-            * 2.0 + jnp.sum((aq > 0), axis=(1, 2)) + 4.0)
-    cost_uv = (dist + lam_flat * bits).reshape(nm, 2, b).sum(axis=1)
+    if rates is None:
+        bits = (jnp.sum(jnp.log2(1.0 + aq.astype(jnp.float32)),
+                        axis=(1, 2)) * 2.0
+                + jnp.sum((aq > 0), axis=(1, 2)) + 4.0)
+        cost_uv = (dist + lam_flat * bits).reshape(nm, 2, b).sum(axis=1)
+    else:
+        coef_bits, txb_base, uv_bits, eob_tbl = rates
+        pos = jnp.asarray(_scan_pos(tx_size))
+        bits = _txb_bits(aq, coef_bits, txb_base[1], eob_tbl, pos)
+        cost_uv = (dist + lam_flat * bits).reshape(nm, 2, b).sum(axis=1)
+        cost_uv = cost_uv + lam * uv_bits[:, None]
     mi_best = jnp.argmin(cost_uv, axis=0)
     qall = qcoeff_all.reshape(nm, 2, b, n, n)
     rall = rec_all.reshape(nm, 2, b, n, n)
@@ -490,10 +556,12 @@ def _jit_frame_program_batch(gh, gw, modes, bd=8):
     (amortizes host<->device transfers; also the multi-stream shape)."""
     single = _frame_program_fn(gh, gw, modes, bd)
 
-    def batched(sy, su, sv, zbin, rnd, qv, qshift, deq, lam):
+    def batched(sy, su, sv, zbin, rnd, qv, qshift, deq, lam,
+                cy_t, cuv_t, txbb, modeb, uvb, eoby, eobuv):
         return jax.vmap(
             lambda a, b, c: single(a, b, c, zbin, rnd, qv, qshift, deq,
-                                   lam)
+                                   lam, cy_t, cuv_t, txbb, modeb, uvb,
+                                   eoby, eobuv)
         )(sy, su, sv)
 
     return jax.jit(batched)
@@ -515,7 +583,9 @@ def encode_intra_frames_launch(frames, qindex: int, modes=MODES,
     sy = np.stack([f[0] for f in frames]).astype(sdt)
     su = np.stack([f[1] for f in frames]).astype(sdt)
     sv = np.stack([f[2] for f in frames]).astype(sdt)
-    out = prog(sy, su, sv, *(np.asarray(a) for a in qp_y), lam)
+    from svt_av1_tpu.codec.rate_est import md_rate_args
+    rt = md_rate_args(qindex, tuple(modes), UV_MODES)
+    out = prog(sy, su, sv, *(np.asarray(a) for a in qp_y), lam, *rt)
     return (out, gh, gw, len(frames), bd)
 
 
@@ -635,9 +705,11 @@ def encode_intra_frame(src_y: np.ndarray, src_u: np.ndarray,
 
     sdt = np.uint8 if bd == 8 else np.uint16
     prog = _jit_frame_program(gh, gw, tuple(modes), bd, aq=aq)
+    from svt_av1_tpu.codec.rate_est import md_rate_args
+    rt = md_rate_args(qindex, tuple(modes), UV_MODES)
     out = prog(np.asarray(src_y, sdt), np.asarray(src_u, sdt),
                np.asarray(src_v, sdt),
-               *(np.asarray(a) for a in qp_y), np.asarray(lam))
+               *(np.asarray(a) for a in qp_y), np.asarray(lam), *rt)
     (recon_y, recon_u, recon_v, ym_a, um_a, qy_a, qu_a, qv_a) = \
         [np.asarray(o) for o in out]
     decisions = _collect_decisions_dense(gh, gw, ym_a, um_a, qy_a, qu_a,
