@@ -148,6 +148,16 @@ class Encoder:
         from svt_av1_tpu.pipeline.presets import features_for
         self._feat = features_for(config.enc_mode)
         self._seq_hdr_sent = False
+        # tile columns (log2, SVT tile_columns semantics); block-column
+        # starts derive from the spec's uniform SB spacing.  Wired for
+        # the all-intra fast path; other paths stay single-tile.
+        self._log2_tile_cols = max(0, min(int(config.tile_columns), 4))
+        from svt_av1_tpu.codec.obu import tile_cols_layout
+        self._tile_starts = tuple(
+            s * 4 for s, _ in tile_cols_layout(self.sr_w,
+                                               self._log2_tile_cols))
+        if len(self._tile_starts) == 1:
+            self._log2_tile_cols = 0
         # hierarchical (random access) prediction structure: explicit
         # hierarchical_levels with a GOP that has inter frames
         self._hier = 0
@@ -527,7 +537,9 @@ class Encoder:
             with stage("device_dispatch"):
                 launched = intra_encoder.encode_intra_frames_launch(
                     chunk, q, modes=self._feat.intra_modes,
-                    bd=self.cfg.encoder_bit_depth)
+                    bd=self.cfg.encoder_bit_depth,
+                    tile_starts=(self._tile_starts if arrays_ok
+                                 else (0,)))
             if pending is not None:
                 with stage("device_wait_transfer"):
                     results = intra_encoder.encode_intra_frames_finish(
@@ -561,12 +573,43 @@ class Encoder:
             fp.filter_level_uv = (lvl_uv, lvl_uv)
             recon = intra_encoder.apply_loop_filter(recon, fp)
         self._ref = {k: recon[k] for k in ("y", "u", "v")}
-        tenc = TileEncoder(self.sp.width, self.sp.height, qindex,
-                           update_cdfs=True, frame_is_intra=True)
-        tile_data = fast_ec.encode_intra_tile_arrays(tenc, ym, um, qy,
-                                                     qu, qv)
-        self._ref_cdfs = tenc.cdfs
-        self._ref_nmv = tenc.nmv
+        starts = self._tile_starts
+        if len(starts) > 1:
+            # tile-parallel EC (ec_process.c:233-291 analog): tile
+            # columns entropy-code independently; the native coder
+            # releases the GIL so threads give real parallelism
+            fp.log2_tile_cols = self._log2_tile_cols
+            bounds = [(starts[i], (starts[i + 1]
+                                   if i + 1 < len(starts) else gw))
+                      for i in range(len(starts))]
+
+            def enc_tile(b):
+                c0, c1 = b
+                sl = np.s_[:, c0:c1]
+                te = TileEncoder((c1 - c0) * 16, self.sp.height, qindex,
+                                 update_cdfs=True, frame_is_intra=True)
+                cut = lambda a: np.ascontiguousarray(
+                    a.reshape(gh, gw, -1)[sl]).reshape(
+                        gh * (c1 - c0), -1)
+                data = fast_ec.encode_intra_tile_arrays(
+                    te, cut(ym).reshape(-1), cut(um).reshape(-1),
+                    cut(qy), cut(qu), cut(qv))
+                return data, te
+
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(len(bounds)) as pool:
+                results = list(pool.map(enc_tile, bounds))
+            tile_data = [d for d, _ in results]
+            # frame-end CDF state comes from context_update_tile_id = 0
+            self._ref_cdfs = results[0][1].cdfs
+            self._ref_nmv = results[0][1].nmv
+        else:
+            tenc = TileEncoder(self.sp.width, self.sp.height, qindex,
+                               update_cdfs=True, frame_is_intra=True)
+            tile_data = fast_ec.encode_intra_tile_arrays(tenc, ym, um,
+                                                         qy, qu, qv)
+            self._ref_cdfs = tenc.cdfs
+            self._ref_nmv = tenc.nmv
         tu = obu.temporal_delimiter()
         if not self._seq_hdr_sent:
             tu += obu.write_sequence_header(self.sp)

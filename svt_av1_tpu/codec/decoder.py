@@ -62,6 +62,11 @@ class Decoder:
         tile_data = payload[r.byte_pos:]
         is_intra = fp.frame_type in (obu.KEY_FRAME, obu.INTRA_ONLY_FRAME)
         coded_w = fp.coded_width(self.sp.width)
+        n_tiles = len(obu.tile_cols_layout(coded_w, fp.log2_tile_cols)) \
+            * (1 << fp.log2_tile_rows)
+        if n_tiles > 1:
+            return self._decode_frame_tiled(fp, tile_data, coded_w,
+                                            n_tiles)
         chain = (not is_intra
                  and fp.primary_ref_frame != obu.PRIMARY_REF_NONE)
         init_cdfs = init_nmv = None
@@ -144,5 +149,63 @@ class Decoder:
                 self.slots[i] = stored
                 self.slot_cdfs[i] = end_cdfs
                 self.slot_nmv[i] = end_nmv
+        recon["decisions"] = decisions
+        return recon, fp.show_frame
+
+    def _decode_frame_tiled(self, fp, tile_data: bytes, coded_w: int,
+                            n_tiles: int):
+        """Multi-tile (column) intra frame: split the tile group, decode
+        each tile with its own contexts/CDFs, merge, reconstruct with
+        tile-clamped intra availability."""
+        assert fp.frame_type == obu.KEY_FRAME, \
+            "tiles wired for intra frames this round"
+        assert fp.log2_tile_rows == 0
+        # tile group: start/end flag bit (0) + byte alignment
+        assert (tile_data[0] & 0x80) == 0
+        pos = 1
+        tiles = []
+        for i in range(n_tiles - 1):
+            sz = int.from_bytes(tile_data[pos:pos + 4], "little") + 1
+            pos += 4
+            tiles.append(tile_data[pos:pos + sz])
+            pos += sz
+        tiles.append(tile_data[pos:])
+        layout = obu.tile_cols_layout(coded_w, fp.log2_tile_cols)
+        decisions = {}
+        for (s, e), data in zip(layout, tiles):
+            tw = min(e * 64, coded_w) - s * 64
+            tdec = TileDecoder(tw, self.sp.height, fp.base_q_idx,
+                               reduced_tx_set=fp.reduced_tx_set,
+                               update_cdfs=not fp.disable_cdf_update,
+                               frame_is_intra=True)
+            if (s, e) == layout[0]:   # context_update_tile_id = 0
+                t0 = tdec
+            for (r4, c4), d in tdec.decode(data).items():
+                import dataclasses as _dc
+                d = _dc.replace(d, c4=c4 + s * 16)
+                decisions[(r4, d.c4)] = d
+        if not fp.disable_frame_end_update_cdf:
+            end_cdfs, end_nmv = t0.cdfs, t0.nmv
+        else:
+            end_cdfs = end_nmv = None
+        tile_starts16 = tuple(s * 4 for s, _ in layout)
+        recon = reconstruct_from_decisions(
+            decisions, coded_w, self.sp.height, fp.base_q_idx,
+            bd=self.sp.bit_depth, tile_starts=tile_starts16)
+        recon = apply_loop_filter(recon, fp)
+        if self.sp.enable_cdef:
+            from svt_av1_tpu.api.encoder import _skip_map
+            from svt_av1_tpu.pipeline import cdef_stage
+            skip16 = _skip_map(decisions, self.sp.height // 16,
+                               coded_w // 16)
+            recon = cdef_stage.cdef_apply(recon, skip16,
+                                          fp.cdef_strengths,
+                                          fp.cdef_damping,
+                                          bd=self.sp.bit_depth)
+        stored = {k: recon[k] for k in ("y", "u", "v")}
+        for i in range(8):
+            self.slots[i] = stored
+            self.slot_cdfs[i] = end_cdfs
+            self.slot_nmv[i] = end_nmv
         recon["decisions"] = decisions
         return recon, fp.show_frame

@@ -112,6 +112,9 @@ class FrameParams:
     # per-SB adaptive quantization
     delta_q_present: bool = False
     delta_q_res: int = 0   # log2 of the delta step
+    # tiles (uniform spacing): log2 of tile columns/rows
+    log2_tile_cols: int = 0
+    log2_tile_rows: int = 0
 
     def coded_width(self, upscaled_w: int) -> int:
         if self.superres_denom == 8:
@@ -272,8 +275,9 @@ def write_frame_header_bits(w: BitWriter, sp: SequenceParams,
         # use_ref_frame_mvs absent (enable_order_hint == 0)
     if not fp.disable_cdf_update:
         w.f(int(fp.disable_frame_end_update_cdf), 1)
-    # tile_info(): single tile
-    _write_tile_info(w, sp)
+    # tile_info()
+    _write_tile_info(w, sp, fp.log2_tile_cols, fp.log2_tile_rows,
+                     fp.coded_width(sp.width))
     # quantization_params
     w.f(fp.base_q_idx, 8)
     w.f(0, 1)   # delta_q_y_dc present
@@ -367,21 +371,61 @@ def parse_show_existing(payload: bytes) -> Optional[int]:
 
 
 def write_frame_obu(sp: SequenceParams, fp: FrameParams,
-                    tile_data: bytes) -> bytes:
-    """OBU_FRAME = frame_header + byte-align + tile group (single tile)."""
+                    tile_data) -> bytes:
+    """OBU_FRAME = frame_header + byte-align + tile group.
+
+    tile_data: bytes (single tile) or a list of per-tile byte strings in
+    raster tile order — each tile but the last is prefixed by its
+    little-endian tile_size_minus_1 (TileSizeBytes = 4, spec 5.11.1)."""
     w = BitWriter()
     write_frame_header_bits(w, sp, fp)
     w.byte_align()
-    # tile_group: NumTiles == 1 => no start/end flags, no size fields
-    payload = w.data() + tile_data
+    if isinstance(tile_data, (bytes, bytearray)):
+        tiles = [bytes(tile_data)]
+    else:
+        tiles = [bytes(t) for t in tile_data]
+    payload = w.data()
+    if len(tiles) == 1:
+        # NumTiles == 1 => no start/end flags, no size fields
+        payload += tiles[0]
+    else:
+        # OBU_FRAME: tile_start_and_end_present_flag must be 0; the
+        # byte-aligned header above already ends on a byte, and the
+        # flag bit occupies the first tile-group bit — but with the
+        # flag 0 the group starts directly with the size fields, so we
+        # emit the single 0 bit and pad (spec tile_group_obu: the flag
+        # is only coded when NumTiles > 1).
+        tw = BitWriter()
+        tw.f(0, 1)
+        tw.byte_align()
+        payload += tw.data()
+        for t in tiles[:-1]:
+            payload += (len(t) - 1).to_bytes(4, "little") + t
+        payload += tiles[-1]
     return write_obu(OBU_FRAME, payload)
 
 
-def _write_tile_info(w: BitWriter, sp: SequenceParams):
-    """Single-tile tile_info().  Mirrors spec 5.9.15 computations."""
+def tile_cols_layout(width: int, log2_cols: int):
+    """Uniform-spacing tile column boundaries in superblock units
+    (spec 5.9.15): [(sb_start, sb_end), ...]."""
+    sb_cols = (width + 63) >> 6
+    size_sb = (sb_cols + (1 << log2_cols) - 1) >> log2_cols
+    out = []
+    start = 0
+    while start < sb_cols:
+        out.append((start, min(start + size_sb, sb_cols)))
+        start += size_sb
+    return out
+
+
+def _write_tile_info(w: BitWriter, sp: SequenceParams,
+                     log2_cols: int = 0, log2_rows: int = 0,
+                     coded_width: int = 0):
+    """Uniform-spacing tile_info().  Mirrors spec 5.9.15 computations."""
     sb_size = 128 if sp.use_128x128_superblock else 64
     sb_shift = 7 if sp.use_128x128_superblock else 6
-    sb_cols = (sp.width + sb_size - 1) >> sb_shift
+    width = coded_width or sp.width
+    sb_cols = (width + sb_size - 1) >> sb_shift
     sb_rows = (sp.height + sb_size - 1) >> sb_shift
     sb_size_log2 = sb_shift
     max_tile_width_sb = 4096 >> sb_size_log2
@@ -391,9 +435,12 @@ def _write_tile_info(w: BitWriter, sp: SequenceParams):
     max_log2_tile_rows = _tile_log2(1, min(sb_rows, 64))
     min_log2_tiles = max(min_log2_tile_cols,
                          _tile_log2(max_tile_area_sb, sb_rows * sb_cols))
+    log2_cols = max(log2_cols, min_log2_tile_cols)
+    assert log2_cols <= max_log2_tile_cols, "too many tile columns"
+    assert log2_rows <= max_log2_tile_rows, "too many tile rows"
+    min_log2_tile_rows = max(min_log2_tiles - log2_cols, 0)
+    log2_rows = max(log2_rows, min_log2_tile_rows)
     w.f(1, 1)  # uniform_tile_spacing_flag
-    # tile cols: target log2 = min_log2_tile_cols (we want as few as legal)
-    log2_cols = min_log2_tile_cols
     cur = min_log2_tile_cols
     while cur < max_log2_tile_cols:
         if cur < log2_cols:
@@ -402,9 +449,6 @@ def _write_tile_info(w: BitWriter, sp: SequenceParams):
         else:
             w.f(0, 1)
             break
-    # tile rows
-    min_log2_tile_rows = max(min_log2_tiles - log2_cols, 0)
-    log2_rows = min_log2_tile_rows
     cur = min_log2_tile_rows
     while cur < max_log2_tile_rows:
         if cur < log2_rows:
@@ -414,12 +458,8 @@ def _write_tile_info(w: BitWriter, sp: SequenceParams):
             w.f(0, 1)
             break
     if log2_cols > 0 or log2_rows > 0:
-        w.f(0, log2_rows + log2_cols)  # context_update_tile_id
-        w.f(3, 2)  # tile_size_bytes_minus_1
-    if log2_cols != 0 or log2_rows != 0:
-        raise NotImplementedError(
-            "frame too large for a single tile; multi-tile lands with the "
-            "tile-parallel EC stage")
+        w.f(0, log2_rows + log2_cols)  # context_update_tile_id = 0
+        w.f(3, 2)  # tile_size_bytes_minus_1 = 3 (4-byte sizes)
 
 
 def _tile_log2(blk_size: int, target: int) -> int:
@@ -563,18 +603,28 @@ def read_frame_header(r: BitReader, sp: SequenceParams) -> FrameParams:
         fp.is_motion_mode_switchable = bool(r.f(1))
     if not fp.disable_cdf_update:
         fp.disable_frame_end_update_cdf = bool(r.f(1))
-    # tile info (single tile)
+    # tile info (uniform spacing)
     assert r.f(1) == 1  # uniform spacing
-    sb_cols = (sp.width + 63) >> 6
+    coded_w_ti = fp.coded_width(sp.width)
+    sb_cols = (coded_w_ti + 63) >> 6
     sb_rows = (sp.height + 63) >> 6
     max_log2_tile_cols = _tile_log2(1, min(sb_cols, 64))
     max_log2_tile_rows = _tile_log2(1, min(sb_rows, 64))
     min_log2_tile_cols = _tile_log2(4096 >> 6, sb_cols)
-    assert min_log2_tile_cols == 0
-    if max_log2_tile_cols > 0:
-        assert r.f(1) == 0
-    if max_log2_tile_rows > 0:
-        assert r.f(1) == 0
+    min_log2_tiles = max(min_log2_tile_cols,
+                         _tile_log2((4096 * 2304) >> 12,
+                                    sb_rows * sb_cols))
+    log2_cols = min_log2_tile_cols
+    while log2_cols < max_log2_tile_cols and r.f(1):
+        log2_cols += 1
+    log2_rows = max(min_log2_tiles - log2_cols, 0)
+    while log2_rows < max_log2_tile_rows and r.f(1):
+        log2_rows += 1
+    fp.log2_tile_cols = log2_cols
+    fp.log2_tile_rows = log2_rows
+    if log2_cols > 0 or log2_rows > 0:
+        assert r.f(log2_rows + log2_cols) == 0  # context_update_tile_id
+        assert r.f(2) == 3  # tile_size_bytes_minus_1
     fp.base_q_idx = r.f(8)
     assert r.f(1) == 0  # y dc delta
     if not sp.monochrome:

@@ -961,6 +961,10 @@ static PyObject *Enc_encode_intra_tile(EncObj *self, PyObject *args) {
         int sb_cols = (mi_cols + 15) >> 4;
         int sr, sc, p, i;
         OdEc *e = &self->ec;
+        /* pure-C loop over a per-encoder context: release the GIL so
+         * tile columns entropy-code in parallel Python threads (the
+         * ec_process.c tile-parallel analog) */
+        Py_BEGIN_ALLOW_THREADS
         for (sr = 0; sr < sb_rows; sr++) {
             memset(t.left_part, 0, mi_rows);
             for (p = 0; p < 3; p++) {
@@ -971,6 +975,7 @@ static PyObject *Enc_encode_intra_tile(EncObj *self, PyObject *args) {
             for (sc = 0; sc < sb_cols; sc++)
                 tile_encode_partition(e, &t, sr * 16, sc * 16, 64);
         }
+        Py_END_ALLOW_THREADS
     }
 
     free(t.above_part);

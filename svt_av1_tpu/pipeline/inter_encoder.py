@@ -239,8 +239,8 @@ def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
     qstep = quant.dc_q(qindex, bd=bd) / 8.0
     lam = np.float32(0.7 * qstep * qstep)
 
-    waves, bys, bxs, valid, trs, bls = _schedule_arrays(gh, gw,
-                                                        min(gh, gw))
+    waves, bys, bxs, valid, trs, bls, hls = _schedule_arrays(
+        gh, gw, min(gh, gw))
     nw = len(waves)
     ring = _SUBPEL_RING if subpel_ring else _SUBPEL_RING[:1]
     pass_a, pass_b = _jit_inter_programs(h, w, nw, min(gh, gw),

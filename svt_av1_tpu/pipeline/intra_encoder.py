@@ -72,16 +72,21 @@ def _morton(r: int, c: int) -> int:
     return (((r & 2) << 2) | ((c & 2) << 1) | ((r & 1) << 1) | (c & 1))
 
 
-def tr_bl_avail(by: int, bx: int, gh: int, gw: int, m: int = 4):
+def tr_bl_avail(by: int, bx: int, gh: int, gw: int, m: int = 4,
+                col_lo: int = 0, col_hi: int = 0):
     """(top-right, bottom-left) reconstructed-sample availability for a
     square block in the 64x64-SB z-order (spec intra edge availability;
     exact for square partition trees: a neighbor is available iff its
     coding (z) order precedes ours).
 
     (by, bx) index the block's own-size grid; ``m`` is blocks-per-SB
-    side (4 for 16x16 blocks, 2 for 32x32)."""
+    side (4 for 16x16 blocks, 2 for 32x32).  col_lo/col_hi bound the
+    block's TILE in the same grid units (tiles clamp prediction like
+    frame edges; 0/0 = whole frame)."""
+    if col_hi <= 0:
+        col_hi = gw
     r, c = by & (m - 1), bx & (m - 1)
-    if by == 0 or bx + 1 >= gw:
+    if by == 0 or bx + 1 >= col_hi:
         tr = False
     elif r == 0:
         tr = True
@@ -89,7 +94,7 @@ def tr_bl_avail(by: int, bx: int, gh: int, gw: int, m: int = 4):
         tr = False
     else:
         tr = _morton(r - 1, c + 1) < _morton(r, c)
-    if bx == 0 or by + 1 >= gh:
+    if bx <= col_lo or by + 1 >= gh:
         bl = False
     elif c == 0:
         bl = r < m - 1
@@ -344,7 +349,7 @@ def _natural_maxb(gh: int, gw: int) -> int:
     return max(1, min(gh, (gw + 1) // 2))
 
 
-def _frame_program_fn(gh, gw, modes, bd=8, aq=False):
+def _frame_program_fn(gh, gw, modes, bd=8, aq=False, tile_starts=(0,)):
     """Whole-key-frame program: fori_loop over waves, each iteration runs
     luma MD (all modes) + chroma MD and scatters recon in place.
 
@@ -360,7 +365,8 @@ def _frame_program_fn(gh, gw, modes, bd=8, aq=False):
     (n_blocks, 2) rows and lam as (n_blocks,); each wave gathers its
     slots' rows."""
     maxb = _natural_maxb(gh, gw)
-    waves, bys, bxs, valid, trs, bls = _schedule_arrays(gh, gw, maxb)
+    waves, bys, bxs, valid, trs, bls, hls = _schedule_arrays(
+        gh, gw, maxb, tile_starts)
     nw = len(waves)
     wi, wj, wby, wbx = _wave_flat_index(waves, 0)
     perm = np.zeros(gh * gw, np.int32)
@@ -389,7 +395,7 @@ def _frame_program_fn(gh, gw, modes, bd=8, aq=False):
             bx = jnp.asarray(bxs)[i]
             va = jnp.asarray(valid)[i]
             ha = (by > 0) & va
-            hl = (bx > 0) & va
+            hl = jnp.asarray(hls)[i] & va
             if aq:
                 bid = by * gw + bx
                 qp = tuple(f[bid] for f in qp_all)
@@ -429,8 +435,9 @@ def _frame_program_fn(gh, gw, modes, bd=8, aq=False):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_frame_program(gh, gw, modes, bd=8, aq=False):
-    return jax.jit(_frame_program_fn(gh, gw, modes, bd, aq=aq))
+def _jit_frame_program(gh, gw, modes, bd=8, aq=False, tile_starts=(0,)):
+    return jax.jit(_frame_program_fn(gh, gw, modes, bd, aq=aq,
+                                     tile_starts=tile_starts))
 
 
 def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
@@ -550,11 +557,12 @@ def _wave_schedule(gh: int, gw: int, maxb: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_frame_program_batch(gh, gw, modes, bd=8):
+def _jit_frame_program_batch(gh, gw, modes, bd=8, tile_starts=(0,)):
     """vmap of the frame program over a leading frame axis — all-intra
     frames are independent, so a batch shares one device dispatch
     (amortizes host<->device transfers; also the multi-stream shape)."""
-    single = _frame_program_fn(gh, gw, modes, bd)
+    single = _frame_program_fn(gh, gw, modes, bd,
+                               tile_starts=tile_starts)
 
     def batched(sy, su, sv, zbin, rnd, qv, qshift, deq, lam,
                 cy_t, cuv_t, txbb, modeb, uvb, eoby, eobuv):
@@ -568,7 +576,7 @@ def _jit_frame_program_batch(gh, gw, modes, bd=8):
 
 
 def encode_intra_frames_launch(frames, qindex: int, modes=MODES,
-                               bd: int = 8):
+                               bd: int = 8, tile_starts=(0,)):
     """Asynchronously dispatch the batched frame program (JAX dispatch
     is non-blocking); pair with encode_intra_frames_finish.  Enables
     host EC of batch k to overlap device compute of batch k+1."""
@@ -578,7 +586,8 @@ def encode_intra_frames_launch(frames, qindex: int, modes=MODES,
     qp_y = quant.make_quant_params(qindex, bd=bd)
     qstep = quant.dc_q(qindex, bd=bd) / 8.0
     lam = np.float32(0.7 * qstep * qstep)
-    prog = _jit_frame_program_batch(gh, gw, tuple(modes), bd)
+    prog = _jit_frame_program_batch(gh, gw, tuple(modes), bd,
+                                    tuple(tile_starts))
     sdt = np.uint8 if bd == 8 else np.uint16
     sy = np.stack([f[0] for f in frames]).astype(sdt)
     su = np.stack([f[1] for f in frames]).astype(sdt)
@@ -628,7 +637,23 @@ def _wave_flat_index(waves, maxb):
     return (np.array(wi), np.array(wj), np.array(wby), np.array(wbx))
 
 
-def _schedule_arrays(gh, gw, maxb):
+def _tile_bounds_of(bx: int, tile_starts) -> Tuple[int, int]:
+    """(col_lo, col_hi) of the tile containing block column bx;
+    tile_starts: ascending block-column starts, first must be 0."""
+    lo, hi = 0, 10 ** 9
+    for s in tile_starts:
+        if s <= bx:
+            lo = s
+        else:
+            hi = s
+            break
+    return lo, hi
+
+
+def _schedule_arrays(gh, gw, maxb, tile_starts=(0,)):
+    """Wave schedule + per-slot availability.  tile_starts: block-column
+    starts of tile columns (tiles clamp left/top-right/bottom-left
+    availability like frame edges)."""
     waves = _wave_schedule(gh, gw, maxb)
     nw = len(waves)
     bys = np.zeros((nw, maxb), np.int32)
@@ -636,14 +661,20 @@ def _schedule_arrays(gh, gw, maxb):
     valid = np.zeros((nw, maxb), bool)
     trs = np.zeros((nw, maxb), bool)
     bls = np.zeros((nw, maxb), bool)
+    hls = np.zeros((nw, maxb), bool)
+    starts = set(tile_starts)
     for i, wave in enumerate(waves):
         nb = len(wave)
         bys[i, :nb] = [b[0] for b in wave]
         bxs[i, :nb] = [b[1] for b in wave]
         valid[i, :nb] = True
         for j, (by, bx) in enumerate(wave):
-            trs[i, j], bls[i, j] = tr_bl_avail(by, bx, gh, gw)
-    return waves, bys, bxs, valid, trs, bls
+            lo, hi = _tile_bounds_of(bx, tile_starts)
+            trs[i, j], bls[i, j] = tr_bl_avail(by, bx, gh, gw,
+                                               col_lo=lo,
+                                               col_hi=min(hi, gw))
+            hls[i, j] = bx > 0 and bx not in starts
+    return waves, bys, bxs, valid, trs, bls, hls
 
 
 def _collect_decisions_dense(gh, gw, ym, um, qy, qu, qv_,
@@ -744,11 +775,15 @@ def apply_loop_filter(recon: Dict[str, np.ndarray], fp) -> Dict[str, np.ndarray]
 
 
 def reconstruct_from_decisions(decisions: Dict, width: int, height: int,
-                               qindex: int, bd: int = 8
+                               qindex: int, bd: int = 8,
+                               tile_starts=(0,)
                                ) -> Dict[str, np.ndarray]:
     """Decoder-side reconstruction from parsed BlockDecisions — shares the
     same wave pipeline ops (used by the verification decoder).  Handles
-    mixed square leaf sizes (16/32) by walking SBs in z-order."""
+    mixed square leaf sizes (16/32) by walking SBs in z-order.
+
+    tile_starts: tile-column starts in 16px-block units; tiles clamp
+    intra prediction availability like frame edges."""
     from svt_av1_tpu.codec.syntax import MAX_TX, max_chroma_tx_size
     from svt_av1_tpu.codec.syntax import _chroma_tx_type
     mi_rows, mi_cols = height // 4, width // 4
@@ -762,13 +797,20 @@ def reconstruct_from_decisions(decisions: Dict, width: int, height: int,
         n4 = n >> 2
         m = 16 // n4
         gh_n, gw_n = height // n, width // n
-        tr, bl = tr_bl_avail(d.r4 // n4, d.c4 // n4, gh_n, gw_n, m=m)
+        bx_n = d.c4 // n4
+        lo16, hi16 = _tile_bounds_of(d.c4 // 4, tile_starts)
+        lo_n = lo16 * 16 // n
+        hi_n = min(hi16 * 16 // n if hi16 < 10 ** 9 else gw_n, gw_n)
+        tr, bl = tr_bl_avail(d.r4 // n4, bx_n, gh_n, gw_n, m=m,
+                             col_lo=lo_n, col_hi=hi_n)
+        tile_left = bx_n > lo_n
         tx = MAX_TX[d.bsize]
         qp_b = (quant.make_quant_params(d.qindex, bd=bd)
                 if d.qindex else qp)
         state["y"] = _recon_block(state["y"], d.qcoeff_y, d.y_mode,
                                   d.r4 * 4, d.c4 * 4, n, tx, d.tx_type,
-                                  qp_b, tr, bl, bd)
+                                  qp_b, tr, bl, bd,
+                                  have_left=tile_left)
         ctx_tx = max_chroma_tx_size(d.bsize)
         cn = n >> 1
         uv_tx = _chroma_tx_type(d.uv_mode, ctx_tx)
@@ -776,7 +818,7 @@ def reconstruct_from_decisions(decisions: Dict, width: int, height: int,
             q = d.qcoeff_u if p == "u" else d.qcoeff_v
             state[p] = _recon_block(state[p], q, d.uv_mode, d.r4 * 2,
                                     d.c4 * 2, cn, ctx_tx, uv_tx, qp_b,
-                                    bd=bd)
+                                    bd=bd, have_left=tile_left)
 
     def walk(r4, c4, size):
         if r4 >= mi_rows or c4 >= mi_cols:
@@ -828,10 +870,12 @@ def _jit_recon_block(n, tx_size, tx_type, mode, bd=8):
 
 
 def _recon_block(recon, q, mode, y, x, n, tx_size, tx_type, qp,
-                 tr=False, bl=False, bd=8):
+                 tr=False, bl=False, bd=8, have_left=None):
     f = _jit_recon_block(n, tx_size, tx_type, int(mode), bd)
+    if have_left is None:
+        have_left = x > 0
     return f(recon, jnp.asarray(q),
              jnp.full((1,), y, jnp.int32), jnp.full((1,), x, jnp.int32),
-             jnp.full((1,), y > 0), jnp.full((1,), x > 0),
+             jnp.full((1,), y > 0), jnp.full((1,), have_left),
              jnp.full((1,), tr), jnp.full((1,), bl),
              *(jnp.asarray(a) for a in qp))
