@@ -435,7 +435,7 @@ class Encoder:
             refs[mv_pred.ALTREF_FRAME] = self._slot_recon[bwd_slot]
         from svt_av1_tpu.utils.profiling import stage
         with stage("device_md_inter"):
-            decisions, recon = inter_encoder.encode_inter_frame(
+            decisions, recon, gm = inter_encoder.encode_inter_frame(
                 y, u, v, refs, qindex, modes=self._feat.intra_modes,
                 bd=self.cfg.encoder_bit_depth,
                 hme_rad2=self._feat.hme_rad2,
@@ -461,7 +461,7 @@ class Encoder:
             decisions, recon, qindex, ev.poc, is_key=False,
             src=dict(y=y, u=u, v=v),
             chain=self._slot_state[last_slot], fp_setup=fp_setup,
-            return_state=True)
+            return_state=True, gm=gm)
         if ev.store:
             self._dpb[ev.poc] = slot
             self._slot_recon[slot] = full
@@ -736,7 +736,7 @@ class Encoder:
                         bd=self.cfg.encoder_bit_depth, qmap=qmap)
         else:
             with stage("device_md_inter"):
-                decisions, recon = inter_encoder.encode_inter_frame(
+                decisions, recon, gm = inter_encoder.encode_inter_frame(
                     y, u, v, self._ref, qindex,
                     modes=self._feat.intra_modes,
                     bd=self.cfg.encoder_bit_depth,
@@ -746,7 +746,8 @@ class Encoder:
         pkt = self._packetize(decisions, recon, qindex, pts,
                               is_key=is_key, src=dict(y=y, u=u, v=v),
                               src_full=src_full,
-                              delta_q=qmap is not None)
+                              delta_q=qmap is not None,
+                              gm=None if is_key else gm)
         if self.cfg.stat_report and pkt.recon is not None:
             from svt_av1_tpu.utils import metrics
             ss = src_full or dict(y=y, u=u, v=v)
@@ -762,7 +763,7 @@ class Encoder:
                    is_key: bool = True, src=None,
                    src_full=None, delta_q: bool = False,
                    fp_setup=None, chain="auto",
-                   return_state: bool = False) -> Packet:
+                   return_state: bool = False, gm=None) -> Packet:
         """Filters + entropy coding + OBU assembly for one frame.
 
         fp_setup: optional callable mutating the FrameParams (hierarchical
@@ -780,6 +781,8 @@ class Encoder:
             fp.refresh_frame_flags = 0x01
             if self._ref_cdfs is not None:
                 fp.primary_ref_frame = 0  # chain CDFs from slot 0
+        if gm:
+            fp.gm_trans = tuple(gm.get(i + 1) for i in range(7))
         if fp_setup is not None:
             fp_setup(fp)
         if delta_q:
@@ -855,6 +858,8 @@ class Encoder:
                            init_nmv=init_nmv)
         if lr_info is not None:
             tenc.set_lr(lr_info)
+        if not is_key:
+            tenc.set_gm(fp.gm_trans)
         if fp.delta_q_present:
             tenc.set_delta_q(fp.delta_q_res)
         with stage("host_ec"):

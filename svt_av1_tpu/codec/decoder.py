@@ -80,6 +80,8 @@ class Decoder:
                            frame_is_intra=is_intra,
                            init_cdfs=init_cdfs,
                            init_nmv=init_nmv)
+        if not is_intra:
+            tdec.set_gm(fp.gm_trans)
         lr_info = None
         if self.sp.enable_restoration:
             from svt_av1_tpu.codec import lr as lr_mod

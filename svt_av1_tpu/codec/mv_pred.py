@@ -104,9 +104,12 @@ class MvStack:
 
 
 def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int,
-                  bh4: int, ref: int = LAST_FRAME, sb_mi: int = 16
-                  ) -> MvStack:
-    """Returns the ranked, clamped reference-MV stack + mode context."""
+                  bh4: int, ref: int = LAST_FRAME, sb_mi: int = 16,
+                  gm_mv=(0, 0)) -> MvStack:
+    """Returns the ranked, clamped reference-MV stack + mode context.
+
+    gm_mv: this reference's global motion vector — GLOBALMV neighbors
+    contribute it and it pads an underfull stack (identity = (0,0))."""
     st = _Stack()
     mi_rows, mi_cols = grid.mi_rows, grid.mi_cols
     up = mi_row > 0
@@ -127,9 +130,9 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int,
         if grid.ref_frame[r, c] != ref:
             return
         mv = (int(grid.mv[r, c, 0]), int(grid.mv[r, c, 1]))
-        # GLOBALMV blocks contribute the global (zero) mv
+        # GLOBALMV blocks contribute this ref's global mv
         if grid.mode[r, c] == GLOBALMV:
-            mv = (0, 0)
+            mv = tuple(gm_mv)
         st.add(mv, len_, weight)
         if have_newmv(int(grid.mode[r, c])):
             counts["newmv"] += 1
@@ -262,7 +265,7 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int,
                         weights.append(2)
                 idx += cb
         while len(mvs) < MAX_MV_REF_CANDIDATES:
-            mvs.append((0, 0))
+            mvs.append(tuple(gm_mv))
             weights.append(2)
         count = len(mvs)
 

@@ -115,6 +115,10 @@ class FrameParams:
     # tiles (uniform spacing): log2 of tile columns/rows
     log2_tile_cols: int = 0
     log2_tile_rows: int = 0
+    # global motion per reference (LAST..ALTREF): None = IDENTITY, else
+    # TRANSLATION with (row, col) in 1/8-pel units (even values only
+    # when allow_high_precision_mv is 0)
+    gm_trans: Tuple = (None,) * 7
 
     def coded_width(self, upscaled_w: int) -> int:
         if self.superres_denom == 8:
@@ -132,6 +136,60 @@ class FrameParams:
     interpolation_filter: int = 0   # EIGHTTAP
     is_motion_mode_switchable: bool = False
     reference_select: bool = False  # single-reference mode
+
+
+def _wb_write_primitive_subexpfin(w: BitWriter, n: int, k: int, v: int):
+    """Finite subexponential code on raw header bits (spec 4.10.6 analog
+    of the range-coder version in codec/subexp.py)."""
+    i = mk = 0
+    while True:
+        b2 = k + i - 1 if i else k
+        a = 1 << b2
+        if n <= mk + 3 * a:
+            w.ns(v - mk, n - mk)
+            return
+        more = int(v >= mk + a)
+        w.f(more, 1)
+        if more:
+            i += 1
+            mk += a
+        else:
+            w.f(v - mk, b2)
+            return
+
+
+def _wb_read_primitive_subexpfin(r: BitReader, n: int, k: int) -> int:
+    i = mk = 0
+    while True:
+        b2 = k + i - 1 if i else k
+        a = 1 << b2
+        if n <= mk + 3 * a:
+            return r.ns(n - mk) + mk
+        if r.f(1):
+            i += 1
+            mk += a
+        else:
+            return r.f(b2) + mk
+
+
+def _wb_write_signed_subexpfin(w: BitWriter, n: int, k: int, ref: int,
+                               v: int):
+    from svt_av1_tpu.codec.subexp import _recenter_finite_nonneg
+    ref += n - 1
+    v += n - 1
+    sn = (n << 1) - 1
+    _wb_write_primitive_subexpfin(w, sn, k,
+                                  _recenter_finite_nonneg(sn, ref, v))
+
+
+def _wb_read_signed_subexpfin(r: BitReader, n: int, k: int,
+                              ref: int) -> int:
+    from svt_av1_tpu.codec.subexp import _unrecenter_finite_nonneg
+    ref += n - 1
+    sn = (n << 1) - 1
+    v = _unrecenter_finite_nonneg(sn, ref,
+                                  _wb_read_primitive_subexpfin(r, sn, k))
+    return v - (n - 1)
 
 
 def write_obu(obu_type: int, payload: bytes, temporal_id: int = 0,
@@ -339,10 +397,24 @@ def write_frame_header_bits(w: BitWriter, sp: SequenceParams,
     # hints) => no bit
     # allow_warped_motion: seq enable_warped_motion == 0 => no bit
     w.f(int(fp.reduced_tx_set), 1)
-    # global_motion_params: identity for every reference
+    # global_motion_params (entropy_coding.c:2953
+    # write_global_motion_params; TRANSLATION type only)
     if not is_intra:
-        for _ in range(7):
-            w.f(0, 1)  # is_global
+        for i in range(7):
+            gm = fp.gm_trans[i]
+            if gm is None:
+                w.f(0, 1)  # is_global
+                continue
+            w.f(1, 1)      # is_global
+            w.f(0, 1)      # is_rot_zoom
+            w.f(1, 1)      # is_translation
+            # !allow_hp: trans_bits = GM_ABS_TRANS_ONLY_BITS - 1 = 8,
+            # prec_diff = GM_TRANS_ONLY_PREC_DIFF + 1 = 14; wmmat is the
+            # 1/8-pel mv << 13, so the coded value is mv >> 1
+            row, col = gm
+            assert row % 2 == 0 and col % 2 == 0, "quarter-pel gm only"
+            for v in (col, row):   # wmmat[0] = x/col, wmmat[1] = y/row
+                _wb_write_signed_subexpfin(w, (1 << 8) + 1, 3, 0, v >> 1)
     if sp.film_grain_params_present and fp.show_frame:
         from svt_av1_tpu.codec.film_grain import write_film_grain_params
         write_film_grain_params(w, fp.film_grain,
@@ -671,8 +743,17 @@ def read_frame_header(r: BitReader, sp: SequenceParams) -> FrameParams:
         assert not fp.reference_select
     fp.reduced_tx_set = bool(r.f(1))
     if not is_intra:
+        gms = []
         for _ in range(7):
-            assert r.f(1) == 0  # is_global (identity)
+            if r.f(1) == 0:   # is_global
+                gms.append(None)
+                continue
+            assert r.f(1) == 0, "ROTZOOM gm unsupported"
+            assert r.f(1) == 1, "AFFINE gm unsupported"
+            col = _wb_read_signed_subexpfin(r, (1 << 8) + 1, 3, 0) * 2
+            row = _wb_read_signed_subexpfin(r, (1 << 8) + 1, 3, 0) * 2
+            gms.append((row, col))
+        fp.gm_trans = tuple(gms)
     if sp.film_grain_params_present and fp.show_frame:
         from svt_av1_tpu.codec.film_grain import read_film_grain_params
         fp.film_grain = read_film_grain_params(

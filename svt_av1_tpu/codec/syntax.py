@@ -315,6 +315,8 @@ class TileCoderBase:
         # loop restoration: list of codec.lr.PlaneLrInfo or None
         self.lr = None
         self.lr_ref = None
+        # global motion: {ref_enum: (row, col) 1/8-pel}; absent = identity
+        self.gm = {}
         # per-SB delta_q (None = disabled)
         self.delta_q_res = None
         self.current_qindex = base_q_idx
@@ -323,6 +325,11 @@ class TileCoderBase:
         self.migrid = mv_pred.MiGrid(self.mi_rows, self.mi_cols)
         self.sb_cols = (self.mi_cols + 15) >> 4
         self.sb_rows = (self.mi_rows + 15) >> 4
+
+    def set_gm(self, gm_trans) -> None:
+        """gm_trans: FrameParams.gm_trans tuple (index 0 = LAST)."""
+        self.gm = {i + 1: mv for i, mv in enumerate(gm_trans)
+                   if mv is not None}
 
     def set_lr(self, lr) -> None:
         from svt_av1_tpu.codec import lr as lr_mod
@@ -372,11 +379,11 @@ class TileCoderBase:
                                        self.reduced_tx_set)
         return (AV1_NUM_EXT_TX_SET[set_type] > 1) and (self.base_q_idx > 0)
 
-    def _map_inter_mode(self, mv, stack: mv_pred.MvStack):
+    def _map_inter_mode(self, mv, stack: mv_pred.MvStack, gm_mv=(0, 0)):
         """Cheapest legal signaling of ``mv`` given the MV stack."""
         if tuple(mv) == tuple(stack.mvs[0]):
             return mv_pred.NEARESTMV
-        if tuple(mv) == (0, 0):
+        if tuple(mv) == tuple(gm_mv):
             return mv_pred.GLOBALMV
         if len(stack.mvs) > 1 and tuple(mv) == tuple(stack.mvs[1]):
             return mv_pred.NEARMV
@@ -510,11 +517,13 @@ class TileEncoder(TileCoderBase):
             inter_mode = 0
             if is_inter:
                 self._encode_single_ref(r4, c4, d.ref)
+                gm_mv = self.gm.get(d.ref, (0, 0))
                 stack = mv_pred.find_mv_stack(
                     self.migrid, r4, c4,
                     int(cc.block_size_wide[bsize]) >> 2,
-                    int(cc.block_size_high[bsize]) >> 2, ref=d.ref)
-                inter_mode = self._map_inter_mode(d.mv, stack)
+                    int(cc.block_size_high[bsize]) >> 2, ref=d.ref,
+                    gm_mv=gm_mv)
+                inter_mode = self._map_inter_mode(d.mv, stack, gm_mv)
                 self._encode_inter_mode(inter_mode, stack)
                 if inter_mode == mv_pred.NEWMV:
                     mv_mod.encode_mv(enc, d.mv, stack.mvs[0], self.nmv,
@@ -762,10 +771,12 @@ class TileDecoder(TileCoderBase):
                 update_cdf(cdfs.intra_inter[ictx], int(is_inter), 2)
             if is_inter:
                 ref = self._read_single_ref(r4, c4)
+                gm_mv = self.gm.get(ref, (0, 0))
                 stack = mv_pred.find_mv_stack(
                     self.migrid, r4, c4,
                     int(cc.block_size_wide[bsize]) >> 2,
-                    int(cc.block_size_high[bsize]) >> 2, ref=ref)
+                    int(cc.block_size_high[bsize]) >> 2, ref=ref,
+                    gm_mv=gm_mv)
                 inter_mode, drl = self._read_inter_mode(stack)
                 if inter_mode == mv_pred.NEWMV:
                     mv = mv_mod.decode_mv(dec, stack.mvs[drl], self.nmv,
@@ -774,8 +785,8 @@ class TileDecoder(TileCoderBase):
                     mv = tuple(stack.mvs[0])
                 elif inter_mode == mv_pred.NEARMV:
                     mv = tuple(stack.mvs[1 + drl])
-                else:  # GLOBALMV (identity global motion)
-                    mv = (0, 0)
+                else:  # GLOBALMV (this ref's global motion vector)
+                    mv = tuple(gm_mv)
             else:
                 grp = int(SIZE_GROUP[bsize])
                 cdf = cdfs.y_mode[grp]

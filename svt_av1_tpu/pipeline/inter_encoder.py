@@ -185,18 +185,46 @@ def _jit_inter_programs(h, w, nw, maxb, modes, bd=8, k_cands=K_CANDS):
     return pass_a, pass_b
 
 
+def estimate_global_translation(mv_y: np.ndarray, mv_x: np.ndarray):
+    """Translational global-motion estimation from the dense HME field
+    (the global_me.c:139 role; FAST-corners + RANSAC collapses to a
+    median-consensus fit for the TRANSLATION model): median candidate,
+    inlier check, mean-of-inliers refinement.  Returns (row, col) in
+    1/8-pel (quarter-pel precision) or None (identity)."""
+    my = mv_y.astype(np.float64).reshape(-1)
+    mx = mv_x.astype(np.float64).reshape(-1)
+    med_y, med_x = float(np.median(my)), float(np.median(mx))
+    if abs(med_y) < 1 and abs(med_x) < 1:
+        return None
+    inl = (np.abs(my - med_y) <= 1.5) & (np.abs(mx - med_x) <= 1.5)
+    if inl.mean() < 0.4:
+        return None
+    r = int(np.clip(round(float(np.mean(my[inl]))) * 8, -504, 504))
+    c = int(np.clip(round(float(np.mean(mx[inl]))) * 8, -504, 504))
+    r &= ~1
+    c &= ~1
+    if r == 0 and c == 0:
+        return None
+    return (r, c)
+
+
 def _pass_a_for_ref(ref, src_y, src_u, src_v, qindex, bd, hme_rad2,
                     hme_rad0, subpel_ring, pass_a, ys, xs, qp_j, lam):
-    """HME + pass-A candidate evaluation against one reference frame."""
+    """HME + pass-A candidate evaluation against one reference frame.
+    Candidate 0 is the global-motion vector (identity when GM is off) so
+    a GLOBALMV winner costs no explicit signaling."""
     h, w = src_y.shape
     nb = ys.shape[0]
     mv_y, mv_x, _ = me_pipe.hierarchical_me(src_y, ref["y"],
                                             rad2=hme_rad2, rad0=hme_rad0)
+    gm = estimate_global_translation(mv_y, mv_x)
     hme = np.stack([mv_y.reshape(nb) * 8, mv_x.reshape(nb) * 8],
                    axis=-1).astype(np.int32)
     ring = _SUBPEL_RING if subpel_ring else _SUBPEL_RING[:1]
     k_cands = 1 + len(ring)
     cand = np.zeros((nb, k_cands, 2), np.int32)
+    if gm is not None:
+        cand[:, 0] = np.array(gm, np.int32)
     cand[:, 1:] = hme[:, None, :] + ring[None, :, :]
     cand = mc.clamp_mvs_for_pad(cand, ys[:, None], xs[:, None], BLK, h, w)
     refp_y = jnp.asarray(mc.pad_plane(ref["y"].astype(np.int32), mc.PAD))
@@ -206,9 +234,10 @@ def _pass_a_for_ref(ref, src_y, src_u, src_v, qindex, bd, hme_rad2,
                                       mc.PAD // 2))
     from svt_av1_tpu.codec.rate_est import md_rate_args
     rt = md_rate_args(qindex, (), ())
-    return pass_a(src_y, src_u, src_v, refp_y, refp_u, refp_v,
-                  jnp.asarray(ys), jnp.asarray(xs), jnp.asarray(cand),
-                  *qp_j, lam, rt[0], rt[2], rt[5])
+    out = pass_a(src_y, src_u, src_v, refp_y, refp_u, refp_v,
+                 jnp.asarray(ys), jnp.asarray(xs), jnp.asarray(cand),
+                 *qp_j, lam, rt[0], rt[2], rt[5])
+    return out, gm
 
 
 def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
@@ -253,10 +282,14 @@ def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
     # pass A against each reference; elementwise host merge by RD cost
     best = None
     iref = None
+    gm_by_ref = {}
     for renum in sorted(refs):
-        out_r = [np.asarray(o) for o in _pass_a_for_ref(
+        out_a, gm_r = _pass_a_for_ref(
             refs[renum], sy, su, sv, qindex, bd, hme_rad2, hme_rad0,
-            subpel_ring, pass_a, ys, xs, qp_j, lam)]
+            subpel_ring, pass_a, ys, xs, qp_j, lam)
+        if gm_r is not None:
+            gm_by_ref[renum] = gm_r
+        out_r = [np.asarray(o) for o in out_a]
         if best is None:
             best = out_r
             iref = np.full(nb, renum, np.int32)
@@ -305,7 +338,7 @@ def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
     dt = np.uint8 if bd == 8 else np.uint16
     recon = dict(y=recon_y.astype(dt), u=recon_u.astype(dt),
                  v=recon_v.astype(dt))
-    return decisions, recon
+    return decisions, recon, gm_by_ref
 
 
 def reconstruct_inter_from_decisions(decisions: Dict, ref,
