@@ -539,7 +539,8 @@ class Encoder:
                     chunk, q, modes=self._feat.intra_modes,
                     bd=self.cfg.encoder_bit_depth,
                     tile_starts=(self._tile_starts if arrays_ok
-                                 else (0,)))
+                                 else (0,)),
+                    rdoq=self._feat.rdoq)
             if pending is not None:
                 with stage("device_wait_transfer"):
                     results = intra_encoder.encode_intra_frames_finish(
@@ -733,7 +734,10 @@ class Encoder:
                 with stage("device_md_intra"):
                     decisions, recon = intra_encoder.encode_intra_frame(
                         y, u, v, qindex, modes=self._feat.intra_modes,
-                        bd=self.cfg.encoder_bit_depth, qmap=qmap)
+                        bd=self.cfg.encoder_bit_depth, qmap=qmap,
+                        rdoq=self._feat.rdoq,
+                        tx_search=self._feat.tx_search,
+                        angle_deltas=self._feat.angle_deltas)
         else:
             with stage("device_md_inter"):
                 decisions, recon, gm = inter_encoder.encode_inter_frame(

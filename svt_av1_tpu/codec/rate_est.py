@@ -64,6 +64,36 @@ def _fitted():
     return dict(np.load(path))
 
 
+@functools.lru_cache(maxsize=1)
+def _fitted_adapted():
+    """tools/fit_md_rate.py --adapted: marginal bits with LIVE CDF
+    adaptation (what the emitted stream pays; RDOQ prices with these)."""
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "md_rate_fit_adapted.npz")
+    if not os.path.exists(path):
+        return None
+    return dict(np.load(path))
+
+
+@functools.lru_cache(maxsize=32)
+def rdoq_tables_for_qindex(qindex: int) -> Dict[str, np.ndarray]:
+    """(coef+eob) bundles for RDOQ: rq_y (64+257,), rq_uv (64+65,).
+    Adapted-fit preferred; falls back to the true static tables."""
+    ad = _fitted_adapted()
+    bk = get_q_ctx(qindex)
+    if ad is not None and f"b{bk}_coef_y" in ad:
+        cy = ad[f"b{bk}_coef_y"].astype(np.float32)
+        ey = ad[f"b{bk}_eob_y"].astype(np.float32)
+        cu = ad[f"b{bk}_coef_uv"].astype(np.float32)
+        eu = ad[f"b{bk}_eob_uv"].astype(np.float32)
+    else:
+        t = true_tables_for_qindex(qindex)
+        cy, ey = t["coef_y"], t["eob_y"]
+        cu, eu = t["coef_uv"], t["eob_uv"]
+    return dict(rq_y=np.concatenate([cy, ey]).astype(np.float32),
+                rq_uv=np.concatenate([cu, eu]).astype(np.float32))
+
+
 def _analytic_eob_table(c: FrameCDFs, ncoeffs: int) -> np.ndarray:
     npt = int(np.log2(ncoeffs)) + 1
     cls = _avg_bits(c.eob_flag[ncoeffs], npt)
@@ -146,10 +176,14 @@ def tables_for_qindex(qindex: int) -> Dict[str, np.ndarray]:
 def md_rate_args(qindex: int, modes, uv_modes) -> tuple:
     """(coef_y (64,), coef_uv (64,), txb_base (2,),
     mode_bits (len(modes),), uv_bits (len(uv_modes),), eob_y (257,),
-    eob_uv (65,)) ready to feed the MD device programs."""
+    eob_uv (65,), true_coef_y (64,), true_coef_uv (64,)) ready to feed
+    the MD device programs.  The last two are the calibrated TRUE level
+    cost curves (RDOQ prices bits-vs-distortion with these; the decision
+    curves stay sparsity-biased for mode ranking, see module doc)."""
     t = tables_for_qindex(int(qindex))
     mode_bits = np.array([t["y_mode_bits"][m] for m in modes], np.float32)
     uv_bits = np.array([t["uv_mode_bits"][m] for m in uv_modes],
                        np.float32)
+    rq = rdoq_tables_for_qindex(int(qindex))
     return (t["coef_y"], t["coef_uv"], t["txb_base"], mode_bits, uv_bits,
-            t["eob_y"], t["eob_uv"])
+            t["eob_y"], t["eob_uv"], rq["rq_y"], rq["rq_uv"])

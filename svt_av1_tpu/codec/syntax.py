@@ -123,6 +123,9 @@ class BlockDecision:
     qcoeff_y: np.ndarray    # (txh, txw) int32 levels
     qcoeff_u: Optional[np.ndarray]
     qcoeff_v: Optional[np.ndarray]
+    # directional-mode angle refinement (spec AngleDeltaY/UV, +-3)
+    angle_delta_y: int = 0
+    angle_delta_uv: int = 0
     # inter fields (inter frames only)
     is_inter: bool = False
     mv: tuple = (0, 0)      # (row, col) 1/8 pel
@@ -508,7 +511,7 @@ class TileEncoder(TileCoderBase):
             enc.encode_symbol(d.y_mode, cdf, cc.INTRA_MODES)
             if self.update:
                 update_cdf(cdf, d.y_mode, cc.INTRA_MODES)
-            self._encode_angle(d.y_mode)
+            self._encode_angle(d.y_mode, d.angle_delta_y)
         else:
             ictx = ctx.intra_inter_ctx(r4, c4)
             enc.encode_symbol(int(is_inter), cdfs.intra_inter[ictx], 2)
@@ -534,7 +537,7 @@ class TileEncoder(TileCoderBase):
                 enc.encode_symbol(d.y_mode, cdf, cc.INTRA_MODES)
                 if self.update:
                     update_cdf(cdf, d.y_mode, cc.INTRA_MODES)
-                self._encode_angle(d.y_mode)
+                self._encode_angle(d.y_mode, d.angle_delta_y)
 
         # chroma (always present for square blocks >= 8x8 in 4:2:0)
         has_chroma = d.qcoeff_u is not None
@@ -546,7 +549,7 @@ class TileEncoder(TileCoderBase):
             enc.encode_symbol(d.uv_mode, ucdf, nsyms)
             if self.update:
                 update_cdf(ucdf, d.uv_mode, nsyms)
-            self._encode_angle(d.uv_mode)
+            self._encode_angle(d.uv_mode, d.angle_delta_uv)
 
         ctx.set_block(r4, c4, bsize, d.y_mode, skip, is_inter, d.ref)
         self._set_migrid(r4, c4, bsize, d, is_inter,
@@ -580,12 +583,14 @@ class TileEncoder(TileCoderBase):
                     update=self.update)
                 ctx.set_txb_ctx(plane, ctx_r, ctx_c, ctx_tx, cul)
 
-    def _encode_angle(self, mode):
+    def _encode_angle(self, mode, delta=0):
         if cc.V_PRED <= mode <= cc.D67_PRED:
             acdf = self.cdfs.angle_delta[mode - cc.V_PRED]
-            self.enc.encode_symbol(3, acdf, 7)  # delta 0 (+MAX_ANGLE_DELTA)
+            sym = int(delta) + 3  # +MAX_ANGLE_DELTA
+            assert 0 <= sym < 7
+            self.enc.encode_symbol(sym, acdf, 7)
             if self.update:
-                update_cdf(acdf, 3, 7)
+                update_cdf(acdf, sym, 7)
 
     def _encode_single_ref(self, r4, c4, ref):
         """Single-reference tree (entropy_coding.c write_ref_frames
@@ -757,13 +762,15 @@ class TileDecoder(TileCoderBase):
         ref = mv_pred.LAST_FRAME
         y_mode = cc.DC_PRED
         uv_mode = cc.DC_PRED
+        angle_y = 0
+        angle_uv = 0
         if self.frame_is_intra:
             actx, lctx = ctx.kf_y_ctx(r4, c4)
             cdf = cdfs.kf_y_mode[actx][lctx]
             y_mode = dec.read_symbol(cdf, cc.INTRA_MODES)
             if self.update:
                 update_cdf(cdf, y_mode, cc.INTRA_MODES)
-            self._read_angle(y_mode)
+            angle_y = self._read_angle(y_mode)
         else:
             ictx = ctx.intra_inter_ctx(r4, c4)
             is_inter = bool(dec.read_symbol(cdfs.intra_inter[ictx], 2))
@@ -793,7 +800,7 @@ class TileDecoder(TileCoderBase):
                 y_mode = dec.read_symbol(cdf, cc.INTRA_MODES)
                 if self.update:
                     update_cdf(cdf, y_mode, cc.INTRA_MODES)
-                self._read_angle(y_mode)
+                angle_y = self._read_angle(y_mode)
 
         has_chroma = True
         if not is_inter:
@@ -804,7 +811,7 @@ class TileDecoder(TileCoderBase):
             uv_mode = dec.read_symbol(ucdf, nsyms)
             if self.update:
                 update_cdf(ucdf, uv_mode, nsyms)
-            self._read_angle(uv_mode)
+            angle_uv = self._read_angle(uv_mode)
 
         ctx.set_block(r4, c4, bsize, y_mode, skip, is_inter, ref)
         d_for_grid = BlockDecision(
@@ -866,16 +873,18 @@ class TileDecoder(TileCoderBase):
             r4=r4, c4=c4, bsize=bsize, y_mode=y_mode, uv_mode=uv_mode,
             tx_type=tx_type, qcoeff_y=qy, qcoeff_u=qu, qcoeff_v=qv,
             is_inter=is_inter, mv=mv, ref=ref,
+            angle_delta_y=angle_y, angle_delta_uv=angle_uv,
             qindex=(self.current_qindex
                     if self.delta_q_res is not None else 0))
 
-    def _read_angle(self, mode):
+    def _read_angle(self, mode) -> int:
         if cc.V_PRED <= mode <= cc.D67_PRED:
             acdf = self.cdfs.angle_delta[mode - cc.V_PRED]
             delta = self.dec.read_symbol(acdf, 7)
             if self.update:
                 update_cdf(acdf, delta, 7)
-            assert delta == 3, "nonzero angle deltas unsupported (round 1)"
+            return delta - 3
+        return 0
 
     def _read_single_ref(self, r4, c4) -> int:
         p1, p2, p3, p4, p5, p6 = self.ctx.single_ref_ctxs(r4, c4)

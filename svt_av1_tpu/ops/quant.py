@@ -134,6 +134,18 @@ def quantize(coeffs: jnp.ndarray, qp: QuantParams, tx_size: int,
     return qcoeff, dqcoeff
 
 
+def dequant_field(qp: QuantParams, h: int, w: int) -> jnp.ndarray:
+    """(B|1, h, w) per-position dequant steps (DC at [0,0], AC elsewhere);
+    leading axis is B when qp carries per-block rows."""
+    m = np.zeros((h, w), dtype=bool)
+    m[0, 0] = True
+    sel = jnp.asarray(m)[None]
+    arr = jnp.asarray(qp.dequant)
+    if arr.ndim == 2:
+        return jnp.where(sel, arr[:, 0, None, None], arr[:, 1, None, None])
+    return jnp.where(sel, arr[0], arr[1])
+
+
 def dequantize(qcoeff: jnp.ndarray, qp: QuantParams, tx_size: int):
     """Normative dequant of levels (decoder side / verification)."""
     log_scale = tx_log_scale(tx_size)

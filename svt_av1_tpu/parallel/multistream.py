@@ -34,17 +34,18 @@ def _sharded_frame_program(mesh: Mesh, gh: int, gw: int, modes):
     single = ie._frame_program_fn(gh, gw, modes)
 
     def batched(sy, su, sv, zbin, rnd, qv, qshift, deq, lam,
-                cy_t, cuv_t, txbb, modeb, uvb, eoby, eobuv):
+                cy_t, cuv_t, txbb, modeb, uvb, eoby, eobuv, rqly,
+                rqluv):
         return jax.vmap(
             lambda a, b, c: single(a, b, c, zbin, rnd, qv, qshift, deq,
                                    lam, cy_t, cuv_t, txbb, modeb, uvb,
-                                   eoby, eobuv)
+                                   eoby, eobuv, rqly, rqluv)
         )(sy, su, sv)
 
     s = NamedSharding(mesh, P("stream"))
     rep = NamedSharding(mesh, P())
     return jax.jit(batched,
-                   in_shardings=(s,) * 3 + (rep,) * 13,
+                   in_shardings=(s,) * 3 + (rep,) * 15,
                    out_shardings=(s,) * 8)
 
 

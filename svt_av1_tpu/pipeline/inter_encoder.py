@@ -136,7 +136,7 @@ def _inter_frame_program_fn(nw, maxb, modes, gw, bd=8):
     def frame(recon_y, recon_u, recon_v, src_y, src_u, src_v,
               bys, bxs, valid, trs, bls, icost, irec_y, irec_u, irec_v,
               zbin, rnd, qv, qshift, deq, lam, cy_t, cuv_t, txbb, modeb,
-              uvb, eoby, eobuv):
+              uvb, eoby, eobuv, rqly, rqluv):
         qp = (zbin, rnd, qv, qshift, deq)
         modes_acc = jnp.zeros((nw, maxb), jnp.int32)
         uv_modes_acc = jnp.zeros((nw, maxb), jnp.int32)

@@ -33,6 +33,56 @@ MODES = (cc.DC_PRED, cc.V_PRED, cc.H_PRED, cc.SMOOTH_PRED, cc.PAETH_PRED,
 # chroma mode set; each uses its implied (unsignaled) transform type
 UV_MODES = (cc.DC_PRED, cc.V_PRED, cc.H_PRED, cc.SMOOTH_PRED)
 UV_TX_TYPES = (cc.DCT_DCT, cc.ADST_DCT, cc.DCT_ADST, cc.ADST_ADST)
+# luma tx-type search set for 16x16 intra: the DTT4 members of the
+# signalable EXT_TX_SET_DTT4_IDTX set (all share the default scan).
+# IDTX is deliberately NOT searched: measured (round 2) it loses up to
+# 1.7 dB at mid/high qp for small bit savings — the sparsity-biased MD
+# metric underprices identity-transform residual distortion.
+TX_SEARCH_SET = (cc.DCT_DCT, cc.ADST_ADST, cc.ADST_DCT, cc.DCT_ADST)
+# angle-delta refinement per directional mode (spec MAX_ANGLE_DELTA=3,
+# step 3 degrees); evaluated with DCT_DCT
+ANGLE_DELTAS = (-3, -2, -1, 1, 2, 3)
+
+
+def cand_angle(mode: int, delta: int) -> int:
+    """Prediction angle of a candidate (0 = non-directional)."""
+    if cc.V_PRED <= mode <= cc.D67_PRED:
+        return intra.MODE_TO_ANGLE[mode] + 3 * delta
+    return 0
+
+
+def expand_tx_cands(modes, angle_deltas=False):
+    """Candidate expansion for luma 16x16 MD: (cand_modes, cand_txs)
+    where each cand_mode is (mode, angle_delta).  Tx search crosses the
+    DTT4_IDTX set with delta-0 modes; angle-delta refinements run with
+    DCT_DCT only (the reference similarly restricts its delta search
+    stage, intra_prediction.c angle-delta loops)."""
+    cand_modes = [(m, 0) for t in TX_SEARCH_SET for m in modes]
+    cand_txs = [t for t in TX_SEARCH_SET for _ in modes]
+    if angle_deltas:
+        for m in modes:
+            if not (cc.V_PRED <= m <= cc.D67_PRED):
+                continue
+            for d in ANGLE_DELTAS:
+                cand_modes.append((m, d))
+                cand_txs.append(cc.DCT_DCT)
+    return tuple(cand_modes), tuple(cand_txs)
+
+
+def _predict_cand(mode, delta, n, above, left, corner, above_ext,
+                  left_ext, have_above, have_left, bd):
+    """Prediction for one (mode, angle_delta) candidate; zone picked
+    from the final angle (spec §7.11.2 directional zones)."""
+    angle = cand_angle(mode, delta)
+    if angle and angle != 90 and angle != 180:
+        if angle < 90:
+            return intra.z1_pred(above_ext, n, n, angle)
+        if angle > 180:
+            return intra.z3_pred(left_ext, n, n, angle)
+        return intra.z2_pred(above, left, corner, n, n, angle)
+    return intra.predict(mode, above, left, corner, n, n,
+                         have_above=have_above, have_left=have_left,
+                         bd=bd)
 BLK = 16
 CBLK = 8
 
@@ -178,7 +228,8 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
              qp_arrays, lam, n, tx_size, modes, plane_type,
              tx_types=None, tr_avail=None, bl_avail=None, bd=8,
              inter=None, return_cost=False, no_write=False,
-             rates=None, full_d=False):
+             rates=None, full_d=False, rdoq=False,
+             rdoq_tbl=None, return_index=False):
     """One wave step for one plane: returns (best_mode (B,), qcoeff
     (B,kh,kw), new recon[, choose_inter (B,)]).  ys/xs: (B,) pixel
     coords (traced ok).
@@ -192,10 +243,12 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
     inter wherever its RD cost beats the best intra mode and returns the
     choice mask as a 4th output."""
     b = ys.shape[0]
+    cands = [m if isinstance(m, tuple) else (m, 0) for m in modes]
     above, left, corner = _gather_neighbors(recon, ys, xs, n,
                                             have_above, have_left, bd=bd)
-    z13 = any(m in (cc.D45_PRED, cc.D67_PRED, cc.D203_PRED)
-              for m in modes)
+    angles = [cand_angle(m, d) for m, d in cands]
+    z13 = any(a and (a < 90 or a > 180) for a in angles)
+    above_ext = left_ext = None
     if z13:
         above_ext, left_ext = _gather_ext_neighbors(
             recon, ys, xs, n, above, left, tr_avail, bl_avail)
@@ -217,17 +270,16 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
     # smaller trace and a bigger MXU batch than per-mode pipelines
     preds = []
     same_tx = tx_types is None or len(set(tx_types)) == 1
-    for mi, mode in enumerate(modes):
-        if mode in (cc.D45_PRED, cc.D67_PRED):
-            pred = intra.z1_pred(above_ext, n, n,
-                                 intra.MODE_TO_ANGLE[mode])
-        elif mode == cc.D203_PRED:
-            pred = intra.z3_pred(left_ext, n, n,
-                                 intra.MODE_TO_ANGLE[mode])
-        else:
-            pred = intra.predict(mode, above, left, corner, n, n,
-                                 have_above=have_above,
-                                 have_left=have_left, bd=bd)
+    pred_cache = {}
+    for mi, (mode, delta) in enumerate(cands):
+        key = (mode, delta)
+        if key in pred_cache:
+            preds.append(pred_cache[key])
+            continue
+        pred = _predict_cand(mode, delta, n, above, left, corner,
+                             above_ext, left_ext, have_above, have_left,
+                             bd)
+        pred_cache[key] = pred
         preds.append(pred)
     nm = len(modes)
     pred_all = jnp.concatenate(preds, axis=0)        # (nm*B, n, n)
@@ -237,6 +289,12 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
         tx0 = cc.DCT_DCT if tx_types is None else tx_types[0]
         coeffs = tf.fwd_txfm2d(resid_all, tx0, tx_size)
         qcoeff_all, dq_all = quant.quantize(coeffs, qp, tx_size)
+        if rdoq and rates is not None and rdoq_tbl is not None:
+            from svt_av1_tpu.ops import rdoq as rdoq_mod
+            qcoeff_all, dq_all = rdoq_mod.optimize_levels(
+                coeffs, qcoeff_all, quant.dequant_field(qp, n, n),
+                tx_size, tx0, rdoq_tbl, lam_flat,
+                np.float32(tf.coeff_sse_scale(tx_size, tx0)))
         if rates is not None and full_d:
             # full-RD path: true pixel distortion via the normative
             # inverse for EVERY candidate (md_stage_3 fidelity); costs
@@ -254,16 +312,41 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
                 (coeffs - dq_all.astype(jnp.float32)) ** 2, axis=(1, 2))
             rec_all = None
     else:
-        qcs, dqs, dists = [], [], []
-        for mi in range(nm):
-            sl = slice(mi * b, (mi + 1) * b)
-            s2 = np.float32(tf.coeff_sse_scale(tx_size, tx_types[mi]))
-            coeffs = tf.fwd_txfm2d(resid_all[sl], tx_types[mi], tx_size)
-            qc, dq = quant.quantize(coeffs, qp, tx_size)
-            dists.append(s2 * jnp.sum(
-                (coeffs - dq.astype(jnp.float32)) ** 2, axis=(1, 2)))
-            qcs.append(qc)
-            dqs.append(dq)
+        # group candidates by tx type: ONE fwd/quant pass per distinct
+        # type over all its candidates (bigger MXU batches than a
+        # per-candidate loop; the tx-search path has nm = modes * txs)
+        uniq_tx = []
+        for t in tx_types:
+            if t not in uniq_tx:
+                uniq_tx.append(t)
+        qcs = [None] * nm
+        dqs = [None] * nm
+        dists = [None] * nm
+        for t in uniq_tx:
+            idxs = [i for i, tt in enumerate(tx_types) if tt == t]
+            g = len(idxs)
+            res_t = jnp.concatenate(
+                [resid_all[i * b:(i + 1) * b] for i in idxs], axis=0)
+            if per_block_qp:
+                qp_t = quant.QuantParams(
+                    *(jnp.tile(a, (g, 1)) for a in qp_arrays))
+            else:
+                qp_t = quant.QuantParams(*qp_arrays)
+            s2 = np.float32(tf.coeff_sse_scale(tx_size, t))
+            coeffs_t = tf.fwd_txfm2d(res_t, t, tx_size)
+            qc_t, dq_t = quant.quantize(coeffs_t, qp_t, tx_size)
+            if rdoq and rates is not None and rdoq_tbl is not None:
+                from svt_av1_tpu.ops import rdoq as rdoq_mod
+                lam_t = (jnp.tile(lam, g) if jnp.ndim(lam) else lam)
+                qc_t, dq_t = rdoq_mod.optimize_levels(
+                    coeffs_t, qc_t, quant.dequant_field(qp_t, n, n),
+                    tx_size, t, rdoq_tbl, lam_t, s2)
+            dist_t = s2 * jnp.sum(
+                (coeffs_t - dq_t.astype(jnp.float32)) ** 2, axis=(1, 2))
+            for j, i in enumerate(idxs):
+                qcs[i] = qc_t[j * b:(j + 1) * b]
+                dqs[i] = dq_t[j * b:(j + 1) * b]
+                dists[i] = dist_t[j * b:(j + 1) * b]
         qcoeff_all = jnp.concatenate(qcs, axis=0)
         dq_all = jnp.concatenate(dqs, axis=0)
         dist = jnp.concatenate(dists, axis=0)
@@ -282,12 +365,13 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
         bits = (_txb_bits(aq, coef_bits, txb_base[0], eob_tbl, pos)
                 + jnp.repeat(mode_bits, b))
     cost = (dist + lam_flat * bits).reshape(nm, b)
-    # D203 reads bottom-left recon, which the wavefront hasn't written
-    # yet when the spec marks BL available — restrict it to blocks where
-    # both encoder and decoder replicate the last left sample instead
+    # zone-3 candidates (angle > 180) read bottom-left recon, which the
+    # wavefront hasn't written yet when the spec marks BL available —
+    # restrict them to blocks where both encoder and decoder replicate
+    # the last left sample instead
     if bl_avail is not None:
-        for mi, mode in enumerate(modes):
-            if mode == cc.D203_PRED:
+        for mi, a in enumerate(angles):
+            if a > 180:
                 cost = cost.at[mi].add(
                     jnp.where(bl_avail, jnp.float32(1e18), 0.0))
     mi_best = jnp.argmin(cost, axis=0)               # (B,)
@@ -295,14 +379,14 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
     q_r = qcoeff_all.reshape(nm, b, n, n)
     dq_r = dq_all.reshape(nm, b, n, n)
     p_r = pred_all.reshape(nm, b, n, n)
-    best_mode = jnp.full((b,), modes[0], jnp.int32)
+    best_mode = jnp.full((b,), cands[0][0], jnp.int32)
     best_q = q_r[0]
     best_dq = dq_r[0]
     best_pred = p_r[0]
     for mi in range(1, nm):
         take = mi_best == mi
         t3 = take[:, None, None]
-        best_mode = jnp.where(take, modes[mi], best_mode)
+        best_mode = jnp.where(take, cands[mi][0], best_mode)
         best_q = jnp.where(t3, q_r[mi], best_q)
         best_dq = jnp.where(t3, dq_r[mi], best_dq)
         best_pred = jnp.where(t3, p_r[mi], best_pred)
@@ -318,17 +402,22 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
             best_rec = tf.inv_txfm2d_add(best_dq, best_pred, tx0,
                                          tx_size, bd=bd)
     else:
-        # mixed per-mode tx types: run each type's inverse on the
-        # selected data and pick the matching output
+        # mixed candidate tx types: one inverse per DISTINCT type on the
+        # selected data, picked by the winner's type
         best_rec = None
-        for mi, tt in enumerate(tx_types):
-            r = tf.inv_txfm2d_add(best_dq, best_pred, tt, tx_size, bd=bd)
+        for t in uniq_tx:
+            r = tf.inv_txfm2d_add(best_dq, best_pred, t, tx_size, bd=bd)
+            sel_t = jnp.zeros((b,), bool)
+            for mi, tt in enumerate(tx_types):
+                if tt == t:
+                    sel_t = sel_t | (mi_best == mi)
             if best_rec is None:
                 best_rec = r
             else:
-                best_rec = jnp.where((mi_best == mi)[:, None, None], r,
-                                     best_rec)
+                best_rec = jnp.where(sel_t[:, None, None], r, best_rec)
     choose = None
+    if return_index:
+        best_mode = mi_best.astype(jnp.int32)
     if inter is not None:
         inter_cost, inter_rec = inter
         best_cost = jnp.min(cost, axis=0)
@@ -349,7 +438,8 @@ def _natural_maxb(gh: int, gw: int) -> int:
     return max(1, min(gh, (gw + 1) // 2))
 
 
-def _frame_program_fn(gh, gw, modes, bd=8, aq=False, tile_starts=(0,)):
+def _frame_program_fn(gh, gw, modes, bd=8, aq=False, tile_starts=(0,),
+                      rdoq=False, tx_search=False, angle_deltas=False):
     """Whole-key-frame program: fori_loop over waves, each iteration runs
     luma MD (all modes) + chroma MD and scatters recon in place.
 
@@ -365,6 +455,10 @@ def _frame_program_fn(gh, gw, modes, bd=8, aq=False, tile_starts=(0,)):
     (n_blocks, 2) rows and lam as (n_blocks,); each wave gathers its
     slots' rows."""
     maxb = _natural_maxb(gh, gw)
+    if tx_search:
+        cand_modes, cand_txs = expand_tx_cands(modes, angle_deltas)
+    else:
+        cand_modes, cand_txs = modes, None
     waves, bys, bxs, valid, trs, bls, hls = _schedule_arrays(
         gh, gw, maxb, tile_starts)
     nw = len(waves)
@@ -375,7 +469,7 @@ def _frame_program_fn(gh, gw, modes, bd=8, aq=False, tile_starts=(0,)):
     rdt = jnp.uint8 if bd == 8 else jnp.uint16
 
     def frame(src_y8, src_u8, src_v8, zbin, rnd, qv, qshift, deq, lam,
-              cy_t, cuv_t, txbb, modeb, uvb, eoby, eobuv):
+              cy_t, cuv_t, txbb, modeb, uvb, eoby, eobuv, rqly, rqluv):
         src_y = src_y8.astype(jnp.int32)
         src_u = src_u8.astype(jnp.int32)
         src_v = src_v8.astype(jnp.int32)
@@ -404,14 +498,18 @@ def _frame_program_fn(gh, gw, modes, bd=8, aq=False, tile_starts=(0,)):
                 qp = qp_all
                 lam_w = lam
             m, q, ry = _rd_step(ry, src_y, by * BLK, bx * BLK, va, ha, hl,
-                                qp, lam_w, BLK, cc.TX_16X16, modes, 0,
+                                qp, lam_w, BLK, cc.TX_16X16, cand_modes,
+                                0, tx_types=cand_txs,
                                 tr_avail=jnp.asarray(trs)[i] & va,
                                 bl_avail=jnp.asarray(bls)[i] & va,
-                                bd=bd, rates=(cy_t, txbb, modeb, eoby))
+                                bd=bd, rates=(cy_t, txbb, modeb, eoby),
+                                rdoq=rdoq, rdoq_tbl=rqly,
+                                return_index=tx_search)
             # chroma: joint mode decision over U+V (one signaled uv_mode)
             um, qu, qvq, ru, rv = _rd_step_chroma(
                 ru, rv, src_u, src_v, by * CBLK, bx * CBLK, va, ha, hl,
-                qp, lam_w, bd=bd, rates=(cuv_t, txbb, uvb, eobuv))
+                qp, lam_w, bd=bd, rates=(cuv_t, txbb, uvb, eobuv),
+                rdoq=rdoq, rdoq_tbl=rqluv)
             return (ry, ru, rv, ma.at[i].set(m), uma.at[i].set(um),
                     qya.at[i].set(q.astype(jnp.int16)),
                     qua.at[i].set(qu.astype(jnp.int16)),
@@ -435,15 +533,19 @@ def _frame_program_fn(gh, gw, modes, bd=8, aq=False, tile_starts=(0,)):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_frame_program(gh, gw, modes, bd=8, aq=False, tile_starts=(0,)):
+def _jit_frame_program(gh, gw, modes, bd=8, aq=False, tile_starts=(0,),
+                       rdoq=False, tx_search=False, angle_deltas=False):
     return jax.jit(_frame_program_fn(gh, gw, modes, bd, aq=aq,
-                                     tile_starts=tile_starts))
+                                     tile_starts=tile_starts, rdoq=rdoq,
+                                     tx_search=tx_search,
+                                     angle_deltas=angle_deltas))
 
 
 def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
                     have_above, have_left, qp_arrays, lam, bd=8,
                     inter=None, n=CBLK, tx_size=cc.TX_8X8,
-                    return_cost=False, no_write=False, rates=None):
+                    return_cost=False, no_write=False, rates=None,
+                    rdoq=False, rdoq_tbl=None):
     """Joint U+V mode decision (uv_mode is signaled once per block); the
     chroma transform type is implied by the mode (not signaled).
 
@@ -487,6 +589,13 @@ def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
         sl = slice(mi * 2 * b, (mi + 1) * 2 * b)
         coeffs = tf.fwd_txfm2d(resid_all[sl], tx_type, tx_size)
         qc, dq = quant.quantize(coeffs, qp, tx_size)
+        if rdoq and rates is not None and rdoq_tbl is not None:
+            from svt_av1_tpu.ops import rdoq as rdoq_mod
+            lam_sl = lam_flat[sl] if jnp.ndim(lam_flat) else lam_flat
+            qc, dq = rdoq_mod.optimize_levels(
+                coeffs, qc, quant.dequant_field(qp, n, n), tx_size,
+                tx_type, rdoq_tbl, lam_sl,
+                np.float32(tf.coeff_sse_scale(tx_size, tx_type)))
         recs.append(tf.inv_txfm2d_add(dq, pred_all[sl], tx_type, tx_size,
                                       bd=bd))
         qcs.append(qc)
@@ -557,26 +666,33 @@ def _wave_schedule(gh: int, gw: int, maxb: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_frame_program_batch(gh, gw, modes, bd=8, tile_starts=(0,)):
+def _jit_frame_program_batch(gh, gw, modes, bd=8, tile_starts=(0,),
+                             rdoq=False, tx_search=False,
+                             angle_deltas=False):
     """vmap of the frame program over a leading frame axis — all-intra
     frames are independent, so a batch shares one device dispatch
     (amortizes host<->device transfers; also the multi-stream shape)."""
     single = _frame_program_fn(gh, gw, modes, bd,
-                               tile_starts=tile_starts)
+                               tile_starts=tile_starts, rdoq=rdoq,
+                               tx_search=tx_search,
+                               angle_deltas=angle_deltas)
 
     def batched(sy, su, sv, zbin, rnd, qv, qshift, deq, lam,
-                cy_t, cuv_t, txbb, modeb, uvb, eoby, eobuv):
+                cy_t, cuv_t, txbb, modeb, uvb, eoby, eobuv, rqly,
+                rqluv):
         return jax.vmap(
             lambda a, b, c: single(a, b, c, zbin, rnd, qv, qshift, deq,
                                    lam, cy_t, cuv_t, txbb, modeb, uvb,
-                                   eoby, eobuv)
+                                   eoby, eobuv, rqly, rqluv)
         )(sy, su, sv)
 
     return jax.jit(batched)
 
 
 def encode_intra_frames_launch(frames, qindex: int, modes=MODES,
-                               bd: int = 8, tile_starts=(0,)):
+                               bd: int = 8, tile_starts=(0,),
+                               rdoq=False, tx_search=False,
+                               angle_deltas=False):
     """Asynchronously dispatch the batched frame program (JAX dispatch
     is non-blocking); pair with encode_intra_frames_finish.  Enables
     host EC of batch k to overlap device compute of batch k+1."""
@@ -587,40 +703,52 @@ def encode_intra_frames_launch(frames, qindex: int, modes=MODES,
     qstep = quant.dc_q(qindex, bd=bd) / 8.0
     lam = np.float32(0.7 * qstep * qstep)
     prog = _jit_frame_program_batch(gh, gw, tuple(modes), bd,
-                                    tuple(tile_starts))
+                                    tuple(tile_starts), rdoq=rdoq,
+                                    tx_search=tx_search,
+                                    angle_deltas=angle_deltas)
     sdt = np.uint8 if bd == 8 else np.uint16
     sy = np.stack([f[0] for f in frames]).astype(sdt)
     su = np.stack([f[1] for f in frames]).astype(sdt)
     sv = np.stack([f[2] for f in frames]).astype(sdt)
     from svt_av1_tpu.codec.rate_est import md_rate_args
-    rt = md_rate_args(qindex, tuple(modes), UV_MODES)
+    if tx_search:
+        cand_modes, cand_txs = expand_tx_cands(tuple(modes),
+                                               angle_deltas)
+        cands = [(m, d, t) for (m, d), t in zip(cand_modes, cand_txs)]
+        mode_ids = tuple(m for m, _ in cand_modes)
+    else:
+        mode_ids, cands = tuple(modes), None
+    rt = md_rate_args(qindex, mode_ids, UV_MODES)
     out = prog(sy, su, sv, *(np.asarray(a) for a in qp_y), lam, *rt)
-    return (out, gh, gw, len(frames), bd)
+    return (out, gh, gw, len(frames), bd, cands)
 
 
 def encode_intra_frames(frames, qindex: int, modes=MODES, bd: int = 8,
-                        as_arrays: bool = False):
+                        as_arrays: bool = False, tx_search=False):
     """Batched all-intra encode: frames = [(y, u, v), ...] (same dims).
     Returns [(decisions, recon), ...].  One device program for the whole
     batch.  With ``as_arrays`` the decisions come back as the grid-array
     bundle consumed by the C tile encoder (no per-block Python objects)."""
-    pending = encode_intra_frames_launch(frames, qindex, modes, bd)
+    pending = encode_intra_frames_launch(frames, qindex, modes, bd,
+                                         tx_search=tx_search)
     return encode_intra_frames_finish(pending, as_arrays)
 
 
 def encode_intra_frames_finish(pending, as_arrays: bool = False):
-    out, gh, gw, nf, bd = pending
+    out, gh, gw, nf, bd, cands = pending
     (ry, ru, rv, ym_a, um_a, qy_a, qu_a, qv_a) = \
         [np.asarray(o) for o in out]
     results = []
     for fi in range(nf):
         recon = dict(y=ry[fi], u=ru[fi], v=rv[fi])
         if as_arrays:
+            assert cands is None, "array path: no tx search yet"
             results.append(((ym_a[fi], um_a[fi], qy_a[fi], qu_a[fi],
                              qv_a[fi], gh, gw), recon))
         else:
             decisions = _collect_decisions_dense(
-                gh, gw, ym_a[fi], um_a[fi], qy_a[fi], qu_a[fi], qv_a[fi])
+                gh, gw, ym_a[fi], um_a[fi], qy_a[fi], qu_a[fi], qv_a[fi],
+                cands=cands)
             results.append((decisions, recon))
     return results
 
@@ -678,8 +806,11 @@ def _schedule_arrays(gh, gw, maxb, tile_starts=(0,)):
 
 
 def _collect_decisions_dense(gh, gw, ym, um, qy, qu, qv_,
-                             qmap=None):
-    """Build per-block BlockDecisions from dense raster (gh*gw) arrays."""
+                             qmap=None, cands=None):
+    """Build per-block BlockDecisions from dense raster (gh*gw) arrays.
+
+    cands: optional [(mode, tx_type)] list — ym then holds candidate
+    INDICES (tx-search programs) rather than modes."""
     qy = qy.astype(np.int32).reshape(gh * gw, BLK, BLK)
     qu = qu.astype(np.int32).reshape(gh * gw, CBLK, CBLK)
     qv_ = qv_.astype(np.int32).reshape(gh * gw, CBLK, CBLK)
@@ -688,11 +819,16 @@ def _collect_decisions_dense(gh, gw, ym, um, qy, qu, qv_,
         for bx in range(gw):
             bid = by * gw + bx
             r4, c4 = by * (BLK >> 2), bx * (BLK >> 2)
+            if cands is not None:
+                y_mode, adelta, tx_type = cands[int(ym[bid])]
+            else:
+                y_mode, adelta, tx_type = int(ym[bid]), 0, cc.DCT_DCT
             decisions[(r4, c4)] = BlockDecision(
                 r4=r4, c4=c4, bsize=cc.BLOCK_16X16,
-                y_mode=int(ym[bid]), uv_mode=int(um[bid]),
-                tx_type=cc.DCT_DCT, qcoeff_y=qy[bid],
+                y_mode=int(y_mode), uv_mode=int(um[bid]),
+                tx_type=int(tx_type), qcoeff_y=qy[bid],
                 qcoeff_u=qu[bid], qcoeff_v=qv_[bid],
+                angle_delta_y=int(adelta),
                 qindex=(int(qmap[by // 4, bx // 4])
                         if qmap is not None else 0))
     return decisions
@@ -700,7 +836,8 @@ def _collect_decisions_dense(gh, gw, ym, um, qy, qu, qv_,
 
 def encode_intra_frame(src_y: np.ndarray, src_u: np.ndarray,
                        src_v: np.ndarray, qindex: int, modes=MODES,
-                       bd: int = 8, qmap=None
+                       bd: int = 8, qmap=None, rdoq=False,
+                       tx_search=False, angle_deltas=False
                        ) -> Tuple[Dict, Dict[str, np.ndarray]]:
     """Encode one key frame.  Returns ({(r4,c4): BlockDecision}, recon).
 
@@ -735,16 +872,25 @@ def encode_intra_frame(src_y: np.ndarray, src_u: np.ndarray,
         lam = np.float32(0.7 * qstep * qstep)
 
     sdt = np.uint8 if bd == 8 else np.uint16
-    prog = _jit_frame_program(gh, gw, tuple(modes), bd, aq=aq)
+    prog = _jit_frame_program(gh, gw, tuple(modes), bd, aq=aq,
+                              rdoq=rdoq, tx_search=tx_search,
+                              angle_deltas=angle_deltas)
     from svt_av1_tpu.codec.rate_est import md_rate_args
-    rt = md_rate_args(qindex, tuple(modes), UV_MODES)
+    if tx_search:
+        cand_modes, cand_txs = expand_tx_cands(tuple(modes),
+                                               angle_deltas)
+        cands = [(m, d, t) for (m, d), t in zip(cand_modes, cand_txs)]
+        mode_ids = tuple(m for m, _ in cand_modes)
+    else:
+        mode_ids, cands = tuple(modes), None
+    rt = md_rate_args(qindex, mode_ids, UV_MODES)
     out = prog(np.asarray(src_y, sdt), np.asarray(src_u, sdt),
                np.asarray(src_v, sdt),
                *(np.asarray(a) for a in qp_y), np.asarray(lam), *rt)
     (recon_y, recon_u, recon_v, ym_a, um_a, qy_a, qu_a, qv_a) = \
         [np.asarray(o) for o in out]
     decisions = _collect_decisions_dense(gh, gw, ym_a, um_a, qy_a, qu_a,
-                                         qv_a, qmap=qmap)
+                                         qv_a, qmap=qmap, cands=cands)
     recon = dict(y=recon_y, u=recon_u, v=recon_v)
     return decisions, recon
 
@@ -810,7 +956,8 @@ def reconstruct_from_decisions(decisions: Dict, width: int, height: int,
         state["y"] = _recon_block(state["y"], d.qcoeff_y, d.y_mode,
                                   d.r4 * 4, d.c4 * 4, n, tx, d.tx_type,
                                   qp_b, tr, bl, bd,
-                                  have_left=tile_left)
+                                  have_left=tile_left,
+                                  delta=d.angle_delta_y)
         ctx_tx = max_chroma_tx_size(d.bsize)
         cn = n >> 1
         uv_tx = _chroma_tx_type(d.uv_mode, ctx_tx)
@@ -843,26 +990,21 @@ def reconstruct_from_decisions(decisions: Dict, width: int, height: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_recon_block(n, tx_size, tx_type, mode, bd=8):
+def _jit_recon_block(n, tx_size, tx_type, mode, bd=8, delta=0):
     def f(recon, q, ys, xs, have_above, have_left, tr_avail, bl_avail,
           zbin, rnd, qv, qshift, deq):
         qp = quant.QuantParams(zbin, rnd, qv, qshift, deq)
         above, left, corner = _gather_neighbors(recon, ys, xs, n,
                                                 have_above, have_left,
                                                 bd=bd)
-        if mode in (cc.D45_PRED, cc.D67_PRED, cc.D203_PRED):
+        a = cand_angle(mode, delta)
+        above_ext = left_ext = None
+        if a and (a < 90 or a > 180):
             above_ext, left_ext = _gather_ext_neighbors(
                 recon, ys, xs, n, above, left, tr_avail, bl_avail)
-            if mode == cc.D203_PRED:
-                pred = intra.z3_pred(left_ext, n, n,
-                                     intra.MODE_TO_ANGLE[mode])
-            else:
-                pred = intra.z1_pred(above_ext, n, n,
-                                     intra.MODE_TO_ANGLE[mode])
-        else:
-            pred = intra.predict(mode, above, left, corner, n, n,
-                                 have_above=have_above,
-                                 have_left=have_left, bd=bd)
+        pred = _predict_cand(mode, delta, n, above, left, corner,
+                             above_ext, left_ext, have_above, have_left,
+                             bd)
         dq = quant.dequantize(q[None], qp, tx_size)
         rec = tf.inv_txfm2d_add(dq, pred, tx_type, tx_size, bd=bd)[0]
         return jax.lax.dynamic_update_slice(recon, rec, (ys[0], xs[0]))
@@ -870,8 +1012,9 @@ def _jit_recon_block(n, tx_size, tx_type, mode, bd=8):
 
 
 def _recon_block(recon, q, mode, y, x, n, tx_size, tx_type, qp,
-                 tr=False, bl=False, bd=8, have_left=None):
-    f = _jit_recon_block(n, tx_size, tx_type, int(mode), bd)
+                 tr=False, bl=False, bd=8, have_left=None, delta=0):
+    f = _jit_recon_block(n, tx_size, tx_type, int(mode), bd,
+                         int(delta))
     if have_left is None:
         have_left = x > 0
     return f(recon, jnp.asarray(q),

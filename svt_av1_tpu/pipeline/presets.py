@@ -27,16 +27,22 @@ class PresetFeatures:
     lr_eps: Tuple[int, ...]
     kf_boost_div: int      # key-frame qindex boost = qindex // div
     varpart: bool = False  # 32/16 square partition MD (intra frames)
+    rdoq: bool = False     # RD-optimized quantization (ops/rdoq.py;
+                           # measured BD-negative here, see its doc)
+    tx_search: bool = False  # luma tx-type search (DTT4+IDTX set)
+    angle_deltas: bool = False  # directional-mode angle refinement
 
 
 def features_for(enc_mode: int) -> PresetFeatures:
     m = max(0, min(13, int(enc_mode)))
     if m <= 4:        # quality presets
         return PresetFeatures(_ALL_MODES, 8, 7, True, 8,
-                              tuple(range(16)), 3, varpart=True)
+                              tuple(range(16)), 3, varpart=True,
+                              tx_search=True, angle_deltas=True)
     if m <= 8:
         return PresetFeatures(_ALL_MODES[:8], 8, 5, True, 6,
-                              tuple(range(0, 16, 2)), 3)
+                              tuple(range(0, 16, 2)), 3, tx_search=True,
+                              angle_deltas=True)
     if m <= 11:
         return PresetFeatures(_ALL_MODES[:6], 6, 4, True, 4,
                               (0, 4, 8, 12), 4)

@@ -37,6 +37,24 @@ def measure_bits(qcoeff, tx_size, plane_type, cdfs):
     return enc.tell_bits()
 
 
+def measure_bits_adapted(blocks, tx_size, plane_type, cdfs):
+    """Per-txb marginal bits with LIVE CDF adaptation over the block
+    sequence (frame coding order) — what the emitted stream actually
+    pays.  Static default-CDF costs overprice levels ~2x once the coder
+    adapts; RDOQ must price with these."""
+    enc = RangeEncoder()
+    c = cdfs.clone()
+    out = []
+    prev = 0.0
+    for q in blocks:
+        coeff_mod.encode_txb(enc, c, q, tx_size, cc.DCT_DCT,
+                             plane_type, 0, 0, update=True)
+        t = enc.tell_bits()
+        out.append(t - prev)
+        prev = t
+    return np.asarray(out, np.float64)
+
+
 def features(qcoeff, scan_pos, npt):
     aq = np.abs(qcoeff).reshape(-1)
     pos = scan_pos.reshape(-1)
@@ -89,15 +107,19 @@ def gather_blocks(qindex):
     return np.concatenate(qys), np.concatenate(qus)
 
 
-def fit(blocks, tx_size, plane_type, cdfs, npt):
+def fit(blocks, tx_size, plane_type, cdfs, npt, adapted=False):
     sp = scan_pos_of(tx_size).reshape(blocks.shape[1:])
     X, y = [], []
-    for q in blocks:
+    if adapted:
+        bits_all = measure_bits_adapted(blocks, tx_size, plane_type,
+                                        cdfs)
+    for bi, q in enumerate(blocks):
         f, eob = features(q, sp, npt)
         if eob == 0:
             continue
         X.append(f)
-        y.append(measure_bits(q, tx_size, plane_type, cdfs))
+        y.append(bits_all[bi] if adapted
+                 else measure_bits(q, tx_size, plane_type, cdfs))
     X = np.array(X)
     y = np.array(y, np.float64)
     # ridge for unobserved levels
@@ -129,20 +151,21 @@ def fit(blocks, tx_size, plane_type, cdfs, npt):
 
 
 def main():
+    adapted = "--adapted" in sys.argv
     out = {}
     for qindex in (15, 40, 90, 180):
         bucket = get_q_ctx(qindex)
         cdfs = FrameCDFs(qindex)
         print(f"qindex {qindex} (bucket {bucket}):")
         qys, qus = gather_blocks(qindex)
-        cy, ey = fit(qys, cc.TX_16X16, 0, cdfs, 9)
-        cu, eu = fit(qus, cc.TX_8X8, 1, cdfs, 7)
+        cy, ey = fit(qys, cc.TX_16X16, 0, cdfs, 9, adapted=adapted)
+        cu, eu = fit(qus, cc.TX_8X8, 1, cdfs, 7, adapted=adapted)
         out[f"b{bucket}_coef_y"] = cy
         out[f"b{bucket}_eob_y"] = ey
         out[f"b{bucket}_coef_uv"] = cu
         out[f"b{bucket}_eob_uv"] = eu
-    path = os.path.join(ROOT, "svt_av1_tpu", "codec", "data",
-                        "md_rate_fit.npz")
+    name = ("md_rate_fit_adapted.npz" if adapted else "md_rate_fit.npz")
+    path = os.path.join(ROOT, "svt_av1_tpu", "codec", "data", name)
     np.savez_compressed(path, **out)
     print("wrote", path)
 
