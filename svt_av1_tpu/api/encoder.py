@@ -737,7 +737,8 @@ class Encoder:
                         bd=self.cfg.encoder_bit_depth, qmap=qmap,
                         rdoq=self._feat.rdoq,
                         tx_search=self._feat.tx_search,
-                        angle_deltas=self._feat.angle_deltas)
+                        angle_deltas=self._feat.angle_deltas,
+                        cfl=self._feat.cfl)
         else:
             with stage("device_md_inter"):
                 decisions, recon, gm = inter_encoder.encode_inter_frame(

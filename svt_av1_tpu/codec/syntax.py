@@ -126,6 +126,9 @@ class BlockDecision:
     # directional-mode angle refinement (spec AngleDeltaY/UV, +-3)
     angle_delta_y: int = 0
     angle_delta_uv: int = 0
+    # CfL alphas, signed q3 in [-16, 16] (uv_mode == UV_CFL_PRED)
+    cfl_alpha_u: int = 0
+    cfl_alpha_v: int = 0
     # inter fields (inter frames only)
     is_inter: bool = False
     mv: tuple = (0, 0)      # (row, col) 1/8 pel
@@ -549,6 +552,8 @@ class TileEncoder(TileCoderBase):
             enc.encode_symbol(d.uv_mode, ucdf, nsyms)
             if self.update:
                 update_cdf(ucdf, d.uv_mode, nsyms)
+            if d.uv_mode == cc.UV_CFL_PRED:
+                self._encode_cfl_alphas(d.cfl_alpha_u, d.cfl_alpha_v)
             self._encode_angle(d.uv_mode, d.angle_delta_uv)
 
         ctx.set_block(r4, c4, bsize, d.y_mode, skip, is_inter, d.ref)
@@ -582,6 +587,29 @@ class TileEncoder(TileCoderBase):
                     enc, cdfs, q, ctx_tx, uv_tx_type, 1, tctx, dctx,
                     update=self.update)
                 ctx.set_txb_ctx(plane, ctx_r, ctx_c, ctx_tx, cul)
+
+    def _encode_cfl_alphas(self, alpha_u: int, alpha_v: int):
+        """CfL joint sign + per-plane magnitudes (reference
+        entropy_coding.c:1138 write_cfl_alphas).  Signed q3 alphas;
+        (0, 0) is not codable."""
+        sgn = lambda a: 0 if a == 0 else (1 if a < 0 else 2)
+        su, sv = sgn(alpha_u), sgn(alpha_v)
+        js = su * 3 + sv - 1
+        assert js >= 0, "CfL joint sign (0,0) is illegal"
+        cdf = self.cdfs.cfl_sign
+        self.enc.encode_symbol(js, cdf, 8)
+        if self.update:
+            update_cdf(cdf, js, 8)
+        if su:
+            cdf_u = self.cdfs.cfl_alpha[js - 2]
+            self.enc.encode_symbol(abs(alpha_u) - 1, cdf_u, 16)
+            if self.update:
+                update_cdf(cdf_u, abs(alpha_u) - 1, 16)
+        if sv:
+            cdf_v = self.cdfs.cfl_alpha[sv * 3 + su - 3]
+            self.enc.encode_symbol(abs(alpha_v) - 1, cdf_v, 16)
+            if self.update:
+                update_cdf(cdf_v, abs(alpha_v) - 1, 16)
 
     def _encode_angle(self, mode, delta=0):
         if cc.V_PRED <= mode <= cc.D67_PRED:
@@ -764,6 +792,8 @@ class TileDecoder(TileCoderBase):
         uv_mode = cc.DC_PRED
         angle_y = 0
         angle_uv = 0
+        cfl_au = 0
+        cfl_av = 0
         if self.frame_is_intra:
             actx, lctx = ctx.kf_y_ctx(r4, c4)
             cdf = cdfs.kf_y_mode[actx][lctx]
@@ -811,6 +841,8 @@ class TileDecoder(TileCoderBase):
             uv_mode = dec.read_symbol(ucdf, nsyms)
             if self.update:
                 update_cdf(ucdf, uv_mode, nsyms)
+            if uv_mode == cc.UV_CFL_PRED:
+                cfl_au, cfl_av = self._read_cfl_alphas()
             angle_uv = self._read_angle(uv_mode)
 
         ctx.set_block(r4, c4, bsize, y_mode, skip, is_inter, ref)
@@ -874,8 +906,32 @@ class TileDecoder(TileCoderBase):
             tx_type=tx_type, qcoeff_y=qy, qcoeff_u=qu, qcoeff_v=qv,
             is_inter=is_inter, mv=mv, ref=ref,
             angle_delta_y=angle_y, angle_delta_uv=angle_uv,
+            cfl_alpha_u=cfl_au, cfl_alpha_v=cfl_av,
             qindex=(self.current_qindex
                     if self.delta_q_res is not None else 0))
+
+    def _read_cfl_alphas(self):
+        dec = self.dec
+        cdf = self.cdfs.cfl_sign
+        js = dec.read_symbol(cdf, 8)
+        if self.update:
+            update_cdf(cdf, js, 8)
+        su = (js + 1) // 3
+        sv = (js + 1) - 3 * su
+        au = av = 0
+        if su:
+            cdf_u = self.cdfs.cfl_alpha[js - 2]
+            m = dec.read_symbol(cdf_u, 16)
+            if self.update:
+                update_cdf(cdf_u, m, 16)
+            au = (m + 1) if su == 2 else -(m + 1)
+        if sv:
+            cdf_v = self.cdfs.cfl_alpha[sv * 3 + su - 3]
+            m = dec.read_symbol(cdf_v, 16)
+            if self.update:
+                update_cdf(cdf_v, m, 16)
+            av = (m + 1) if sv == 2 else -(m + 1)
+        return au, av
 
     def _read_angle(self, mode) -> int:
         if cc.V_PRED <= mode <= cc.D67_PRED:

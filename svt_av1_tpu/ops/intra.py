@@ -232,6 +232,33 @@ def z3_pred(left_ext, h: int, w: int, angle: int):
                      left_ext[:, max_base_y][:, None, None], val)
 
 
+def cfl_ac_420(luma, h: int, w: int):
+    """CfL luma AC buffer for 4:2:0 (spec cfl_luma_subsampling_420 +
+    subtract_average; behavioral reference intra_prediction.c:420,448):
+    2x2 box sum << 1 (q3), minus the rounded block average.
+
+    luma: (B, 2h, 2w) int32 reconstructed luma.  Returns (B, h, w) q3."""
+    sub = ((luma[:, 0::2, 0::2] + luma[:, 0::2, 1::2]
+            + luma[:, 1::2, 0::2] + luma[:, 1::2, 1::2]) << 1)
+    npel_log2 = int(np.log2(h * w))
+    ro = (h * w) // 2
+    avg = (jnp.sum(sub, axis=(1, 2)) + ro) >> npel_log2
+    return sub - avg[:, None, None]
+
+
+def cfl_predict(dc_pred, ac_q3, alpha_q3, bd: int = 8):
+    """CfL prediction: dc + round(alpha_q3 * ac_q3 / 64), signed
+    rounding, clipped (reference C_DEFAULT/cfl_c.c get_scaled_luma_q0).
+
+    alpha_q3: scalar or (B,) or (B,1,1) int32 in [-16, 16]."""
+    a = jnp.asarray(alpha_q3)
+    if a.ndim == 1:
+        a = a[:, None, None]
+    v = a * ac_q3
+    scaled = jnp.where(v < 0, -((-v + 32) >> 6), (v + 32) >> 6)
+    return jnp.clip(dc_pred + scaled, 0, (1 << bd) - 1)
+
+
 def predict(mode: int, above, left, above_left, h: int, w: int,
             have_above=None, have_left=None, bd: int = 8):
     """Dispatch a single intra mode (static) over a batch.

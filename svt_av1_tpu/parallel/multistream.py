@@ -46,7 +46,7 @@ def _sharded_frame_program(mesh: Mesh, gh: int, gw: int, modes):
     rep = NamedSharding(mesh, P())
     return jax.jit(batched,
                    in_shardings=(s,) * 3 + (rep,) * 15,
-                   out_shardings=(s,) * 8)
+                   out_shardings=(s,) * 10)
 
 
 def encode_intra_frames_sharded(frames: List[Tuple], qindex: int,
@@ -67,7 +67,7 @@ def encode_intra_frames_sharded(frames: List[Tuple], qindex: int,
     rt = md_rate_args(qindex, tuple(modes), ie.UV_MODES)
     with mesh:
         out = prog(sy, su, sv, *(np.asarray(a) for a in qp_y), lam, *rt)
-    (ry, ru, rv, ym_a, um_a, qy_a, qu_a, qv_a) = \
+    (ry, ru, rv, ym_a, um_a, qy_a, qu_a, qv_a, _au, _av) = \
         [np.asarray(o) for o in out]
     results = []
     for fi in range(len(frames)):

@@ -439,7 +439,8 @@ def _natural_maxb(gh: int, gw: int) -> int:
 
 
 def _frame_program_fn(gh, gw, modes, bd=8, aq=False, tile_starts=(0,),
-                      rdoq=False, tx_search=False, angle_deltas=False):
+                      rdoq=False, tx_search=False, angle_deltas=False,
+                      cfl=False):
     """Whole-key-frame program: fori_loop over waves, each iteration runs
     luma MD (all modes) + chroma MD and scatters recon in place.
 
@@ -482,9 +483,11 @@ def _frame_program_fn(gh, gw, modes, bd=8, aq=False, tile_starts=(0,),
         qy_acc = jnp.zeros((nw, maxb, BLK, BLK), jnp.int16)
         qu_acc = jnp.zeros((nw, maxb, CBLK, CBLK), jnp.int16)
         qv_acc = jnp.zeros((nw, maxb, CBLK, CBLK), jnp.int16)
+        au_acc = jnp.zeros((nw, maxb), jnp.int8)
+        av_acc = jnp.zeros((nw, maxb), jnp.int8)
 
         def body(i, carry):
-            ry, ru, rv, ma, uma, qya, qua, qva = carry
+            ry, ru, rv, ma, uma, qya, qua, qva, aua, ava = carry
             by = jnp.asarray(bys)[i]
             bx = jnp.asarray(bxs)[i]
             va = jnp.asarray(valid)[i]
@@ -506,19 +509,31 @@ def _frame_program_fn(gh, gw, modes, bd=8, aq=False, tile_starts=(0,),
                                 rdoq=rdoq, rdoq_tbl=rqly,
                                 return_index=tx_search)
             # chroma: joint mode decision over U+V (one signaled uv_mode)
-            um, qu, qvq, ru, rv = _rd_step_chroma(
-                ru, rv, src_u, src_v, by * CBLK, bx * CBLK, va, ha, hl,
-                qp, lam_w, bd=bd, rates=(cuv_t, txbb, uvb, eobuv),
-                rdoq=rdoq, rdoq_tbl=rqluv)
+            if cfl:
+                lblk = _gather_block(ry, by * BLK, bx * BLK, BLK, BLK)
+                um, qu, qvq, ru, rv, au, av = _rd_step_chroma(
+                    ru, rv, src_u, src_v, by * CBLK, bx * CBLK, va, ha,
+                    hl, qp, lam_w, bd=bd,
+                    rates=(cuv_t, txbb, uvb, eobuv),
+                    rdoq=rdoq, rdoq_tbl=rqluv, luma_rec=lblk, cfl=True)
+            else:
+                um, qu, qvq, ru, rv = _rd_step_chroma(
+                    ru, rv, src_u, src_v, by * CBLK, bx * CBLK, va, ha,
+                    hl, qp, lam_w, bd=bd,
+                    rates=(cuv_t, txbb, uvb, eobuv),
+                    rdoq=rdoq, rdoq_tbl=rqluv)
+                au = av = jnp.zeros(va.shape, jnp.int32)
             return (ry, ru, rv, ma.at[i].set(m), uma.at[i].set(um),
                     qya.at[i].set(q.astype(jnp.int16)),
                     qua.at[i].set(qu.astype(jnp.int16)),
-                    qva.at[i].set(qvq.astype(jnp.int16)))
+                    qva.at[i].set(qvq.astype(jnp.int16)),
+                    aua.at[i].set(au.astype(jnp.int8)),
+                    ava.at[i].set(av.astype(jnp.int8)))
 
         init = (recon_y, recon_u, recon_v, modes_acc, uv_modes_acc,
-                qy_acc, qu_acc, qv_acc)
-        ry, ru, rv, ma, uma, qya, qua, qva = jax.lax.fori_loop(
-            0, nw, body, init)
+                qy_acc, qu_acc, qv_acc, au_acc, av_acc)
+        (ry, ru, rv, ma, uma, qya, qua, qva, aua, ava) = \
+            jax.lax.fori_loop(0, nw, body, init)
         # dense raster re-layout (static gather) + output narrowing
         pj = jnp.asarray(perm)
         ym = ma.reshape(-1)[pj].astype(jnp.uint8)
@@ -526,31 +541,39 @@ def _frame_program_fn(gh, gw, modes, bd=8, aq=False, tile_starts=(0,),
         qy = qya.reshape(nw * maxb, BLK * BLK)[pj]
         qu = qua.reshape(nw * maxb, CBLK * CBLK)[pj]
         qvp = qva.reshape(nw * maxb, CBLK * CBLK)[pj]
+        auf = aua.reshape(-1)[pj]
+        avf = ava.reshape(-1)[pj]
         return (ry.astype(rdt), ru.astype(rdt), rv.astype(rdt),
-                ym, um, qy, qu, qvp)
+                ym, um, qy, qu, qvp, auf, avf)
 
     return frame
 
 
 @functools.lru_cache(maxsize=None)
 def _jit_frame_program(gh, gw, modes, bd=8, aq=False, tile_starts=(0,),
-                       rdoq=False, tx_search=False, angle_deltas=False):
+                       rdoq=False, tx_search=False, angle_deltas=False,
+                       cfl=False):
     return jax.jit(_frame_program_fn(gh, gw, modes, bd, aq=aq,
                                      tile_starts=tile_starts, rdoq=rdoq,
                                      tx_search=tx_search,
-                                     angle_deltas=angle_deltas))
+                                     angle_deltas=angle_deltas, cfl=cfl))
 
 
 def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
                     have_above, have_left, qp_arrays, lam, bd=8,
                     inter=None, n=CBLK, tx_size=cc.TX_8X8,
                     return_cost=False, no_write=False, rates=None,
-                    rdoq=False, rdoq_tbl=None):
+                    rdoq=False, rdoq_tbl=None, luma_rec=None, cfl=False):
     """Joint U+V mode decision (uv_mode is signaled once per block); the
     chroma transform type is implied by the mode (not signaled).
 
     inter: optional (choose (B,), rec_u, rec_v) — blocks whose luma step
-    chose the inter candidate take the precomputed inter chroma recon."""
+    chose the inter candidate take the precomputed inter chroma recon.
+    luma_rec/cfl: (B, 2n, 2n) reconstructed luma of the SAME blocks;
+    when cfl is set, a CfL candidate (least-squares alpha fit +-1
+    refinement per plane, reference cfl_rd_pick_alpha role) competes
+    with the regular uv modes and two extra outputs (alpha_u, alpha_v,
+    signed q3) are returned."""
     zbin, rnd, qv_, qshift, deq = qp_arrays
     nm_c = len(UV_MODES)
     if jnp.asarray(zbin).ndim == 2:
@@ -629,15 +652,87 @@ def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
         qvq = jnp.where(t3, qall[mi, 1], qvq)
         rec_u = jnp.where(t3, rall[mi, 0], rec_u)
         rec_v = jnp.where(t3, rall[mi, 1], rec_v)
+    alpha_u = alpha_v = None
+    if cfl and luma_rec is not None and rates is not None:
+        ac = intra.cfl_ac_420(luma_rec, n, n)                 # (B,n,n) q3
+        dc_u, dc_v = preds[0], preds[1]                       # DC preds
+        acf = ac.astype(jnp.float32)
+        den = jnp.sum(acf * acf, axis=(1, 2)) + jnp.float32(1e-6)
+
+        def fit(src_blk, dc):
+            resid = (src_blk - dc).astype(jnp.float32)
+            a = jnp.round(64.0 * jnp.sum(resid * acf, axis=(1, 2)) / den)
+            return jnp.clip(a.astype(jnp.int32), -16, 16)
+
+        a0_u, a0_v = fit(src_ub, dc_u), fit(src_vb, dc_v)
+        coef_bits, txb_base, uv_bits, eob_tbl = rates
+        pos = jnp.asarray(_scan_pos(tx_size))
+        lam_pair = lam_flat[:2 * b] if jnp.ndim(lam_flat) else lam_flat
+        lam_b = lam_pair[:b] if jnp.ndim(lam_pair) else lam_pair
+        dc_pair = jnp.concatenate([dc_u, dc_v], axis=0)
+        src_pair = jnp.concatenate([src_ub, src_vb], axis=0)
+        ac_pair = jnp.concatenate([ac, ac], axis=0)
+        a0_pair = jnp.concatenate([a0_u, a0_v], axis=0)
+        costs_o, qs_o, recs_o, alphas_o = [], [], [], []
+        for off in (-1, 0, 1):
+            a_try = jnp.clip(a0_pair + off, -16, 16)
+            pred_c = intra.cfl_predict(dc_pair, ac_pair, a_try, bd=bd)
+            coeffs_c = tf.fwd_txfm2d(src_pair - pred_c, cc.DCT_DCT,
+                                     tx_size)
+            qc_c, dq_c = quant.quantize(coeffs_c, qp, tx_size)
+            rec_c = tf.inv_txfm2d_add(dq_c, pred_c, cc.DCT_DCT, tx_size,
+                                      bd=bd)
+            d_c = jnp.sum((rec_c - src_pair) ** 2,
+                          axis=(1, 2)).astype(jnp.float32)
+            bits_c = _txb_bits(jnp.abs(qc_c), coef_bits, txb_base[1],
+                               eob_tbl, pos)
+            costs_o.append(d_c + lam_pair * bits_c)
+            qs_o.append(qc_c)
+            recs_o.append(rec_c)
+            alphas_o.append(a_try)
+        co = jnp.stack(costs_o)                               # (3, 2B)
+        oi = jnp.argmin(co, axis=0)                           # (2B,)
+        cost_c = jnp.min(co, axis=0)
+        q_sel = qs_o[0]
+        rec_sel = recs_o[0]
+        a_sel = alphas_o[0]
+        for k in (1, 2):
+            tk = oi == k
+            q_sel = jnp.where(tk[:, None, None], qs_o[k], q_sel)
+            rec_sel = jnp.where(tk[:, None, None], recs_o[k], rec_sel)
+            a_sel = jnp.where(tk, alphas_o[k], a_sel)
+        au_s, av_s = a_sel[:b], a_sel[b:]
+        cfl_cost = cost_c[:b] + cost_c[b:]
+        # joint sign (0,0) is not codable; DC_PRED covers that case
+        cfl_cost = cfl_cost + jnp.where((au_s == 0) & (av_s == 0),
+                                        jnp.float32(1e18), 0.0)
+        best_uv = jnp.min(cost_uv, axis=0)
+        take_c = cfl_cost < best_uv
+        t3c = take_c[:, None, None]
+        um = jnp.where(take_c, cc.UV_CFL_PRED, um)
+        qu = jnp.where(t3c, q_sel[:b], qu)
+        qvq = jnp.where(t3c, q_sel[b:], qvq)
+        rec_u = jnp.where(t3c, rec_sel[:b], rec_u)
+        rec_v = jnp.where(t3c, rec_sel[b:], rec_v)
+        alpha_u = jnp.where(take_c, au_s, 0)
+        alpha_v = jnp.where(take_c, av_s, 0)
     if inter is not None:
         choose, irec_u, irec_v = inter
         c3 = choose[:, None, None]
         rec_u = jnp.where(c3, irec_u, rec_u)
         rec_v = jnp.where(c3, irec_v, rec_v)
+        if cfl:
+            alpha_u = jnp.where(choose, 0, alpha_u)
+            alpha_v = jnp.where(choose, 0, alpha_v)
+            um = jnp.where(choose, UV_MODES[0], um)
     if no_write:
+        if cfl:
+            return um, qu, qvq, rec_u, rec_v, alpha_u, alpha_v
         return um, qu, qvq, rec_u, rec_v
     recon_u = _scatter_blocks(recon_u, rec_u, ys, xs, valid)
     recon_v = _scatter_blocks(recon_v, rec_v, ys, xs, valid)
+    if cfl:
+        return um, qu, qvq, recon_u, recon_v, alpha_u, alpha_v
     return um, qu, qvq, recon_u, recon_v
 
 
@@ -668,14 +763,14 @@ def _wave_schedule(gh: int, gw: int, maxb: int):
 @functools.lru_cache(maxsize=None)
 def _jit_frame_program_batch(gh, gw, modes, bd=8, tile_starts=(0,),
                              rdoq=False, tx_search=False,
-                             angle_deltas=False):
+                             angle_deltas=False, cfl=False):
     """vmap of the frame program over a leading frame axis — all-intra
     frames are independent, so a batch shares one device dispatch
     (amortizes host<->device transfers; also the multi-stream shape)."""
     single = _frame_program_fn(gh, gw, modes, bd,
                                tile_starts=tile_starts, rdoq=rdoq,
                                tx_search=tx_search,
-                               angle_deltas=angle_deltas)
+                               angle_deltas=angle_deltas, cfl=cfl)
 
     def batched(sy, su, sv, zbin, rnd, qv, qshift, deq, lam,
                 cy_t, cuv_t, txbb, modeb, uvb, eoby, eobuv, rqly,
@@ -692,7 +787,7 @@ def _jit_frame_program_batch(gh, gw, modes, bd=8, tile_starts=(0,),
 def encode_intra_frames_launch(frames, qindex: int, modes=MODES,
                                bd: int = 8, tile_starts=(0,),
                                rdoq=False, tx_search=False,
-                               angle_deltas=False):
+                               angle_deltas=False, cfl=False):
     """Asynchronously dispatch the batched frame program (JAX dispatch
     is non-blocking); pair with encode_intra_frames_finish.  Enables
     host EC of batch k to overlap device compute of batch k+1."""
@@ -705,7 +800,7 @@ def encode_intra_frames_launch(frames, qindex: int, modes=MODES,
     prog = _jit_frame_program_batch(gh, gw, tuple(modes), bd,
                                     tuple(tile_starts), rdoq=rdoq,
                                     tx_search=tx_search,
-                                    angle_deltas=angle_deltas)
+                                    angle_deltas=angle_deltas, cfl=cfl)
     sdt = np.uint8 if bd == 8 else np.uint16
     sy = np.stack([f[0] for f in frames]).astype(sdt)
     su = np.stack([f[1] for f in frames]).astype(sdt)
@@ -736,7 +831,7 @@ def encode_intra_frames(frames, qindex: int, modes=MODES, bd: int = 8,
 
 def encode_intra_frames_finish(pending, as_arrays: bool = False):
     out, gh, gw, nf, bd, cands = pending
-    (ry, ru, rv, ym_a, um_a, qy_a, qu_a, qv_a) = \
+    (ry, ru, rv, ym_a, um_a, qy_a, qu_a, qv_a, au_a, av_a) = \
         [np.asarray(o) for o in out]
     results = []
     for fi in range(nf):
@@ -748,7 +843,7 @@ def encode_intra_frames_finish(pending, as_arrays: bool = False):
         else:
             decisions = _collect_decisions_dense(
                 gh, gw, ym_a[fi], um_a[fi], qy_a[fi], qu_a[fi], qv_a[fi],
-                cands=cands)
+                cands=cands, au=au_a[fi], av=av_a[fi])
             results.append((decisions, recon))
     return results
 
@@ -806,7 +901,7 @@ def _schedule_arrays(gh, gw, maxb, tile_starts=(0,)):
 
 
 def _collect_decisions_dense(gh, gw, ym, um, qy, qu, qv_,
-                             qmap=None, cands=None):
+                             qmap=None, cands=None, au=None, av=None):
     """Build per-block BlockDecisions from dense raster (gh*gw) arrays.
 
     cands: optional [(mode, tx_type)] list — ym then holds candidate
@@ -829,6 +924,8 @@ def _collect_decisions_dense(gh, gw, ym, um, qy, qu, qv_,
                 tx_type=int(tx_type), qcoeff_y=qy[bid],
                 qcoeff_u=qu[bid], qcoeff_v=qv_[bid],
                 angle_delta_y=int(adelta),
+                cfl_alpha_u=(int(au[bid]) if au is not None else 0),
+                cfl_alpha_v=(int(av[bid]) if av is not None else 0),
                 qindex=(int(qmap[by // 4, bx // 4])
                         if qmap is not None else 0))
     return decisions
@@ -837,7 +934,7 @@ def _collect_decisions_dense(gh, gw, ym, um, qy, qu, qv_,
 def encode_intra_frame(src_y: np.ndarray, src_u: np.ndarray,
                        src_v: np.ndarray, qindex: int, modes=MODES,
                        bd: int = 8, qmap=None, rdoq=False,
-                       tx_search=False, angle_deltas=False
+                       tx_search=False, angle_deltas=False, cfl=False
                        ) -> Tuple[Dict, Dict[str, np.ndarray]]:
     """Encode one key frame.  Returns ({(r4,c4): BlockDecision}, recon).
 
@@ -874,7 +971,7 @@ def encode_intra_frame(src_y: np.ndarray, src_u: np.ndarray,
     sdt = np.uint8 if bd == 8 else np.uint16
     prog = _jit_frame_program(gh, gw, tuple(modes), bd, aq=aq,
                               rdoq=rdoq, tx_search=tx_search,
-                              angle_deltas=angle_deltas)
+                              angle_deltas=angle_deltas, cfl=cfl)
     from svt_av1_tpu.codec.rate_est import md_rate_args
     if tx_search:
         cand_modes, cand_txs = expand_tx_cands(tuple(modes),
@@ -887,10 +984,11 @@ def encode_intra_frame(src_y: np.ndarray, src_u: np.ndarray,
     out = prog(np.asarray(src_y, sdt), np.asarray(src_u, sdt),
                np.asarray(src_v, sdt),
                *(np.asarray(a) for a in qp_y), np.asarray(lam), *rt)
-    (recon_y, recon_u, recon_v, ym_a, um_a, qy_a, qu_a, qv_a) = \
-        [np.asarray(o) for o in out]
+    (recon_y, recon_u, recon_v, ym_a, um_a, qy_a, qu_a, qv_a, au_a,
+     av_a) = [np.asarray(o) for o in out]
     decisions = _collect_decisions_dense(gh, gw, ym_a, um_a, qy_a, qu_a,
-                                         qv_a, qmap=qmap, cands=cands)
+                                         qv_a, qmap=qmap, cands=cands,
+                                         au=au_a, av=av_a)
     recon = dict(y=recon_y, u=recon_u, v=recon_v)
     return decisions, recon
 
@@ -961,11 +1059,20 @@ def reconstruct_from_decisions(decisions: Dict, width: int, height: int,
         ctx_tx = max_chroma_tx_size(d.bsize)
         cn = n >> 1
         uv_tx = _chroma_tx_type(d.uv_mode, ctx_tx)
-        for p in ("u", "v"):
-            q = d.qcoeff_u if p == "u" else d.qcoeff_v
-            state[p] = _recon_block(state[p], q, d.uv_mode, d.r4 * 2,
-                                    d.c4 * 2, cn, ctx_tx, uv_tx, qp_b,
-                                    bd=bd, have_left=tile_left)
+        if d.uv_mode == cc.UV_CFL_PRED:
+            lblk = np.asarray(state["y"])[d.r4 * 4:d.r4 * 4 + n,
+                                          d.c4 * 4:d.c4 * 4 + n]
+            for p, alpha in (("u", d.cfl_alpha_u), ("v", d.cfl_alpha_v)):
+                q = d.qcoeff_u if p == "u" else d.qcoeff_v
+                state[p] = _recon_block_cfl(
+                    state[p], lblk, q, d.r4 * 2, d.c4 * 2, cn, ctx_tx,
+                    alpha, qp_b, bd=bd, have_left=tile_left)
+        else:
+            for p in ("u", "v"):
+                q = d.qcoeff_u if p == "u" else d.qcoeff_v
+                state[p] = _recon_block(state[p], q, d.uv_mode, d.r4 * 2,
+                                        d.c4 * 2, cn, ctx_tx, uv_tx, qp_b,
+                                        bd=bd, have_left=tile_left)
 
     def walk(r4, c4, size):
         if r4 >= mi_rows or c4 >= mi_cols:
@@ -1009,6 +1116,37 @@ def _jit_recon_block(n, tx_size, tx_type, mode, bd=8, delta=0):
         rec = tf.inv_txfm2d_add(dq, pred, tx_type, tx_size, bd=bd)[0]
         return jax.lax.dynamic_update_slice(recon, rec, (ys[0], xs[0]))
     return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_recon_block_cfl(n, tx_size, bd=8):
+    def f(recon, luma_blk, q, ys, xs, have_above, have_left, alpha,
+          zbin, rnd, qv, qshift, deq):
+        qp = quant.QuantParams(zbin, rnd, qv, qshift, deq)
+        above, left, corner = _gather_neighbors(recon, ys, xs, n,
+                                                have_above, have_left,
+                                                bd=bd)
+        dc = intra.predict(cc.DC_PRED, above, left, corner, n, n,
+                           have_above=have_above, have_left=have_left,
+                           bd=bd)
+        ac = intra.cfl_ac_420(luma_blk[None], n, n)
+        pred = intra.cfl_predict(dc, ac, alpha, bd=bd)
+        dq = quant.dequantize(q[None], qp, tx_size)
+        rec = tf.inv_txfm2d_add(dq, pred, cc.DCT_DCT, tx_size, bd=bd)[0]
+        return jax.lax.dynamic_update_slice(recon, rec, (ys[0], xs[0]))
+    return jax.jit(f)
+
+
+def _recon_block_cfl(recon, luma_blk, q, y, x, n, tx_size, alpha, qp,
+                     bd=8, have_left=None):
+    f = _jit_recon_block_cfl(n, tx_size, bd)
+    if have_left is None:
+        have_left = x > 0
+    return f(recon, jnp.asarray(luma_blk.astype(np.int32)),
+             jnp.asarray(q),
+             jnp.full((1,), y, jnp.int32), jnp.full((1,), x, jnp.int32),
+             jnp.full((1,), y > 0), jnp.full((1,), have_left),
+             jnp.int32(alpha), *(jnp.asarray(a) for a in qp))
 
 
 def _recon_block(recon, q, mode, y, x, n, tx_size, tx_type, qp,

@@ -31,6 +31,7 @@ class PresetFeatures:
                            # measured BD-negative here, see its doc)
     tx_search: bool = False  # luma tx-type search (DTT4+IDTX set)
     angle_deltas: bool = False  # directional-mode angle refinement
+    cfl: bool = False        # chroma-from-luma candidate
 
 
 def features_for(enc_mode: int) -> PresetFeatures:
@@ -38,11 +39,12 @@ def features_for(enc_mode: int) -> PresetFeatures:
     if m <= 4:        # quality presets
         return PresetFeatures(_ALL_MODES, 8, 7, True, 8,
                               tuple(range(16)), 3, varpart=True,
-                              tx_search=True, angle_deltas=True)
+                              tx_search=True, angle_deltas=True,
+                              cfl=True)
     if m <= 8:
         return PresetFeatures(_ALL_MODES[:8], 8, 5, True, 6,
                               tuple(range(0, 16, 2)), 3, tx_search=True,
-                              angle_deltas=True)
+                              angle_deltas=True, cfl=True)
     if m <= 11:
         return PresetFeatures(_ALL_MODES[:6], 6, 4, True, 4,
                               (0, 4, 8, 12), 4)
