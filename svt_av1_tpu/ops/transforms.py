@@ -199,6 +199,12 @@ def inv_txfm2d_add(coeffs: jnp.ndarray, pred: jnp.ndarray, tx_type: int,
     rect = _rect_log_ratio(w, h)
 
     x = coeffs.astype(jnp.int32)
+    # 64-point axes code only 32 coefficients: accept the coded (<=32)
+    # region and zero-pad to the full transform dims (the stage programs
+    # index the full length; a short axis would clamp gathers silently)
+    if x.shape[-1] < w or x.shape[-2] < h:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 2)
+                    + [(0, h - x.shape[-2]), (0, w - x.shape[-1])])
     # -- rows ---------------------------------------------------------------
     if abs(rect) == 1:
         x = _round_shift_mul(x, NEW_INV_SQRT2, NEW_SQRT2_BITS)
@@ -336,7 +342,7 @@ def coeff_sse_scale(tx_size: int, tx_type: int) -> float:
     import jax
     import numpy as np
     rng = np.random.default_rng(0)
-    _, w, h, _ = txfm_block_dims(tx_size)
+    w, h, _, _ = txfm_block_dims(tx_size)
     B = 8
     # callable from inside jit traces (static args): force eager eval,
     # pinned to the CPU backend (always present)

@@ -291,8 +291,9 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
         qcoeff_all, dq_all = quant.quantize(coeffs, qp, tx_size)
         if rdoq and rates is not None and rdoq_tbl is not None:
             from svt_av1_tpu.ops import rdoq as rdoq_mod
+            kh_, kw_ = qcoeff_all.shape[-2:]
             qcoeff_all, dq_all = rdoq_mod.optimize_levels(
-                coeffs, qcoeff_all, quant.dequant_field(qp, n, n),
+                coeffs, qcoeff_all, quant.dequant_field(qp, kh_, kw_),
                 tx_size, tx0, rdoq_tbl, lam_flat,
                 np.float32(tf.coeff_sse_scale(tx_size, tx0)))
         if rates is not None and full_d:
@@ -310,6 +311,15 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
             s2 = np.float32(tf.coeff_sse_scale(tx_size, tx0))
             dist = s2 * jnp.sum(
                 (coeffs - dq_all.astype(jnp.float32)) ** 2, axis=(1, 2))
+            if coeffs.shape[-2:] != (n, n):
+                # TX_64X64: only a 32x32 coefficient subspace is coded;
+                # charge the energy the projection throws away (Parseval:
+                # in-subspace energy = s2 * sum(c^2))
+                resid_e = jnp.sum(
+                    resid_all.astype(jnp.float32) ** 2, axis=(1, 2))
+                proj_e = s2 * jnp.sum(
+                    coeffs.astype(jnp.float32) ** 2, axis=(1, 2))
+                dist = dist + jnp.maximum(resid_e - proj_e, 0.0)
             rec_all = None
     else:
         # group candidates by tx type: ONE fwd/quant pass per distinct
@@ -343,6 +353,12 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
                     tx_size, t, rdoq_tbl, lam_t, s2)
             dist_t = s2 * jnp.sum(
                 (coeffs_t - dq_t.astype(jnp.float32)) ** 2, axis=(1, 2))
+            if coeffs_t.shape[-2:] != (n, n):
+                resid_e = jnp.sum(
+                    res_t.astype(jnp.float32) ** 2, axis=(1, 2))
+                proj_e = s2 * jnp.sum(
+                    coeffs_t.astype(jnp.float32) ** 2, axis=(1, 2))
+                dist_t = dist_t + jnp.maximum(resid_e - proj_e, 0.0)
             for j, i in enumerate(idxs):
                 qcs[i] = qc_t[j * b:(j + 1) * b]
                 dqs[i] = dq_t[j * b:(j + 1) * b]
@@ -375,9 +391,12 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
                 cost = cost.at[mi].add(
                     jnp.where(bl_avail, jnp.float32(1e18), 0.0))
     mi_best = jnp.argmin(cost, axis=0)               # (B,)
-    # select via where-chains (vector selects beat TPU gathers)
-    q_r = qcoeff_all.reshape(nm, b, n, n)
-    dq_r = dq_all.reshape(nm, b, n, n)
+    # select via where-chains (vector selects beat TPU gathers);
+    # coded coefficient dims can differ from the pixel block (TX_64X64
+    # codes a 32x32 region)
+    kh, kw = qcoeff_all.shape[-2:]
+    q_r = qcoeff_all.reshape(nm, b, kh, kw)
+    dq_r = dq_all.reshape(nm, b, kh, kw)
     p_r = pred_all.reshape(nm, b, n, n)
     best_mode = jnp.full((b,), cands[0][0], jnp.int32)
     best_q = q_r[0]
@@ -563,7 +582,8 @@ def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
                     have_above, have_left, qp_arrays, lam, bd=8,
                     inter=None, n=CBLK, tx_size=cc.TX_8X8,
                     return_cost=False, no_write=False, rates=None,
-                    rdoq=False, rdoq_tbl=None, luma_rec=None, cfl=False):
+                    rdoq=False, rdoq_tbl=None, luma_rec=None, cfl=False,
+                    uv_tx_types=None):
     """Joint U+V mode decision (uv_mode is signaled once per block); the
     chroma transform type is implied by the mode (not signaled).
 
@@ -573,7 +593,11 @@ def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
     when cfl is set, a CfL candidate (least-squares alpha fit +-1
     refinement per plane, reference cfl_rd_pick_alpha role) competes
     with the regular uv modes and two extra outputs (alpha_u, alpha_v,
-    signed q3) are returned."""
+    signed q3) are returned.
+    uv_tx_types: per-mode implied tx types; pass all-DCT for 32-pt
+    chroma where ADST is illegal (defaults to UV_TX_TYPES)."""
+    if uv_tx_types is None:
+        uv_tx_types = UV_TX_TYPES
     zbin, rnd, qv_, qshift, deq = qp_arrays
     nm_c = len(UV_MODES)
     if jnp.asarray(zbin).ndim == 2:
@@ -608,7 +632,7 @@ def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
                        (nm, 1, 1))
     resid_all = src_all - pred_all
     qcs, recs = [], []
-    for mi, tx_type in enumerate(UV_TX_TYPES):
+    for mi, tx_type in enumerate(uv_tx_types):
         sl = slice(mi * 2 * b, (mi + 1) * 2 * b)
         coeffs = tf.fwd_txfm2d(resid_all[sl], tx_type, tx_size)
         qc, dq = quant.quantize(coeffs, qp, tx_size)

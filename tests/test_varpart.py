@@ -1,4 +1,4 @@
-"""Variable square partitions (32/16): selection behavior, decode
+"""Variable square partitions (64/32/16): selection behavior, decode
 equality, and RD sanity vs the fixed-16 grid."""
 import numpy as np
 import pytest
@@ -41,7 +41,8 @@ def test_varpart_selects_both_depths():
     _, pkt = _run(enc_mode=4)
     ds = Decoder().decode_temporal_unit(pkt.data)[0]["decisions"]
     sizes = {d.bsize for d in ds.values()}
-    assert cc.BLOCK_32X32 in sizes, "smooth regions should merge to 32"
+    assert sizes & {cc.BLOCK_32X32, cc.BLOCK_64X64}, \
+        "smooth regions should merge to 32/64"
     assert cc.BLOCK_16X16 in sizes, "textured regions should stay at 16"
     # coverage: leaf areas must tile the frame exactly
     area = sum(int(cc.block_size_wide[d.bsize]) ** 2 for d in ds.values())
