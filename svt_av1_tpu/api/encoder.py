@@ -803,12 +803,18 @@ class Encoder:
             # BOTH frame types: every filtered edge is a block (PU) edge,
             # and the spec filters PU edges regardless of skip
             # (deblocking_filter.c:260 `... || pu_edge`)
-            lvl_y = default_filter_level(qindex)
-            fp.filter_level = (lvl_y, lvl_y)
-            lvl_uv = max(0, lvl_y - 2)
-            fp.filter_level_uv = (lvl_uv, lvl_uv)
             with stage("dlf"):
-                recon = intra_encoder.apply_loop_filter(recon, fp)
+                if self._feat.dlf_search and src is not None:
+                    # per-plane level search (dlf_process.c:106-131)
+                    from svt_av1_tpu.pipeline import dlf_stage
+                    recon = dlf_stage.search_and_apply(
+                        src, recon, fp, bd=self.cfg.encoder_bit_depth)
+                else:
+                    lvl_y = default_filter_level(qindex)
+                    fp.filter_level = (lvl_y, lvl_y)
+                    lvl_uv = max(0, lvl_y - 2)
+                    fp.filter_level_uv = (lvl_uv, lvl_uv)
+                    recon = intra_encoder.apply_loop_filter(recon, fp)
         deblocked = recon  # post-DLF, pre-CDEF (LR boundary source)
         if self.sp.enable_cdef and src is not None:
             from svt_av1_tpu.pipeline import cdef_stage
@@ -816,13 +822,32 @@ class Encoder:
                                self.sr_w // 16)
             fp.cdef_damping = cdef_stage.cdef_damping(qindex)
             with stage("cdef"):
-                fp.cdef_strengths = cdef_stage.cdef_search(
-                    src, recon, skip16, qindex,
-                    bd=self.cfg.encoder_bit_depth,
-                    max_candidates=self._feat.cdef_candidates)
-                recon = cdef_stage.cdef_apply(
-                    recon, skip16, fp.cdef_strengths, fp.cdef_damping,
-                    bd=self.cfg.encoder_bit_depth)
+                if self._feat.cdef_sb:
+                    # per-SB strengths (cdef_bits > 0), idx coded in
+                    # the tile at each SB's first non-skip block
+                    bits, sets, cdef_idx_map = cdef_stage.cdef_search_sb(
+                        src, recon, skip16, qindex,
+                        bd=self.cfg.encoder_bit_depth,
+                        max_candidates=self._feat.cdef_candidates)
+                    fp.cdef_bits = bits
+                    fp.cdef_strengths = sets[0]
+                    fp.cdef_strength_list = sets if bits else None
+                    recon = cdef_stage.cdef_apply(
+                        recon, skip16, sets, fp.cdef_damping,
+                        bd=self.cfg.encoder_bit_depth,
+                        sb_idx=cdef_idx_map)
+                else:
+                    cdef_idx_map = None
+                    fp.cdef_strengths = cdef_stage.cdef_search(
+                        src, recon, skip16, qindex,
+                        bd=self.cfg.encoder_bit_depth,
+                        max_candidates=self._feat.cdef_candidates)
+                    recon = cdef_stage.cdef_apply(
+                        recon, skip16, fp.cdef_strengths,
+                        fp.cdef_damping,
+                        bd=self.cfg.encoder_bit_depth)
+        else:
+            cdef_idx_map = None
         if self.sr_denom != 8 and src is not None:
             # normative horizontal upscale (spec 7.16): after CDEF,
             # before loop restoration; LR then works at full width,
@@ -863,6 +888,8 @@ class Encoder:
                            init_nmv=init_nmv)
         if lr_info is not None:
             tenc.set_lr(lr_info)
+        if fp.cdef_bits:
+            tenc.set_cdef(fp.cdef_bits, cdef_idx_map)
         if not is_key:
             tenc.set_gm(fp.gm_trans)
         if fp.delta_q_present:

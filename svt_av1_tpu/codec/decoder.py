@@ -82,6 +82,8 @@ class Decoder:
                            init_nmv=init_nmv)
         if not is_intra:
             tdec.set_gm(fp.gm_trans)
+        if fp.cdef_bits:
+            tdec.set_cdef(fp.cdef_bits)
         lr_info = None
         if self.sp.enable_restoration:
             from svt_av1_tpu.codec import lr as lr_mod
@@ -123,10 +125,16 @@ class Decoder:
             from svt_av1_tpu.pipeline import cdef_stage
             skip16 = _skip_map(decisions, self.sp.height // 16,
                                coded_w // 16)
-            recon = cdef_stage.cdef_apply(recon, skip16,
-                                          fp.cdef_strengths,
-                                          fp.cdef_damping,
-                                          bd=self.sp.bit_depth)
+            if fp.cdef_bits:
+                recon = cdef_stage.cdef_apply(
+                    recon, skip16, fp.cdef_strength_list,
+                    fp.cdef_damping, bd=self.sp.bit_depth,
+                    sb_idx=tdec.cdef_idx)
+            else:
+                recon = cdef_stage.cdef_apply(recon, skip16,
+                                              fp.cdef_strengths,
+                                              fp.cdef_damping,
+                                              bd=self.sp.bit_depth)
         if fp.superres_denom != 8:
             from svt_av1_tpu.api.encoder import _superres_upscale_frame
             recon = _superres_upscale_frame(recon, self.sp.width,
@@ -162,6 +170,8 @@ class Decoder:
         assert fp.frame_type == obu.KEY_FRAME, \
             "tiles wired for intra frames this round"
         assert fp.log2_tile_rows == 0
+        assert fp.cdef_bits == 0, \
+            "per-SB CDEF + multi-tile: single-tile only this round"
         # tile group: start/end flag bit (0) + byte alignment
         assert (tile_data[0] & 0x80) == 0
         pos = 1

@@ -99,9 +99,13 @@ class FrameParams:
     filter_level: Tuple[int, int] = (0, 0)
     filter_level_uv: Tuple[int, int] = (0, 0)
     sharpness: int = 0
-    # CDEF (cdef_bits = 0: one frame-uniform strength set)
+    # CDEF: cdef_bits = 0 -> one frame-uniform strength set in
+    # cdef_strengths; cdef_bits > 0 -> 2^bits sets in
+    # cdef_strength_list, indexed per SB by tile-coded cdef_idx
     cdef_damping: int = 3
+    cdef_bits: int = 0
     cdef_strengths: Tuple[int, int, int, int] = (0, 0, 0, 0)
+    cdef_strength_list: Optional[Tuple] = None
     # loop restoration: per-plane frame type + unit sizes
     lr_types: Tuple[int, int, int] = (0, 0, 0)   # RESTORE_* enum
     lr_unit_size: int = 256                      # luma RU size
@@ -365,13 +369,16 @@ def write_frame_header_bits(w: BitWriter, sp: SequenceParams,
     # cdef_params (CodedLossless=0, allow_intrabc=0)
     if sp.enable_cdef:
         w.f(fp.cdef_damping - 3, 2)
-        w.f(0, 2)  # cdef_bits = 0 -> single strength set
-        pri_y, sec_y, pri_uv, sec_uv = fp.cdef_strengths
-        w.f(pri_y, 4)
-        w.f(sec_y, 2)
-        if not sp.monochrome:
-            w.f(pri_uv, 4)
-            w.f(sec_uv, 2)
+        w.f(fp.cdef_bits, 2)
+        sets = (fp.cdef_strength_list if fp.cdef_bits
+                else (fp.cdef_strengths,))
+        assert len(sets) == (1 << fp.cdef_bits)
+        for pri_y, sec_y, pri_uv, sec_uv in sets:
+            w.f(pri_y, 4)
+            w.f(sec_y, 2)
+            if not sp.monochrome:
+                w.f(pri_uv, 4)
+                w.f(sec_uv, 2)
     # lr_params (entropy_coding.c encode_restoration_mode)
     if sp.enable_restoration:
         _LR_BITS = {0: (0, 0), 1: (1, 0), 2: (1, 1), 3: (0, 1)}
@@ -719,14 +726,18 @@ def read_frame_header(r: BitReader, sp: SequenceParams) -> FrameParams:
     assert r.f(1) == 0  # lf delta enabled
     if sp.enable_cdef:
         fp.cdef_damping = r.f(2) + 3
-        assert r.f(2) == 0  # cdef_bits
-        pri_y = r.f(4)
-        sec_y = r.f(2)
-        pri_uv = sec_uv = 0
-        if not sp.monochrome:
-            pri_uv = r.f(4)
-            sec_uv = r.f(2)
-        fp.cdef_strengths = (pri_y, sec_y, pri_uv, sec_uv)
+        fp.cdef_bits = r.f(2)
+        sets = []
+        for _ in range(1 << fp.cdef_bits):
+            pri_y = r.f(4)
+            sec_y = r.f(2)
+            pri_uv = sec_uv = 0
+            if not sp.monochrome:
+                pri_uv = r.f(4)
+                sec_uv = r.f(2)
+            sets.append((pri_y, sec_y, pri_uv, sec_uv))
+        fp.cdef_strengths = sets[0]
+        fp.cdef_strength_list = tuple(sets) if fp.cdef_bits else None
     if sp.enable_restoration:
         _LR_TYPE = {(0, 0): 0, (1, 0): 1, (1, 1): 2, (0, 1): 3}
         fp.lr_types = tuple(_LR_TYPE[(r.f(1), r.f(1))] for _ in range(3))

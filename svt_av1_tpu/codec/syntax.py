@@ -331,6 +331,20 @@ class TileCoderBase:
         self.migrid = mv_pred.MiGrid(self.mi_rows, self.mi_cols)
         self.sb_cols = (self.mi_cols + 15) >> 4
         self.sb_rows = (self.mi_rows + 15) >> 4
+        # per-SB CDEF strength index (cdef_bits > 0); -1 = not coded
+        # yet — written/read at the first non-skip block of each SB
+        # (spec read_cdef, 5.11.56)
+        self.cdef_bits = 0
+        self.cdef_idx = np.full((self.sb_rows, self.sb_cols), -1,
+                                np.int32)
+        self._cdef_map = None
+
+    def set_cdef(self, bits: int, idx_map=None) -> None:
+        """Enable per-SB cdef_idx coding.  idx_map: (sb_rows, sb_cols)
+        chosen strength indices (encoder side only)."""
+        self.cdef_bits = int(bits)
+        if idx_map is not None:
+            self._cdef_map = np.asarray(idx_map, np.int32)
 
     def set_gm(self, gm_trans) -> None:
         """gm_trans: FrameParams.gm_trans tuple (index 0 = LAST)."""
@@ -419,7 +433,7 @@ class TileEncoder(TileCoderBase):
         native_ok = use_native and fast_ec.available()
         if (native_ok and self.frame_is_intra and leaf_size == 16
                 and self.base_q_idx > 0 and self.lr is None
-                and self.delta_q_res is None
+                and self.delta_q_res is None and self.cdef_bits == 0
                 and all(d.bsize == cc.BLOCK_16X16
                         and d.tx_type == cc.DCT_DCT
                         and d.qcoeff_u is not None
@@ -501,6 +515,13 @@ class TileEncoder(TileCoderBase):
         enc.encode_symbol(int(skip), cdfs.skip[sctx], 2)
         if self.update:
             update_cdf(cdfs.skip[sctx], int(skip), 2)
+
+        if self.cdef_bits and not skip:
+            sr, sc = r4 >> 4, c4 >> 4
+            if self.cdef_idx[sr, sc] < 0:
+                idx = int(self._cdef_map[sr, sc])
+                enc.encode_literal(idx, self.cdef_bits)
+                self.cdef_idx[sr, sc] = idx
 
         if self._read_deltas:
             self._code_delta_q(enc, d.qindex, is_decoder=False)
@@ -779,6 +800,11 @@ class TileDecoder(TileCoderBase):
         skip = dec.read_symbol(cdfs.skip[sctx], 2)
         if self.update:
             update_cdf(cdfs.skip[sctx], skip, 2)
+
+        if self.cdef_bits and not skip:
+            sr, sc = r4 >> 4, c4 >> 4
+            if self.cdef_idx[sr, sc] < 0:
+                self.cdef_idx[sr, sc] = dec.read_literal(self.cdef_bits)
 
         if self._read_deltas:
             self._code_delta_q(dec, 0, is_decoder=True)

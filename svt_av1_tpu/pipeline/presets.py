@@ -32,6 +32,8 @@ class PresetFeatures:
     tx_search: bool = False  # luma tx-type search (DTT4+IDTX set)
     angle_deltas: bool = False  # directional-mode angle refinement
     cfl: bool = False        # chroma-from-luma candidate
+    dlf_search: bool = False  # per-plane DLF level search (vs heuristic)
+    cdef_sb: bool = False     # per-SB CDEF strengths (cdef_bits > 0)
 
 
 def features_for(enc_mode: int) -> PresetFeatures:
@@ -40,11 +42,12 @@ def features_for(enc_mode: int) -> PresetFeatures:
         return PresetFeatures(_ALL_MODES, 8, 7, True, 8,
                               tuple(range(16)), 3, varpart=True,
                               tx_search=True, angle_deltas=True,
-                              cfl=True)
+                              cfl=True, dlf_search=True, cdef_sb=True)
     if m <= 8:
         return PresetFeatures(_ALL_MODES[:8], 8, 5, True, 6,
                               tuple(range(0, 16, 2)), 3, tx_search=True,
-                              angle_deltas=True, cfl=True)
+                              angle_deltas=True, cfl=True,
+                              dlf_search=True)
     if m <= 11:
         return PresetFeatures(_ALL_MODES[:6], 6, 4, True, 4,
                               (0, 4, 8, 12), 4)
