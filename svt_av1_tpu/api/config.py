@@ -48,6 +48,13 @@ class EncoderConfig:
     tile_columns: int = 0
     tile_rows: int = 0
     screen_content_mode: int = 0
+    avif: bool = False                # single-picture (AVIF) mode:
+                                      # still_picture + reduced header
+    # HDR metadata (metadata_handle.c surface); SVT string formats:
+    # mastering-display "G(x,y)B(x,y)R(x,y)WP(x,y)L(max,min)",
+    # content-light "maxcll,maxfall"
+    mastering_display: str = ""
+    content_light: str = ""
     enable_tpl_la: int = 0
     fast_decode: int = 0
     stat_report: int = 0              # per-frame PSNR/SSIM on packets
@@ -101,6 +108,9 @@ _PARAM_MAP = {
     "enable-overlays": ("enable_overlays", lambda v: bool(int(v))),
     "tune": ("tune", int),
     "film-grain": ("film_grain_denoise_strength", int),
+    "avif": ("avif", lambda v: bool(int(v))),
+    "mastering-display": ("mastering_display", str),
+    "content-light": ("content_light", str),
     "superres-mode": ("superres_mode", int),
     "tile-columns": ("tile_columns", int),
     "tile-rows": ("tile_rows", int),

@@ -18,7 +18,7 @@ from typing import Deque, Dict, Optional
 
 import numpy as np
 
-from svt_av1_tpu.api.config import EncoderConfig
+from svt_av1_tpu.api.config import ConfigError, EncoderConfig
 from svt_av1_tpu.codec import obu
 from svt_av1_tpu.codec.syntax import TileEncoder
 from svt_av1_tpu.pipeline import inter_encoder, intra_encoder
@@ -121,6 +121,8 @@ class Encoder:
         self.sp = obu.SequenceParams(
             width=self.coded_w, height=self.coded_h,
             bit_depth=config.encoder_bit_depth,
+            still_picture=config.avif,
+            reduced_still_picture_header=config.avif,
             enable_cdef=config.cdef_level > 0,
             enable_superres=self.sr_denom != 8,
             enable_restoration=config.enable_restoration_filtering > 0,
@@ -147,6 +149,10 @@ class Encoder:
         self._rc = RateControlState.create(config, fps)
         from svt_av1_tpu.pipeline.presets import features_for
         self._feat = features_for(config.enc_mode)
+        # film grain params: estimated from the first key-frame source
+        # (noise_model.py), cached; falls back to the strength preset
+        self._grain_params = None
+        self._grain_estimated = False
         self._seq_hdr_sent = False
         # tile columns (log2, SVT tile_columns semantics); block-column
         # starts derive from the spec's uniform SB spacing.  Wired for
@@ -194,6 +200,11 @@ class Encoder:
         synchronous; with enable_tf the encoder holds a small lookahead
         so key frames can be temporally filtered against future frames
         (the reference's picture-decision delay)."""
+        if self.cfg.avif and (self._pts + len(self._la)) >= 1:
+            # reference parity: enc_handle.c:5367-5373 rejects a second
+            # picture in AVIF (single-picture) mode
+            raise ValueError(
+                "AVIF mode supports exactly one input picture")
         if self._hier:
             self._detect_scene_cut(y)
             if self._scene_cut:
@@ -555,6 +566,55 @@ class Encoder:
         if eos:
             self._eos_sent = True
 
+    def _metadata_obus(self) -> bytes:
+        """HDR CLL / mastering-display metadata OBUs, emitted with the
+        sequence header (metadata_handle.c surface)."""
+        out = b""
+        if self.cfg.content_light:
+            try:
+                cll, fall = (int(x) for x in
+                             self.cfg.content_light.split(","))
+                out += obu.write_metadata_hdr_cll(cll, fall)
+            except ValueError:
+                raise ConfigError("bad content-light string") from None
+        if self.cfg.mastering_display:
+            import re
+            s = self.cfg.mastering_display
+            m = {k: (float(a), float(b)) for k, a, b in re.findall(
+                r"(G|B|R|WP|L)\(([\d.]+),([\d.]+)\)", s)}
+            if set(m) != {"G", "B", "R", "WP", "L"}:
+                raise ConfigError("bad mastering-display string")
+            out += obu.write_metadata_hdr_mdcv(
+                (m["R"], m["G"], m["B"]), m["WP"], m["L"][0], m["L"][1])
+        return out
+
+    def get_stream_info(self, info_id: int = 0):
+        """svt_av1_enc_get_stream_info parity: id 0 returns the
+        first-pass stats blob (STREAM_INFO_FIRST_PASS_STATS_OUT)."""
+        if info_id == 0:
+            return self.get_stats()
+        raise ValueError(f"unknown stream info id {info_id}")
+
+    def _grain(self, y=None, u=None, v=None):
+        """Film-grain params for the frame header: AR-model estimation
+        from the source (noise_model.c:2279 role) on the first key
+        frame, cached for the sequence; strength-preset fallback when
+        the source is clean or unavailable."""
+        if not self._grain_estimated and y is not None:
+            self._grain_estimated = True
+            from svt_av1_tpu.pipeline import noise_model
+            try:
+                p, _ = noise_model.estimate_grain_params(
+                    y, u, v, bd=self.cfg.encoder_bit_depth)
+            except Exception:
+                p = None
+            self._grain_params = p
+        if self._grain_params is not None:
+            return self._grain_params
+        from svt_av1_tpu.codec.film_grain import default_grain_params
+        return default_grain_params(
+            self.cfg.film_grain_denoise_strength)
+
     def _packetize_arrays(self, bundle, recon, qindex, pts) -> Packet:
         """Array-native key-frame packetization (no per-block objects)."""
         from svt_av1_tpu.codec import fast_ec
@@ -564,9 +624,7 @@ class Encoder:
                              render_width=self.render_w,
                              render_height=self.render_h)
         if self.cfg.film_grain_denoise_strength > 0:
-            from svt_av1_tpu.codec.film_grain import default_grain_params
-            fp.film_grain = default_grain_params(
-                self.cfg.film_grain_denoise_strength)
+            fp.film_grain = self._grain()
         if self.cfg.enable_dlf_flag:
             lvl_y = default_filter_level(qindex)
             fp.filter_level = (lvl_y, lvl_y)
@@ -614,6 +672,7 @@ class Encoder:
         tu = obu.temporal_delimiter()
         if not self._seq_hdr_sent:
             tu += obu.write_sequence_header(self.sp)
+            tu += self._metadata_obus()
             self._seq_hdr_sent = True
         tu += obu.write_frame_obu(self.sp, fp, tile_data)
         recon_out = dict(
@@ -794,9 +853,10 @@ class Encoder:
             fp.delta_q_present = True
             fp.delta_q_res = 2
         if self.cfg.film_grain_denoise_strength > 0:
-            from svt_av1_tpu.codec.film_grain import default_grain_params
-            fp.film_grain = default_grain_params(
-                self.cfg.film_grain_denoise_strength)
+            fp.film_grain = self._grain(
+                src["y"] if src is not None else None,
+                src["u"] if src is not None else None,
+                src["v"] if src is not None else None)
         from svt_av1_tpu.utils.profiling import stage
         if self.cfg.enable_dlf_flag:
             # uniform filtering is conformant for the fixed 16x16 grid on
@@ -902,6 +962,7 @@ class Encoder:
         tu = obu.temporal_delimiter()
         if not self._seq_hdr_sent:
             tu += obu.write_sequence_header(self.sp)
+            tu += self._metadata_obus()
             self._seq_hdr_sent = True
         tu += obu.write_frame_obu(self.sp, fp, tile_data)
         recon_out = dict(

@@ -24,6 +24,8 @@ class Decoder:
         self.slots: list = [None] * 8
         self.slot_cdfs: list = [None] * 8
         self.slot_nmv: list = [None] * 8
+        # parsed metadata OBUs by metadata_type (HDR CLL/MDCV/T.35)
+        self.metadata: dict = {}
 
     @property
     def ref(self):
@@ -50,6 +52,11 @@ class Decoder:
                     "frame-header OBU only used for show_existing here"
                 assert self.slots[idx] is not None, "empty DPB slot shown"
                 frames.append(dict(self.slots[idx]))
+            elif obu_type == obu.OBU_METADATA:
+                mtype, fields = obu.parse_metadata(payload)
+                self.metadata[mtype] = fields
+            elif obu_type == obu.OBU_PADDING:
+                continue
             else:
                 raise NotImplementedError(f"obu type {obu_type}")
         return frames

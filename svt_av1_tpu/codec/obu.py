@@ -39,6 +39,7 @@ class SequenceParams:
     monochrome: bool = False
     seq_profile: int = 0
     still_picture: bool = False
+    reduced_still_picture_header: bool = False
     use_128x128_superblock: bool = False
     enable_filter_intra: bool = False
     enable_intra_edge_filter: bool = False
@@ -211,48 +212,128 @@ def write_obu(obu_type: int, payload: bytes, temporal_id: int = 0,
     return hdr + payload
 
 
+METADATA_TYPE_HDR_CLL = 1
+METADATA_TYPE_HDR_MDCV = 2
+METADATA_TYPE_ITUT_T35 = 4
+
+
+def _leb128(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def write_metadata_hdr_cll(max_cll: int, max_fall: int) -> bytes:
+    """Content light level metadata OBU (metadata_handle.c role)."""
+    w = BitWriter()
+    w.f(max_cll, 16)
+    w.f(max_fall, 16)
+    w.trailing_bits()
+    return write_obu(OBU_METADATA,
+                     _leb128(METADATA_TYPE_HDR_CLL) + w.data())
+
+
+def write_metadata_hdr_mdcv(primaries, white_point, max_luma: float,
+                            min_luma: float) -> bytes:
+    """Mastering display color volume OBU.  primaries: ((rx,ry),(gx,gy),
+    (bx,by)) CIE 1931 floats; luminance in cd/m^2.  Spec 6.7.4 fixed-
+    point encodings: chromaticity 0.16, max luminance 24.8, min 18.14."""
+    w = BitWriter()
+    # spec order: display_primaries[i] for i in 0..2 = R, G, B
+    for (x, y) in primaries:
+        w.f(int(round(x * 65536)) & 0xFFFF, 16)
+        w.f(int(round(y * 65536)) & 0xFFFF, 16)
+    w.f(int(round(white_point[0] * 65536)) & 0xFFFF, 16)
+    w.f(int(round(white_point[1] * 65536)) & 0xFFFF, 16)
+    w.f(int(round(max_luma * 256)) & 0xFFFFFFFF, 32)
+    w.f(int(round(min_luma * 16384)) & 0xFFFFFFFF, 32)
+    w.trailing_bits()
+    return write_obu(OBU_METADATA,
+                     _leb128(METADATA_TYPE_HDR_MDCV) + w.data())
+
+
+def parse_metadata(payload: bytes):
+    """Returns (metadata_type, fields dict)."""
+    pos = 0
+    mtype = 0
+    shift = 0
+    while True:
+        b = payload[pos]
+        mtype |= (b & 0x7F) << shift
+        pos += 1
+        shift += 7
+        if not (b & 0x80):
+            break
+    r = BitReader(payload[pos:])
+    if mtype == METADATA_TYPE_HDR_CLL:
+        return mtype, dict(max_cll=r.f(16), max_fall=r.f(16))
+    if mtype == METADATA_TYPE_HDR_MDCV:
+        prim = tuple((r.f(16) / 65536.0, r.f(16) / 65536.0)
+                     for _ in range(3))
+        wp = (r.f(16) / 65536.0, r.f(16) / 65536.0)
+        return mtype, dict(primaries=prim, white_point=wp,
+                           max_luma=r.f(32) / 256.0,
+                           min_luma=r.f(32) / 16384.0)
+    return mtype, dict(raw=payload[pos:])
+
+
 def temporal_delimiter() -> bytes:
     return write_obu(OBU_TEMPORAL_DELIMITER, b"")
 
 
 def write_sequence_header(sp: SequenceParams) -> bytes:
     w = BitWriter()
+    reduced = sp.reduced_still_picture_header
     w.f(sp.seq_profile, 3)
     w.f(int(sp.still_picture), 1)
-    w.f(0, 1)   # reduced_still_picture_header
-    w.f(0, 1)   # timing_info_present_flag
-    w.f(0, 1)   # initial_display_delay_present_flag
-    w.f(0, 5)   # operating_points_cnt_minus_1
-    w.f(0, 12)  # operating_point_idc[0]
-    w.f(sp.seq_level_idx, 5)
-    if sp.seq_level_idx > 7:
-        w.f(sp.seq_tier, 1)
+    w.f(int(reduced), 1)
+    if reduced:
+        # spec 5.5.1: only seq_level_idx[0]; timing/operating points,
+        # frame ids, inter tools and order hints are all implied off,
+        # and seq_force_screen_content_tools = SELECT (2)
+        assert sp.still_picture and not sp.enable_order_hint
+        w.f(sp.seq_level_idx, 5)
+    else:
+        w.f(0, 1)   # timing_info_present_flag
+        w.f(0, 1)   # initial_display_delay_present_flag
+        w.f(0, 5)   # operating_points_cnt_minus_1
+        w.f(0, 12)  # operating_point_idc[0]
+        w.f(sp.seq_level_idx, 5)
+        if sp.seq_level_idx > 7:
+            w.f(sp.seq_tier, 1)
     wbits = max(1, (sp.width - 1).bit_length())
     hbits = max(1, (sp.height - 1).bit_length())
     w.f(wbits - 1, 4)
     w.f(hbits - 1, 4)
     w.f(sp.width - 1, wbits)
     w.f(sp.height - 1, hbits)
-    w.f(0, 1)   # frame_id_numbers_present_flag
+    if not reduced:
+        w.f(0, 1)   # frame_id_numbers_present_flag
     w.f(int(sp.use_128x128_superblock), 1)
     w.f(int(sp.enable_filter_intra), 1)
     w.f(int(sp.enable_intra_edge_filter), 1)
-    # (not reduced_still_picture_header path)
-    w.f(0, 1)   # enable_interintra_compound
-    w.f(0, 1)   # enable_masked_compound
-    w.f(0, 1)   # enable_warped_motion
-    w.f(0, 1)   # enable_dual_filter
-    w.f(int(sp.enable_order_hint), 1)
-    if sp.enable_order_hint:
-        w.f(0, 1)   # enable_jnt_comp
-        w.f(0, 1)   # enable_ref_frame_mvs
-    # screen content tools: fixed off at sequence level =>
-    # seq_force_screen_content_tools = 0 and force_integer_mv implied;
-    # frames then code no allow_screen_content_tools bit
-    w.f(0, 1)   # seq_choose_screen_content_tools
-    w.f(0, 1)   # seq_force_screen_content_tools = 0
-    if sp.enable_order_hint:
-        w.f(sp.order_hint_bits - 1, 3)
+    if not reduced:
+        w.f(0, 1)   # enable_interintra_compound
+        w.f(0, 1)   # enable_masked_compound
+        w.f(0, 1)   # enable_warped_motion
+        w.f(0, 1)   # enable_dual_filter
+        w.f(int(sp.enable_order_hint), 1)
+        if sp.enable_order_hint:
+            w.f(0, 1)   # enable_jnt_comp
+            w.f(0, 1)   # enable_ref_frame_mvs
+        # screen content tools: fixed off at sequence level =>
+        # seq_force_screen_content_tools = 0 and force_integer_mv
+        # implied; frames then code no allow_screen_content_tools bit
+        w.f(0, 1)   # seq_choose_screen_content_tools
+        w.f(0, 1)   # seq_force_screen_content_tools = 0
+        if sp.enable_order_hint:
+            w.f(sp.order_hint_bits - 1, 3)
     w.f(int(sp.enable_superres), 1)
     w.f(int(sp.enable_cdef), 1)
     w.f(int(sp.enable_restoration), 1)
@@ -278,24 +359,35 @@ def write_frame_header_bits(w: BitWriter, sp: SequenceParams,
                             fp: FrameParams):
     """Uncompressed frame header (no OBU wrapper, no trailing bits)."""
     is_intra = fp.frame_type in (KEY_FRAME, INTRA_ONLY_FRAME)
-    w.f(0, 1)   # show_existing_frame
-    w.f(fp.frame_type, 2)
-    w.f(int(fp.show_frame), 1)
-    if not fp.show_frame:
-        w.f(int(fp.showable_frame), 1)
-    error_resilient = True if (
-        fp.frame_type == S_FRAME or
-        (fp.frame_type == KEY_FRAME and fp.show_frame)) else \
-        fp.error_resilient_mode
-    if not (fp.frame_type == S_FRAME or
-            (fp.frame_type == KEY_FRAME and fp.show_frame)):
-        w.f(int(fp.error_resilient_mode), 1)
+    reduced = sp.reduced_still_picture_header
+    if reduced:
+        # spec 5.9.2: frame_type = KEY, show_frame = 1, no bits
+        assert fp.frame_type == KEY_FRAME and fp.show_frame
+        error_resilient = False
+    else:
+        w.f(0, 1)   # show_existing_frame
+        w.f(fp.frame_type, 2)
+        w.f(int(fp.show_frame), 1)
+        if not fp.show_frame:
+            w.f(int(fp.showable_frame), 1)
+        error_resilient = True if (
+            fp.frame_type == S_FRAME or
+            (fp.frame_type == KEY_FRAME and fp.show_frame)) else \
+            fp.error_resilient_mode
+        if not (fp.frame_type == S_FRAME or
+                (fp.frame_type == KEY_FRAME and fp.show_frame)):
+            w.f(int(fp.error_resilient_mode), 1)
     w.f(int(fp.disable_cdf_update), 1)
-    # seq_force_screen_content_tools == 0 => allow_sct = 0, not coded
-    assert not fp.allow_screen_content_tools, \
-        "screen content tools require SELECT at sequence level"
-    # frame_size_override_flag
-    if fp.frame_type != S_FRAME:
+    if reduced:
+        # seq_force_screen_content_tools == SELECT in reduced mode
+        w.f(int(fp.allow_screen_content_tools), 1)
+        assert not fp.allow_screen_content_tools
+    else:
+        # seq_force_screen_content_tools == 0 => allow_sct = 0, no bit
+        assert not fp.allow_screen_content_tools, \
+            "screen content tools require SELECT at sequence level"
+    # frame_size_override_flag (reduced: implied 0)
+    if not reduced and fp.frame_type != S_FRAME:
         w.f(0, 1)
     if sp.enable_order_hint:
         w.f(fp.order_hint, sp.order_hint_bits)
@@ -577,39 +669,45 @@ def read_sequence_header(payload: bytes) -> SequenceParams:
     profile = r.f(3)
     still = r.f(1)
     reduced = r.f(1)
-    assert not reduced
-    assert r.f(1) == 0  # timing
-    assert r.f(1) == 0  # initial display delay
-    op_cnt = r.f(5)
-    assert op_cnt == 0
-    r.f(12)
-    level = r.f(5)
-    tier = r.f(1) if level > 7 else 0
+    if reduced:
+        level = r.f(5)
+        tier = 0
+    else:
+        assert r.f(1) == 0  # timing
+        assert r.f(1) == 0  # initial display delay
+        op_cnt = r.f(5)
+        assert op_cnt == 0
+        r.f(12)
+        level = r.f(5)
+        tier = r.f(1) if level > 7 else 0
     wbits = r.f(4) + 1
     hbits = r.f(4) + 1
     width = r.f(wbits) + 1
     height = r.f(hbits) + 1
-    assert r.f(1) == 0  # frame ids
+    if not reduced:
+        assert r.f(1) == 0  # frame ids
     use128 = r.f(1)
     filter_intra = r.f(1)
     intra_edge = r.f(1)
-    r.f(1)  # interintra
-    r.f(1)  # masked
-    r.f(1)  # warped
-    r.f(1)  # dual filter
-    order_hint = r.f(1)
+    order_hint = 0
     order_hint_bits = 0
-    if order_hint:
-        r.f(1)
-        r.f(1)
-    choose_sct = r.f(1)
-    force_sct = 2 if choose_sct else r.f(1)
-    if force_sct > 0:
-        choose_imv = r.f(1)
-        force_imv = 2 if choose_imv else r.f(1)
-    assert force_sct == 0, "verifier assumes screen content off"
-    if order_hint:
-        order_hint_bits = r.f(3) + 1
+    if not reduced:
+        r.f(1)  # interintra
+        r.f(1)  # masked
+        r.f(1)  # warped
+        r.f(1)  # dual filter
+        order_hint = r.f(1)
+        if order_hint:
+            r.f(1)
+            r.f(1)
+        choose_sct = r.f(1)
+        force_sct = 2 if choose_sct else r.f(1)
+        if force_sct > 0:
+            choose_imv = r.f(1)
+            force_imv = 2 if choose_imv else r.f(1)
+        assert force_sct == 0, "verifier assumes screen content off"
+        if order_hint:
+            order_hint_bits = r.f(3) + 1
     superres = r.f(1)
     cdef = r.f(1)
     restoration = r.f(1)
@@ -626,7 +724,9 @@ def read_sequence_header(payload: bytes) -> SequenceParams:
     return SequenceParams(
         width=width, height=height, bit_depth=bit_depth,
         monochrome=bool(mono), seq_profile=profile,
-        still_picture=bool(still), use_128x128_superblock=bool(use128),
+        still_picture=bool(still),
+        reduced_still_picture_header=bool(reduced),
+        use_128x128_superblock=bool(use128),
         enable_filter_intra=bool(filter_intra),
         enable_intra_edge_filter=bool(intra_edge),
         enable_order_hint=bool(order_hint), order_hint_bits=order_hint_bits,
@@ -638,21 +738,31 @@ def read_sequence_header(payload: bytes) -> SequenceParams:
 
 def read_frame_header(r: BitReader, sp: SequenceParams) -> FrameParams:
     fp = FrameParams()
-    assert r.f(1) == 0, "show_existing_frame unsupported in verifier"
-    fp.frame_type = r.f(2)
-    fp.show_frame = bool(r.f(1))
-    if not fp.show_frame:
-        fp.showable_frame = bool(r.f(1))
-    is_intra = fp.frame_type in (KEY_FRAME, INTRA_ONLY_FRAME)
-    if fp.frame_type == S_FRAME or (fp.frame_type == KEY_FRAME
-                                    and fp.show_frame):
-        error_resilient = True
+    reduced = sp.reduced_still_picture_header
+    if reduced:
+        fp.frame_type = KEY_FRAME
+        fp.show_frame = True
+        error_resilient = False
     else:
-        error_resilient = bool(r.f(1))
+        assert r.f(1) == 0, "show_existing_frame unsupported in verifier"
+        fp.frame_type = r.f(2)
+        fp.show_frame = bool(r.f(1))
+        if not fp.show_frame:
+            fp.showable_frame = bool(r.f(1))
+        if fp.frame_type == S_FRAME or (fp.frame_type == KEY_FRAME
+                                        and fp.show_frame):
+            error_resilient = True
+        else:
+            error_resilient = bool(r.f(1))
+    is_intra = fp.frame_type in (KEY_FRAME, INTRA_ONLY_FRAME)
     fp.error_resilient_mode = error_resilient
     fp.disable_cdf_update = bool(r.f(1))
-    fp.allow_screen_content_tools = False  # seq_force_sct == 0
-    if fp.frame_type != S_FRAME:
+    if reduced:
+        fp.allow_screen_content_tools = bool(r.f(1))  # force == SELECT
+        assert not fp.allow_screen_content_tools
+    else:
+        fp.allow_screen_content_tools = False  # seq_force_sct == 0
+    if not reduced and fp.frame_type != S_FRAME:
         assert r.f(1) == 0  # frame_size_override
     if sp.enable_order_hint:
         fp.order_hint = r.f(sp.order_hint_bits)

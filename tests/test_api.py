@@ -79,3 +79,75 @@ def test_scene_cut_inserts_key_frame():
         for pl in ("y", "u", "v"):
             assert np.array_equal(rec[pl], p.recon[pl]), (i, pl)
     assert types == [0, 1, 1, 0, 1]
+
+
+def test_avif_still_picture_mode():
+    """AVIF mode: reduced_still_picture_header sequence + single key
+    frame; a second send_picture is rejected (enc_handle.c:5367)."""
+    import numpy as np
+    import pytest
+    from svt_av1_tpu.api.config import EncoderConfig
+    from svt_av1_tpu.api.encoder import Encoder
+    from svt_av1_tpu.codec.decoder import Decoder
+    rng = np.random.default_rng(0)
+    y = rng.integers(0, 256, (64, 80)).astype(np.uint8)
+    u = rng.integers(0, 256, (32, 40)).astype(np.uint8)
+    v = rng.integers(0, 256, (32, 40)).astype(np.uint8)
+    cfg = EncoderConfig(source_width=80, source_height=64, qp=40,
+                        avif=True)
+    enc = Encoder(cfg)
+    enc.send_picture(y, u, v, eos=True)
+    pkt = enc.get_packet()
+    dec = Decoder()
+    rec = dec.decode_temporal_unit(pkt.data)[0]
+    assert dec.sp.still_picture and dec.sp.reduced_still_picture_header
+    for p in ("y", "u", "v"):
+        assert np.array_equal(rec[p], pkt.recon[p]), p
+    with pytest.raises(ValueError):
+        enc.send_picture(y, u, v)
+
+
+def test_hdr_metadata_obus():
+    """CLL + MDCV metadata OBUs ride the first TU and parse back."""
+    import numpy as np
+    from svt_av1_tpu.api.config import EncoderConfig
+    from svt_av1_tpu.api.encoder import Encoder
+    from svt_av1_tpu.codec import obu
+    from svt_av1_tpu.codec.decoder import Decoder
+    y = np.full((64, 64), 128, np.uint8)
+    u = np.full((32, 32), 100, np.uint8)
+    v = np.full((32, 32), 150, np.uint8)
+    cfg = EncoderConfig(
+        source_width=64, source_height=64, qp=40,
+        content_light="1000,400",
+        mastering_display="G(0.2649,0.6900)B(0.1500,0.0600)"
+                          "R(0.6800,0.3200)WP(0.3127,0.3290)"
+                          "L(1000.0,0.0001)")
+    enc = Encoder(cfg)
+    enc.send_picture(y, u, v, eos=True)
+    pkt = enc.get_packet()
+    dec = Decoder()
+    dec.decode_temporal_unit(pkt.data)
+    cll = dec.metadata[obu.METADATA_TYPE_HDR_CLL]
+    assert cll == dict(max_cll=1000, max_fall=400)
+    mdcv = dec.metadata[obu.METADATA_TYPE_HDR_MDCV]
+    assert abs(mdcv["white_point"][0] - 0.3127) < 1e-4
+    assert abs(mdcv["max_luma"] - 1000.0) < 0.01
+
+
+def test_get_stream_info():
+    from svt_av1_tpu.api.config import EncoderConfig
+    from svt_av1_tpu.api.encoder import Encoder
+    import numpy as np
+    cfg = EncoderConfig(source_width=64, source_height=64, qp=40,
+                        pass_=1)
+    enc = Encoder(cfg)
+    y = np.full((64, 64), 128, np.uint8)
+    u = np.full((32, 32), 100, np.uint8)
+    v = np.full((32, 32), 150, np.uint8)
+    enc.send_picture(y, u, v, eos=True)
+    enc.get_packet()
+    assert enc.get_stream_info(0) == enc.get_stats()
+    import pytest
+    with pytest.raises(ValueError):
+        enc.get_stream_info(3)

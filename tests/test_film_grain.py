@@ -141,3 +141,55 @@ def test_film_grain_signaling_roundtrip():
     gy, gu, gv = fg.apply_film_grain(
         fg.default_grain_params(8), rec["y"], rec["u"], rec["v"])
     assert not np.array_equal(gy, rec["y"])
+
+
+def test_noise_model_estimation():
+    """noise_model.c:2279 analog: flat blocks -> FFT-wiener denoise ->
+    AR fit -> scaling points; clean sources yield no params."""
+    from svt_av1_tpu.pipeline import noise_model as nm
+    rng = np.random.default_rng(11)
+    h, w = 192, 256
+    yy, xx = np.mgrid[0:h, 0:w]
+    clean = np.clip(90 + 70 * np.sin(xx / 45.0) + 40 * np.cos(yy / 37.0),
+                    0, 255)
+    white = rng.normal(0, 6, (h + 4, w + 4))
+    noise = (white[2:-2, 2:-2] + 0.5 * white[1:-3, 2:-2]
+             + 0.3 * white[2:-2, 1:-3])
+    src = np.clip(clean + noise, 0, 255).astype(np.uint8)
+    u = np.clip(128 + rng.normal(0, 3, (h // 2, w // 2)), 0,
+                255).astype(np.uint8)
+    v = np.clip(128 + rng.normal(0, 3, (h // 2, w // 2)), 0,
+                255).astype(np.uint8)
+    p, den = nm.estimate_grain_params(src, u, v, denoise=True)
+    assert p is not None
+    assert len(p.scaling_points_y) >= 2
+    xs = [a for a, _ in p.scaling_points_y]
+    assert xs == sorted(xs) and len(set(xs)) == len(xs)
+    assert all(-128 <= c <= 127 for c in p.ar_coeffs_y)
+    # denoising must reduce distance to the clean plate
+    assert (np.std(den["y"].astype(float) - clean)
+            < np.std(src.astype(float) - clean))
+    p2, _ = nm.estimate_grain_params(
+        np.clip(clean, 0, 255).astype(np.uint8), None, None)
+    assert p2 is None
+
+
+def test_estimated_grain_signaling_roundtrip():
+    """Estimated params survive header write/parse and synthesis runs."""
+    from svt_av1_tpu.api.config import EncoderConfig
+    from svt_av1_tpu.api.encoder import Encoder
+    from svt_av1_tpu.codec.decoder import Decoder
+    rng = np.random.default_rng(5)
+    h, w = 128, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.clip(100 + 60 * np.sin(xx / 33.0), 0, 255)
+    y = np.clip(base + rng.normal(0, 5, (h, w)), 0, 255).astype(np.uint8)
+    u = np.full((h // 2, w // 2), 120, np.uint8)
+    v = np.full((h // 2, w // 2), 130, np.uint8)
+    cfg = EncoderConfig(source_width=w, source_height=h, qp=40,
+                        film_grain_denoise_strength=8)
+    enc = Encoder(cfg)
+    enc.send_picture(y, u, v, eos=True)
+    pkt = enc.get_packet()
+    rec = Decoder().decode_temporal_unit(pkt.data)[0]
+    assert np.array_equal(rec["y"], pkt.recon["y"])
