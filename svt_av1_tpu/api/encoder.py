@@ -149,6 +149,14 @@ class Encoder:
         self._rc = RateControlState.create(config, fps)
         from svt_av1_tpu.pipeline.presets import features_for
         self._feat = features_for(config.enc_mode)
+        # filter-intra: sequence flag + MD pseudo-mode candidates
+        self.sp.enable_filter_intra = self._feat.filter_intra
+        from svt_av1_tpu.codec import constants as cc
+        self._md_modes = self._feat.intra_modes
+        if self._feat.filter_intra:
+            self._md_modes = self._feat.intra_modes + tuple(
+                cc.FI_MODE_BASE + k
+                for k in range(cc.FILTER_INTRA_MODES))
         # film grain params: estimated from the first key-frame source
         # (noise_model.py), cached; falls back to the strength preset
         self._grain_params = None
@@ -325,7 +333,7 @@ class Encoder:
         else:
             qindex = max(1, qindex - qindex // self._feat.kf_boost_div)
         decisions, recon = intra_encoder.encode_intra_frame(
-            y, u, v, qindex, modes=self._feat.intra_modes,
+            y, u, v, qindex, modes=self._md_modes,
             bd=self.cfg.encoder_bit_depth, qmap=qmap)
         pkt, full, tenc = self._packetize(
             decisions, recon, qindex, poc, is_key=True,
@@ -513,7 +521,8 @@ class Encoder:
         arrays_ok = (fast_ec.available() and qindex > 0
                      and self.cfg.encoder_bit_depth == 8
                      and not self.sp.enable_restoration
-                     and not self.sp.enable_cdef)
+                     and not self.sp.enable_cdef
+                     and not self.sp.enable_filter_intra)
 
         from svt_av1_tpu.utils.profiling import stage
 
@@ -547,7 +556,9 @@ class Encoder:
             chunk = padded[i:i + CH]
             with stage("device_dispatch"):
                 launched = intra_encoder.encode_intra_frames_launch(
-                    chunk, q, modes=self._feat.intra_modes,
+                    chunk, q,
+                    modes=(self._md_modes if not arrays_ok
+                           else self._feat.intra_modes),
                     bd=self.cfg.encoder_bit_depth,
                     tile_starts=(self._tile_starts if arrays_ok
                                  else (0,)),
@@ -787,12 +798,12 @@ class Encoder:
                 from svt_av1_tpu.pipeline import varpart
                 with stage("device_md_intra"):
                     decisions, recon = varpart.encode_intra_frame_varpart(
-                        y, u, v, qindex, modes=self._feat.intra_modes,
+                        y, u, v, qindex, modes=self._md_modes,
                         bd=self.cfg.encoder_bit_depth)
             else:
                 with stage("device_md_intra"):
                     decisions, recon = intra_encoder.encode_intra_frame(
-                        y, u, v, qindex, modes=self._feat.intra_modes,
+                        y, u, v, qindex, modes=self._md_modes,
                         bd=self.cfg.encoder_bit_depth, qmap=qmap,
                         rdoq=self._feat.rdoq,
                         tx_search=self._feat.tx_search,
@@ -948,6 +959,7 @@ class Encoder:
                            init_nmv=init_nmv)
         if lr_info is not None:
             tenc.set_lr(lr_info)
+        tenc.enable_filter_intra = self.sp.enable_filter_intra
         if fp.cdef_bits:
             tenc.set_cdef(fp.cdef_bits, cdef_idx_map)
         if not is_key:

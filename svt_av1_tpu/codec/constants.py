@@ -136,6 +136,12 @@ SMOOTH_V_PRED = 10
 SMOOTH_H_PRED = 11
 PAETH_PRED = 12
 INTRA_MODES = 13
+
+# recursive filter-intra (spec 5.11.31): signaled as y_mode DC_PRED +
+# use_filter_intra + filter_intra_mode.  MD uses pseudo-mode ids
+# FI_MODE_BASE + k so filter candidates flow through the same wave RD.
+FI_MODE_BASE = 64
+FILTER_INTRA_MODES = 5
 UV_CFL_PRED = 13
 UV_INTRA_MODES = 14
 

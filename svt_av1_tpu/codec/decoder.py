@@ -89,6 +89,7 @@ class Decoder:
                            init_nmv=init_nmv)
         if not is_intra:
             tdec.set_gm(fp.gm_trans)
+        tdec.enable_filter_intra = self.sp.enable_filter_intra
         if fp.cdef_bits:
             tdec.set_cdef(fp.cdef_bits)
         lr_info = None
@@ -197,6 +198,7 @@ class Decoder:
                                reduced_tx_set=fp.reduced_tx_set,
                                update_cdfs=not fp.disable_cdf_update,
                                frame_is_intra=True)
+            tdec.enable_filter_intra = self.sp.enable_filter_intra
             if (s, e) == layout[0]:   # context_update_tile_id = 0
                 t0 = tdec
             for (r4, c4), d in tdec.decode(data).items():

@@ -181,7 +181,10 @@ def md_rate_args(qindex: int, modes, uv_modes) -> tuple:
     cost curves (RDOQ prices bits-vs-distortion with these; the decision
     curves stay sparsity-biased for mode ranking, see module doc)."""
     t = tables_for_qindex(int(qindex))
-    mode_bits = np.array([t["y_mode_bits"][m] for m in modes], np.float32)
+    # filter-intra pseudo-modes (>= FI_MODE_BASE) signal as DC
+    mode_bits = np.array(
+        [t["y_mode_bits"][m if m < cc.INTRA_MODES else cc.DC_PRED]
+         for m in modes], np.float32)
     uv_bits = np.array([t["uv_mode_bits"][m] for m in uv_modes],
                        np.float32)
     rq = rdoq_tables_for_qindex(int(qindex))

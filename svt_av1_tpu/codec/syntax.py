@@ -135,6 +135,8 @@ class BlockDecision:
     ref: int = mv_pred.LAST_FRAME
     # per-SB adaptive quantization (0 = frame base_q_idx)
     qindex: int = 0
+    # recursive filter-intra (y_mode == DC_PRED carrier); -1 = off
+    filter_intra_mode: int = -1
 
     @property
     def skip(self) -> bool:
@@ -338,6 +340,16 @@ class TileCoderBase:
         self.cdef_idx = np.full((self.sb_rows, self.sb_cols), -1,
                                 np.int32)
         self._cdef_map = None
+        # sequence-level enable_filter_intra: eligible DC blocks code a
+        # use_filter_intra flag (spec filter_intra_mode_info, 5.11.31)
+        self.enable_filter_intra = False
+
+    def _filter_intra_allowed(self, bsize, is_inter, y_mode) -> bool:
+        """Spec FilterIntraAllowed (palette is never coded here)."""
+        return (self.enable_filter_intra and not is_inter
+                and y_mode == cc.DC_PRED
+                and int(cc.block_size_wide[bsize]) <= 32
+                and int(cc.block_size_high[bsize]) <= 32)
 
     def set_cdef(self, bits: int, idx_map=None) -> None:
         """Enable per-SB cdef_idx coding.  idx_map: (sb_rows, sb_cols)
@@ -434,6 +446,7 @@ class TileEncoder(TileCoderBase):
         if (native_ok and self.frame_is_intra and leaf_size == 16
                 and self.base_q_idx > 0 and self.lr is None
                 and self.delta_q_res is None and self.cdef_bits == 0
+                and not self.enable_filter_intra
                 and all(d.bsize == cc.BLOCK_16X16
                         and d.tx_type == cc.DCT_DCT
                         and d.qcoeff_u is not None
@@ -576,6 +589,20 @@ class TileEncoder(TileCoderBase):
             if d.uv_mode == cc.UV_CFL_PRED:
                 self._encode_cfl_alphas(d.cfl_alpha_u, d.cfl_alpha_v)
             self._encode_angle(d.uv_mode, d.angle_delta_uv)
+
+        if self._filter_intra_allowed(bsize, is_inter, d.y_mode):
+            use = d.filter_intra_mode >= 0
+            cdf = cdfs.filter_intra[bsize]
+            enc.encode_symbol(int(use), cdf, 2)
+            if self.update:
+                update_cdf(cdf, int(use), 2)
+            if use:
+                mcdf = cdfs.filter_intra_mode
+                enc.encode_symbol(d.filter_intra_mode, mcdf,
+                                  cc.FILTER_INTRA_MODES)
+                if self.update:
+                    update_cdf(mcdf, d.filter_intra_mode,
+                               cc.FILTER_INTRA_MODES)
 
         ctx.set_block(r4, c4, bsize, d.y_mode, skip, is_inter, d.ref)
         self._set_migrid(r4, c4, bsize, d, is_inter,
@@ -871,6 +898,18 @@ class TileDecoder(TileCoderBase):
                 cfl_au, cfl_av = self._read_cfl_alphas()
             angle_uv = self._read_angle(uv_mode)
 
+        fi_mode = -1
+        if self._filter_intra_allowed(bsize, is_inter, y_mode):
+            cdf = cdfs.filter_intra[bsize]
+            use = dec.read_symbol(cdf, 2)
+            if self.update:
+                update_cdf(cdf, use, 2)
+            if use:
+                mcdf = cdfs.filter_intra_mode
+                fi_mode = dec.read_symbol(mcdf, cc.FILTER_INTRA_MODES)
+                if self.update:
+                    update_cdf(mcdf, fi_mode, cc.FILTER_INTRA_MODES)
+
         ctx.set_block(r4, c4, bsize, y_mode, skip, is_inter, ref)
         d_for_grid = BlockDecision(
             r4=r4, c4=c4, bsize=bsize, y_mode=y_mode, uv_mode=uv_mode,
@@ -934,7 +973,8 @@ class TileDecoder(TileCoderBase):
             angle_delta_y=angle_y, angle_delta_uv=angle_uv,
             cfl_alpha_u=cfl_au, cfl_alpha_v=cfl_av,
             qindex=(self.current_qindex
-                    if self.delta_q_res is not None else 0))
+                    if self.delta_q_res is not None else 0),
+            filter_intra_mode=fi_mode)
 
     def _read_cfl_alphas(self):
         dec = self.dec

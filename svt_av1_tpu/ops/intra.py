@@ -295,3 +295,120 @@ def predict(mode: int, above, left, above_left, h: int, w: int,
     if mode in (cc.D135_PRED, cc.D113_PRED, cc.D157_PRED):
         return z2_pred(above, left, above_left, h, w, MODE_TO_ANGLE[mode])
     raise NotImplementedError(f"intra mode {mode}")
+
+
+# ---------------------------------------------------------------------------
+# recursive filter intra (spec 7.11.2.3; reference filterintra_c.c
+# svt_av1_filter_intra_predictor / intra_prediction.c:2474 highbd)
+# ---------------------------------------------------------------------------
+
+# normative Intra_Filter_Taps (5 modes x 8 outputs x 7 inputs)
+FILTER_INTRA_TAPS = np.array([
+    [[-6, 10, 0, 0, 0, 12, 0], [-5, 2, 10, 0, 0, 9, 0],
+     [-3, 1, 1, 10, 0, 7, 0], [-3, 1, 1, 2, 10, 5, 0],
+     [-4, 6, 0, 0, 0, 2, 12], [-3, 2, 6, 0, 0, 2, 9],
+     [-3, 2, 2, 6, 0, 2, 7], [-3, 1, 2, 2, 6, 3, 5]],
+    [[-10, 16, 0, 0, 0, 10, 0], [-6, 0, 16, 0, 0, 6, 0],
+     [-4, 0, 0, 16, 0, 4, 0], [-2, 0, 0, 0, 16, 2, 0],
+     [-10, 16, 0, 0, 0, 0, 10], [-6, 0, 16, 0, 0, 0, 6],
+     [-4, 0, 0, 16, 0, 0, 4], [-2, 0, 0, 0, 16, 0, 2]],
+    [[-8, 8, 0, 0, 0, 16, 0], [-8, 0, 8, 0, 0, 16, 0],
+     [-8, 0, 0, 8, 0, 16, 0], [-8, 0, 0, 0, 8, 16, 0],
+     [-4, 4, 0, 0, 0, 0, 16], [-4, 0, 4, 0, 0, 0, 16],
+     [-4, 0, 0, 4, 0, 0, 16], [-4, 0, 0, 0, 4, 0, 16]],
+    [[-2, 8, 0, 0, 0, 10, 0], [-1, 3, 8, 0, 0, 6, 0],
+     [-1, 2, 3, 8, 0, 4, 0], [0, 1, 2, 3, 8, 2, 0],
+     [-1, 4, 0, 0, 0, 3, 10], [-1, 3, 4, 0, 0, 4, 6],
+     [-1, 2, 3, 4, 0, 4, 4], [-1, 2, 2, 3, 4, 3, 3]],
+    [[-12, 14, 0, 0, 0, 14, 0], [-10, 0, 14, 0, 0, 12, 0],
+     [-9, 0, 0, 14, 0, 11, 0], [-8, 0, 0, 0, 14, 10, 0],
+     [-10, 12, 0, 0, 0, 0, 14], [-9, 1, 12, 0, 0, 0, 12],
+     [-8, 0, 0, 12, 0, 1, 11], [-7, 0, 0, 1, 12, 1, 9]],
+], np.int32)
+
+FILTER_INTRA_MODES = 5
+
+
+def filter_intra_pred(above, left, above_left, fi_mode: int, h: int,
+                      w: int, bd: int = 8):
+    """Recursive filter-intra prediction, batched over B blocks.
+
+    4x2 tiles in an anti-diagonal wavefront (tile (tr, tc) reads its
+    above, above-right and left tiles); each wave is one small einsum
+    over all ready tiles.  Bit-exact vs the reference scalar loop."""
+    b = above.shape[0]
+    buf = jnp.zeros((b, h + 1, w + 1), jnp.int32)
+    buf = buf.at[:, 0, 0].set(above_left)
+    buf = buf.at[:, 0, 1:].set(above[:, :w])
+    buf = buf.at[:, 1:, 0].set(left[:, :h])
+    taps = jnp.asarray(FILTER_INTRA_TAPS[fi_mode])          # (8, 7)
+    nh, nw = h // 2, w // 4
+    hi = (1 << bd) - 1
+    for wv in range(2 * (nh - 1) + nw):
+        tiles = [(tr, tc) for tr in range(nh) for tc in range(nw)
+                 if 2 * tr + tc == wv]
+        if not tiles:
+            continue
+        ps = []
+        for tr, tc in tiles:
+            r, c = 2 * tr + 1, 4 * tc + 1
+            ps.append(jnp.stack(
+                [buf[:, r - 1, c - 1], buf[:, r - 1, c],
+                 buf[:, r - 1, c + 1], buf[:, r - 1, c + 2],
+                 buf[:, r - 1, c + 3], buf[:, r, c - 1],
+                 buf[:, r + 1, c - 1]], axis=-1))
+        p = jnp.stack(ps, axis=1)                            # (B, T, 7)
+        acc = jnp.einsum("btj,kj->btk", p, taps,
+                         preferred_element_type=jnp.int32)
+        # ROUND_POWER_OF_TWO_SIGNED(acc, 4), then pixel clip
+        mag = (jnp.abs(acc) + 8) >> 4
+        out = jnp.clip(jnp.where(acc < 0, -mag, mag), 0, hi)
+        for ti, (tr, tc) in enumerate(tiles):
+            r, c = 2 * tr + 1, 4 * tc + 1
+            buf = jax.lax.dynamic_update_slice(
+                buf, out[:, ti].reshape(b, 2, 4), (0, r, c))
+    return buf[:, 1:, 1:]
+
+
+def filter_intra_pred_multi(above, left, above_left, fi_modes, h: int,
+                            w: int, bd: int = 8):
+    """All requested filter-intra modes in ONE wavefront pass: modes are
+    stacked along the batch axis with per-sample tap matrices, so the
+    trace cost is that of a single mode.  Returns (M, B, h, w)."""
+    b = above.shape[0]
+    m = len(fi_modes)
+    above_m = jnp.tile(above, (m, 1))
+    left_m = jnp.tile(left, (m, 1))
+    corner_m = jnp.tile(above_left, (m,))
+    taps_m = jnp.repeat(jnp.asarray(FILTER_INTRA_TAPS[list(fi_modes)]),
+                        b, axis=0)                       # (M*B, 8, 7)
+    bm = b * m
+    buf = jnp.zeros((bm, h + 1, w + 1), jnp.int32)
+    buf = buf.at[:, 0, 0].set(corner_m)
+    buf = buf.at[:, 0, 1:].set(above_m[:, :w])
+    buf = buf.at[:, 1:, 0].set(left_m[:, :h])
+    nh, nw = h // 2, w // 4
+    hi = (1 << bd) - 1
+    for wv in range(2 * (nh - 1) + nw):
+        tiles = [(tr, tc) for tr in range(nh) for tc in range(nw)
+                 if 2 * tr + tc == wv]
+        if not tiles:
+            continue
+        ps = []
+        for tr, tc in tiles:
+            r, c = 2 * tr + 1, 4 * tc + 1
+            ps.append(jnp.stack(
+                [buf[:, r - 1, c - 1], buf[:, r - 1, c],
+                 buf[:, r - 1, c + 1], buf[:, r - 1, c + 2],
+                 buf[:, r - 1, c + 3], buf[:, r, c - 1],
+                 buf[:, r + 1, c - 1]], axis=-1))
+        p = jnp.stack(ps, axis=1)                        # (MB, T, 7)
+        acc = jnp.einsum("btj,bkj->btk", p, taps_m,
+                         preferred_element_type=jnp.int32)
+        mag = (jnp.abs(acc) + 8) >> 4
+        out = jnp.clip(jnp.where(acc < 0, -mag, mag), 0, hi)
+        for ti, (tr, tc) in enumerate(tiles):
+            r, c = 2 * tr + 1, 4 * tc + 1
+            buf = jax.lax.dynamic_update_slice(
+                buf, out[:, ti].reshape(bm, 2, 4), (0, r, c))
+    return buf[:, 1:, 1:].reshape(m, b, h, w)

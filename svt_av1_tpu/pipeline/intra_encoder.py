@@ -57,8 +57,14 @@ def expand_tx_cands(modes, angle_deltas=False):
     DTT4_IDTX set with delta-0 modes; angle-delta refinements run with
     DCT_DCT only (the reference similarly restricts its delta search
     stage, intra_prediction.c angle-delta loops)."""
-    cand_modes = [(m, 0) for t in TX_SEARCH_SET for m in modes]
-    cand_txs = [t for t in TX_SEARCH_SET for _ in modes]
+    reg = [m for m in modes if m < cc.FI_MODE_BASE]
+    fi = [m for m in modes if m >= cc.FI_MODE_BASE]
+    cand_modes = [(m, 0) for t in TX_SEARCH_SET for m in reg]
+    cand_txs = [t for t in TX_SEARCH_SET for _ in reg]
+    # filter-intra candidates run once, DCT only
+    cand_modes += [(m, 0) for m in fi]
+    cand_txs += [cc.DCT_DCT for _ in fi]
+    modes = reg
     if angle_deltas:
         for m in modes:
             if not (cc.V_PRED <= m <= cc.D67_PRED):
@@ -73,6 +79,9 @@ def _predict_cand(mode, delta, n, above, left, corner, above_ext,
                   left_ext, have_above, have_left, bd):
     """Prediction for one (mode, angle_delta) candidate; zone picked
     from the final angle (spec §7.11.2 directional zones)."""
+    if mode >= cc.FI_MODE_BASE:
+        return intra.filter_intra_pred(above, left, corner,
+                                       mode - cc.FI_MODE_BASE, n, n, bd)
     angle = cand_angle(mode, delta)
     if angle and angle != 90 and angle != 180:
         if angle < 90:
@@ -244,6 +253,16 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
     choice mask as a 4th output."""
     b = ys.shape[0]
     cands = [m if isinstance(m, tuple) else (m, 0) for m in modes]
+    if n > 32:
+        # filter-intra is illegal above 32x32 (spec FilterIntraAllowed)
+        fi_drop = [c for c in cands if c[0] < cc.FI_MODE_BASE]
+        if len(fi_drop) != len(cands):
+            assert rates is None, \
+                "rate tables must match the filtered candidate list"
+            cands = fi_drop
+            modes = tuple(m for m in modes
+                          if (m[0] if isinstance(m, tuple) else m)
+                          < cc.FI_MODE_BASE)
     above, left, corner = _gather_neighbors(recon, ys, xs, n,
                                             have_above, have_left, bd=bd)
     angles = [cand_angle(m, d) for m, d in cands]
@@ -271,6 +290,15 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
     preds = []
     same_tx = tx_types is None or len(set(tx_types)) == 1
     pred_cache = {}
+    fi_list = sorted({m for m, _ in cands if m >= cc.FI_MODE_BASE})
+    if fi_list:
+        # all filter-intra modes share ONE wavefront pass (trace cost
+        # of a single mode; modes ride the batch axis)
+        fi_all = intra.filter_intra_pred_multi(
+            above, left, corner,
+            tuple(m - cc.FI_MODE_BASE for m in fi_list), n, n, bd)
+        for k, m in enumerate(fi_list):
+            pred_cache[(m, 0)] = fi_all[k]
     for mi, (mode, delta) in enumerate(cands):
         key = (mode, delta)
         if key in pred_cache:
@@ -924,6 +952,14 @@ def _schedule_arrays(gh, gw, maxb, tile_starts=(0,)):
     return waves, bys, bxs, valid, trs, bls, hls
 
 
+def split_fi_mode(m: int):
+    """(y_mode, filter_intra_mode) from an MD mode id (pseudo-modes
+    >= FI_MODE_BASE signal as DC + filter_intra_mode)."""
+    if m >= cc.FI_MODE_BASE:
+        return cc.DC_PRED, m - cc.FI_MODE_BASE
+    return m, -1
+
+
 def _collect_decisions_dense(gh, gw, ym, um, qy, qu, qv_,
                              qmap=None, cands=None, au=None, av=None):
     """Build per-block BlockDecisions from dense raster (gh*gw) arrays.
@@ -942,12 +978,13 @@ def _collect_decisions_dense(gh, gw, ym, um, qy, qu, qv_,
                 y_mode, adelta, tx_type = cands[int(ym[bid])]
             else:
                 y_mode, adelta, tx_type = int(ym[bid]), 0, cc.DCT_DCT
+            y_mode, fi = split_fi_mode(int(y_mode))
             decisions[(r4, c4)] = BlockDecision(
                 r4=r4, c4=c4, bsize=cc.BLOCK_16X16,
                 y_mode=int(y_mode), uv_mode=int(um[bid]),
                 tx_type=int(tx_type), qcoeff_y=qy[bid],
                 qcoeff_u=qu[bid], qcoeff_v=qv_[bid],
-                angle_delta_y=int(adelta),
+                angle_delta_y=int(adelta), filter_intra_mode=fi,
                 cfl_alpha_u=(int(au[bid]) if au is not None else 0),
                 cfl_alpha_v=(int(av[bid]) if av is not None else 0),
                 qindex=(int(qmap[by // 4, bx // 4])
@@ -1075,7 +1112,9 @@ def reconstruct_from_decisions(decisions: Dict, width: int, height: int,
         tx = MAX_TX[d.bsize]
         qp_b = (quant.make_quant_params(d.qindex, bd=bd)
                 if d.qindex else qp)
-        state["y"] = _recon_block(state["y"], d.qcoeff_y, d.y_mode,
+        y_md_mode = (cc.FI_MODE_BASE + d.filter_intra_mode
+                     if d.filter_intra_mode >= 0 else d.y_mode)
+        state["y"] = _recon_block(state["y"], d.qcoeff_y, y_md_mode,
                                   d.r4 * 4, d.c4 * 4, n, tx, d.tx_type,
                                   qp_b, tr, bl, bd,
                                   have_left=tile_left,

@@ -34,6 +34,7 @@ class PresetFeatures:
     cfl: bool = False        # chroma-from-luma candidate
     dlf_search: bool = False  # per-plane DLF level search (vs heuristic)
     cdef_sb: bool = False     # per-SB CDEF strengths (cdef_bits > 0)
+    filter_intra: bool = False  # recursive filter-intra candidates
 
 
 def features_for(enc_mode: int) -> PresetFeatures:
@@ -42,7 +43,8 @@ def features_for(enc_mode: int) -> PresetFeatures:
         return PresetFeatures(_ALL_MODES, 8, 7, True, 8,
                               tuple(range(16)), 3, varpart=True,
                               tx_search=True, angle_deltas=True,
-                              cfl=True, dlf_search=True, cdef_sb=True)
+                              cfl=True, dlf_search=True, cdef_sb=True,
+                              filter_intra=True)
     if m <= 8:
         return PresetFeatures(_ALL_MODES[:8], 8, 5, True, 6,
                               tuple(range(0, 16, 2)), 3, tx_search=True,

@@ -35,7 +35,7 @@ from svt_av1_tpu.codec.syntax import BlockDecision
 from svt_av1_tpu.ops import quant
 from svt_av1_tpu.pipeline.intra_encoder import (
     BLK, CBLK, MODES, _rd_step, _rd_step_chroma, _gather_block,
-    _scatter_blocks, tr_bl_avail, _wave_schedule)
+    _scatter_blocks, split_fi_mode, tr_bl_avail, _wave_schedule)
 
 # z-order of sub-blocks within their parent
 _SUBS = ((0, 0), (0, 1), (1, 0), (1, 1))
@@ -290,33 +290,36 @@ def encode_intra_frame_varpart(src_y, src_u, src_v, qindex: int,
                     y_mode=int(m64[i, j]), uv_mode=int(uv64[i, j]),
                     tx_type=cc.DCT_DCT, qcoeff_y=q64[i, j],
                     qcoeff_u=qu64[i, j], qcoeff_v=qv64[i, j])
-                continue
+                continue  # (64: filter-intra illegal, modes are raw)
             for q, (qr, qc) in enumerate(_SUBS):
                 qy16, qx16 = by * 4 + qr * 2, bx * 4 + qc * 2
                 if qy16 >= gh16 or qx16 >= gw16:
                     continue
                 if ch32[i, j, q]:
                     r4, c4 = qy16 * 4, qx16 * 4
+                    ym32, fi32 = split_fi_mode(int(m32[i, j, q]))
                     decisions[(r4, c4)] = BlockDecision(
                         r4=r4, c4=c4, bsize=cc.BLOCK_32X32,
-                        y_mode=int(m32[i, j, q]),
-                        uv_mode=int(uv32[i, j, q]),
+                        y_mode=ym32, uv_mode=int(uv32[i, j, q]),
                         tx_type=cc.DCT_DCT, qcoeff_y=q32[i, j, q],
-                        qcoeff_u=qu32[i, j, q], qcoeff_v=qv32[i, j, q])
+                        qcoeff_u=qu32[i, j, q], qcoeff_v=qv32[i, j, q],
+                        filter_intra_mode=fi32)
                     continue
                 for s, (sr, sc) in enumerate(_SUBS):
                     sy16, sx16 = qy16 + sr, qx16 + sc
                     if sy16 >= gh16 or sx16 >= gw16:
                         continue
                     r4, c4 = sy16 * 4, sx16 * 4
+                    ym16, fi16 = split_fi_mode(int(m16[i, j, q, s]))
                     decisions[(r4, c4)] = BlockDecision(
                         r4=r4, c4=c4, bsize=cc.BLOCK_16X16,
-                        y_mode=int(m16[i, j, q, s]),
+                        y_mode=ym16,
                         uv_mode=int(uv16[i, j, q, s]),
                         tx_type=cc.DCT_DCT,
                         qcoeff_y=q16[i, j, q, s],
                         qcoeff_u=qu16[i, j, q, s],
-                        qcoeff_v=qv16[i, j, q, s])
+                        qcoeff_v=qv16[i, j, q, s],
+                        filter_intra_mode=fi16)
     dt = np.uint8 if bd == 8 else np.uint16
     recon = dict(y=ry[:h, :w].astype(dt), u=ru[:h // 2, :w // 2].astype(dt),
                  v=rv[:h // 2, :w // 2].astype(dt))
