@@ -86,6 +86,30 @@ def _variance_qmap(y: np.ndarray, base_q: int) -> np.ndarray:
     return np.clip(base_q + delta, 1, 255)
 
 
+def _segment_qmap(y: np.ndarray, base_q: int):
+    """Segment-based AQ: variance deltas -> SEG_LVL_ALT_Q segments.
+
+    Returns ((SegmentationParams, per-SB segment-id map), per-SB qindex
+    map for the MD quantizer)."""
+    from svt_av1_tpu.codec import segmentation as seg_mod
+    h, w = y.shape
+    sh, sw = (h + 63) // 64, (w + 63) // 64
+    yp = np.pad(y.astype(np.float64),
+                ((0, sh * 64 - h), (0, sw * 64 - w)), mode="edge")
+    blocks = yp.reshape(sh, 64, sw, 64).transpose(0, 2, 1, 3)
+    var = blocks.var(axis=(2, 3)) + 1.0
+    med = max(float(np.median(var)), 1.0)
+    delta = (np.clip(np.round(np.log2(var / med) * 2.0), -3, 3) * 4
+             ).astype(np.int32)
+    deltas = sorted(set(delta.reshape(-1).tolist()))[:8]
+    seg_of = {d: i for i, d in enumerate(deltas)}
+    seg_map = np.vectorize(
+        lambda d: seg_of.get(d, len(deltas) - 1))(delta).astype(np.int32)
+    params = seg_mod.alt_q_params(deltas)
+    qmap = np.clip(base_q + np.array(deltas, np.int32)[seg_map], 1, 255)
+    return (params, seg_map), qmap
+
+
 def _skip_map(decisions, gh: int, gw: int) -> np.ndarray:
     """(gh, gw) bool: skip flag per 16x16 cell, filled from each leaf
     decision's true block size (varpart emits 32x32 leaves)."""
@@ -787,9 +811,15 @@ class Encoder:
             # spend more bits on them (rc_process.c kf boost analog)
             qindex = max(1, qindex - qindex // self._feat.kf_boost_div)
         qmap = None
+        seg_info = None
         if (self.cfg.enable_adaptive_quantization and is_key
                 and not self._feat.varpart):
-            qmap = _variance_qmap(y, qindex)
+            if self.cfg.enable_adaptive_quantization == 2:
+                # segment-based AQ: the variance deltas become
+                # SEG_LVL_ALT_Q segments (segmentation.c role)
+                seg_info, qmap = _segment_qmap(y, qindex)
+            else:
+                qmap = _variance_qmap(y, qindex)
         if is_key:
             if (self._feat.varpart and not self.cfg.enable_dlf_flag
                     and qmap is None):
@@ -821,7 +851,9 @@ class Encoder:
         pkt = self._packetize(decisions, recon, qindex, pts,
                               is_key=is_key, src=dict(y=y, u=u, v=v),
                               src_full=src_full,
-                              delta_q=qmap is not None,
+                              delta_q=(qmap is not None
+                                       and seg_info is None),
+                              seg=seg_info,
                               gm=None if is_key else gm)
         if self.cfg.stat_report and pkt.recon is not None:
             from svt_av1_tpu.utils import metrics
@@ -838,7 +870,8 @@ class Encoder:
                    is_key: bool = True, src=None,
                    src_full=None, delta_q: bool = False,
                    fp_setup=None, chain="auto",
-                   return_state: bool = False, gm=None) -> Packet:
+                   return_state: bool = False, gm=None,
+                   seg=None) -> Packet:
         """Filters + entropy coding + OBU assembly for one frame.
 
         fp_setup: optional callable mutating the FrameParams (hierarchical
@@ -863,6 +896,8 @@ class Encoder:
         if delta_q:
             fp.delta_q_present = True
             fp.delta_q_res = 2
+        if seg is not None:
+            fp.segmentation = seg[0]
         if self.cfg.film_grain_denoise_strength > 0:
             fp.film_grain = self._grain(
                 src["y"] if src is not None else None,
@@ -960,6 +995,11 @@ class Encoder:
         if lr_info is not None:
             tenc.set_lr(lr_info)
         tenc.enable_filter_intra = self.sp.enable_filter_intra
+        if seg is not None:
+            # per-SB segment ids -> mi granularity for the tile coder
+            mi_map = np.repeat(np.repeat(seg[1], 16, 0), 16, 1)
+            tenc.set_segmentation(fp.segmentation,
+                                  mi_map[:tenc.mi_rows, :tenc.mi_cols])
         if fp.cdef_bits:
             tenc.set_cdef(fp.cdef_bits, cdef_idx_map)
         if not is_key:

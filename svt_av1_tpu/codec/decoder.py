@@ -90,6 +90,8 @@ class Decoder:
         if not is_intra:
             tdec.set_gm(fp.gm_trans)
         tdec.enable_filter_intra = self.sp.enable_filter_intra
+        if fp.segmentation is not None:
+            tdec.set_segmentation(fp.segmentation)
         if fp.cdef_bits:
             tdec.set_cdef(fp.cdef_bits)
         lr_info = None

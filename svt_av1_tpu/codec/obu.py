@@ -93,6 +93,7 @@ class FrameParams:
     render_width: int = 0
     render_height: int = 0
     film_grain = None  # Optional[film_grain.FilmGrainParams]
+    segmentation = None  # Optional[segmentation.SegmentationParams]
     tx_mode_select: bool = False   # False => TX_MODE_LARGEST
     reduced_tx_set: bool = False
     allow_screen_content_tools: bool = False
@@ -439,8 +440,12 @@ def write_frame_header_bits(w: BitWriter, sp: SequenceParams,
         w.f(0, 1)  # delta_q_u_dc
         w.f(0, 1)  # delta_q_u_ac
     w.f(0, 1)   # using_qmatrix
-    # segmentation_params
-    w.f(0, 1)   # segmentation_enabled
+    # segmentation_params (spec 5.9.14)
+    from svt_av1_tpu.codec import segmentation as seg_mod
+    seg_mod.write_params(
+        w, fp.segmentation,
+        primary_ref_none=fp.primary_ref_frame == PRIMARY_REF_NONE
+        or is_intra)
     # delta_q_params
     if fp.base_q_idx > 0:
         w.f(int(fp.delta_q_present), 1)
@@ -820,7 +825,10 @@ def read_frame_header(r: BitReader, sp: SequenceParams) -> FrameParams:
         assert r.f(1) == 0
         assert r.f(1) == 0
     assert r.f(1) == 0  # qm
-    assert r.f(1) == 0  # segmentation
+    from svt_av1_tpu.codec import segmentation as seg_mod
+    fp.segmentation = seg_mod.read_params(
+        r, primary_ref_none=fp.primary_ref_frame == PRIMARY_REF_NONE
+        or is_intra)
     if fp.base_q_idx > 0:
         fp.delta_q_present = bool(r.f(1))
         if fp.delta_q_present:

@@ -343,6 +343,45 @@ class TileCoderBase:
         # sequence-level enable_filter_intra: eligible DC blocks code a
         # use_filter_intra flag (spec filter_intra_mode_info, 5.11.31)
         self.enable_filter_intra = False
+        # segmentation (SEG_LVL_ALT_Q on intra frames): params + coded
+        # per-mi segment-id map (spec read_segment_id, 5.11.14)
+        self.seg = None
+        self.seg_ids = None
+        self._seg_map = None
+
+    def set_segmentation(self, seg, seg_map=None) -> None:
+        """seg: SegmentationParams; seg_map (encoder side): (mi_rows,
+        mi_cols) desired segment ids."""
+        self.seg = seg
+        self.seg_ids = np.zeros((self.mi_rows, self.mi_cols), np.int32)
+        if seg_map is not None:
+            self._seg_map = np.asarray(seg_map, np.int32)
+
+    def _code_segment_id(self, r4, c4, bsize, skip, dec=None) -> int:
+        """Spatially-predicted segment id (spec 5.11.14); encoder side
+        when dec is None.  Returns the coded id and records it for the
+        block's mi region (future neighbor prediction)."""
+        from svt_av1_tpu.codec import segmentation as seg_mod
+        pred, ctx_id = seg_mod.seg_pred_and_ctx(self.seg_ids, r4, c4)
+        mx = self.seg.last_active_seg_id + 1
+        if skip:
+            sid = pred
+        else:
+            cdf = self.cdfs.spatial_pred_seg[ctx_id]
+            if dec is None:
+                sid = min(int(self._seg_map[r4, c4]), mx - 1)
+                diff = seg_mod.neg_interleave(sid, pred, mx)
+                self.enc.encode_symbol(diff, cdf, seg_mod.MAX_SEGMENTS)
+            else:
+                diff = dec.read_symbol(cdf, seg_mod.MAX_SEGMENTS)
+                sid = int(np.clip(
+                    seg_mod.neg_deinterleave(diff, pred, mx), 0, mx - 1))
+            if self.update:
+                update_cdf(cdf, diff, seg_mod.MAX_SEGMENTS)
+        w4 = int(cc.block_size_wide[bsize]) >> 2
+        h4 = int(cc.block_size_high[bsize]) >> 2
+        self.seg_ids[r4:r4 + h4, c4:c4 + w4] = sid
+        return sid
 
     def _filter_intra_allowed(self, bsize, is_inter, y_mode) -> bool:
         """Spec FilterIntraAllowed (palette is never coded here)."""
@@ -528,6 +567,11 @@ class TileEncoder(TileCoderBase):
         enc.encode_symbol(int(skip), cdfs.skip[sctx], 2)
         if self.update:
             update_cdf(cdfs.skip[sctx], int(skip), 2)
+
+        seg_id = 0
+        if self.seg is not None and self.frame_is_intra:
+            assert not self.seg.seg_id_pre_skip
+            seg_id = self._code_segment_id(r4, c4, bsize, skip)
 
         if self.cdef_bits and not skip:
             sr, sc = r4 >> 4, c4 >> 4
@@ -828,6 +872,11 @@ class TileDecoder(TileCoderBase):
         if self.update:
             update_cdf(cdfs.skip[sctx], skip, 2)
 
+        seg_id = 0
+        if self.seg is not None and self.frame_is_intra:
+            assert not self.seg.seg_id_pre_skip
+            seg_id = self._code_segment_id(r4, c4, bsize, skip, dec=dec)
+
         if self.cdef_bits and not skip:
             sr, sc = r4 >> 4, c4 >> 4
             if self.cdef_idx[sr, sc] < 0:
@@ -973,7 +1022,9 @@ class TileDecoder(TileCoderBase):
             angle_delta_y=angle_y, angle_delta_uv=angle_uv,
             cfl_alpha_u=cfl_au, cfl_alpha_v=cfl_av,
             qindex=(self.current_qindex
-                    if self.delta_q_res is not None else 0),
+                    if self.delta_q_res is not None
+                    else (self.seg.qindex_for(seg_id, self.base_q_idx)
+                          if self.seg is not None else 0)),
             filter_intra_mode=fi_mode)
 
     def _read_cfl_alphas(self):
