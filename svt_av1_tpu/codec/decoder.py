@@ -125,9 +125,11 @@ class Decoder:
                 if self.slots[slot] is not None:
                     refs[enum] = self.slots[slot]
             assert refs, "inter frame with empty DPB"
+            gm_models = {i + 1: m for i, m in enumerate(fp.gm_trans)
+                         if m is not None}
             recon = reconstruct_inter_from_decisions(
                 decisions, refs, coded_w, self.sp.height,
-                fp.base_q_idx, bd=self.sp.bit_depth)
+                fp.base_q_idx, bd=self.sp.bit_depth, gm=gm_models)
         recon = apply_loop_filter(recon, fp)
         deblocked = recon
         if self.sp.enable_cdef:

@@ -307,3 +307,31 @@ def _has_top_right(mi_row, mi_col, bw4, bh4, sb_mi, mi_cols) -> int:
             break
         b <<= 1
     return int(has_tr)
+
+
+def gm_block_mv(model, r4: int, c4: int, bsize: int,
+                allow_hp: bool = False):
+    """Global-motion vector for a block (spec gm_get_motion_vector).
+
+    model: (row, col) 1/8-pel translation, or a 6-tuple wmmat
+    (ROTZOOM/affine) projected at the block center."""
+    from svt_av1_tpu.codec import constants as cc
+    if model is None:
+        return (0, 0)
+    if len(model) == 2:
+        return tuple(model)
+    mat = model
+    bw = int(cc.block_size_wide[bsize])
+    bh = int(cc.block_size_high[bsize])
+    x = c4 * 4 + bw // 2 - 1
+    y = r4 * 4 + bh // 2 - 1
+    xc = (mat[2] - (1 << 16)) * x + mat[3] * y + mat[0]
+    yc = mat[4] * x + (mat[5] - (1 << 16)) * y + mat[1]
+    shift = 13 if allow_hp else 14
+    scale = 1 if allow_hp else 2
+
+    def rpot_s(v, n):
+        m = (abs(v) + (1 << (n - 1))) >> n
+        return -m if v < 0 else m
+
+    return (rpot_s(yc, shift) * scale, rpot_s(xc, shift) * scale)

@@ -510,6 +510,30 @@ def write_frame_header_bits(w: BitWriter, sp: SequenceParams,
                 w.f(0, 1)  # is_global
                 continue
             w.f(1, 1)      # is_global
+            if len(gm) == 6:
+                # ROTZOOM model (spec 5.9.24/5.9.25 read_global_param):
+                # alpha params mat[2], mat[3] then the translation pair
+                w.f(1, 1)  # is_rot_zoom
+                mat = gm
+                # alpha: absBits=GM_ABS_ALPHA_BITS(12),
+                # precBits=GM_ALPHA_PREC_BITS(15) -> precDiff=1
+                mx_a = 1 << 12   # GM_ALPHA_MAX
+                sub2 = 1 << 15   # idx%3==2 diagonal bias
+                assert mat[2] % 2 == 0 and mat[3] % 2 == 0
+                _wb_write_signed_subexpfin(
+                    w, mx_a + 1, 3, 0, (mat[2] >> 1) - sub2)
+                _wb_write_signed_subexpfin(
+                    w, mx_a + 1, 3, 0, mat[3] >> 1)
+                # translation: absBits=GM_ABS_TRANS_BITS(12),
+                # precBits=GM_TRANS_PREC_BITS(6) -> precDiff=10
+                mx_t = 1 << 12   # GM_TRANS_MAX
+                assert mat[0] % (1 << 10) == 0 \
+                    and mat[1] % (1 << 10) == 0
+                _wb_write_signed_subexpfin(
+                    w, mx_t + 1, 3, 0, mat[0] >> 10)
+                _wb_write_signed_subexpfin(
+                    w, mx_t + 1, 3, 0, mat[1] >> 10)
+                continue
             w.f(0, 1)      # is_rot_zoom
             w.f(1, 1)      # is_translation
             # !allow_hp: trans_bits = GM_ABS_TRANS_ONLY_BITS - 1 = 8,
@@ -877,7 +901,17 @@ def read_frame_header(r: BitReader, sp: SequenceParams) -> FrameParams:
             if r.f(1) == 0:   # is_global
                 gms.append(None)
                 continue
-            assert r.f(1) == 0, "ROTZOOM gm unsupported"
+            if r.f(1):   # is_rot_zoom
+                mx_a = 1 << 12
+                c2 = _wb_read_signed_subexpfin(r, mx_a + 1, 3, 0)
+                c3 = _wb_read_signed_subexpfin(r, mx_a + 1, 3, 0)
+                mat2 = ((c2 + (1 << 15)) << 1)
+                mat3 = c3 << 1
+                mx_t = 1 << 12
+                mat0 = _wb_read_signed_subexpfin(r, mx_t + 1, 3, 0) << 10
+                mat1 = _wb_read_signed_subexpfin(r, mx_t + 1, 3, 0) << 10
+                gms.append((mat0, mat1, mat2, mat3, -mat3, mat2))
+                continue
             assert r.f(1) == 1, "AFFINE gm unsupported"
             col = _wb_read_signed_subexpfin(r, (1 << 8) + 1, 3, 0) * 2
             row = _wb_read_signed_subexpfin(r, (1 << 8) + 1, 3, 0) * 2

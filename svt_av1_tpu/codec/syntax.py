@@ -133,6 +133,8 @@ class BlockDecision:
     is_inter: bool = False
     mv: tuple = (0, 0)      # (row, col) 1/8 pel
     ref: int = mv_pred.LAST_FRAME
+    # GLOBALMV with a non-translation model: warped prediction
+    use_warp: bool = False
     # per-SB adaptive quantization (0 = frame base_q_idx)
     qindex: int = 0
     # recursive filter-intra (y_mode == DC_PRED carrier); -1 = off
@@ -450,11 +452,18 @@ class TileCoderBase:
                                        self.reduced_tx_set)
         return (AV1_NUM_EXT_TX_SET[set_type] > 1) and (self.base_q_idx > 0)
 
-    def _map_inter_mode(self, mv, stack: mv_pred.MvStack, gm_mv=(0, 0)):
-        """Cheapest legal signaling of ``mv`` given the MV stack."""
+    def _map_inter_mode(self, mv, stack: mv_pred.MvStack, gm_mv=(0, 0),
+                        use_warp=False, gm_is_warp=False):
+        """Cheapest legal signaling of ``mv`` given the MV stack.
+
+        With a non-translation gm model, GLOBALMV implies the warped
+        prediction: warped winners MUST signal GLOBALMV and
+        translational winners must NOT."""
+        if use_warp:
+            return mv_pred.GLOBALMV
         if tuple(mv) == tuple(stack.mvs[0]):
             return mv_pred.NEARESTMV
-        if tuple(mv) == tuple(gm_mv):
+        if not gm_is_warp and tuple(mv) == tuple(gm_mv):
             return mv_pred.GLOBALMV
         if len(stack.mvs) > 1 and tuple(mv) == tuple(stack.mvs[1]):
             return mv_pred.NEARMV
@@ -601,13 +610,17 @@ class TileEncoder(TileCoderBase):
             inter_mode = 0
             if is_inter:
                 self._encode_single_ref(r4, c4, d.ref)
-                gm_mv = self.gm.get(d.ref, (0, 0))
+                gm_model = self.gm.get(d.ref)
+                gm_mv = mv_pred.gm_block_mv(gm_model, r4, c4, bsize)
                 stack = mv_pred.find_mv_stack(
                     self.migrid, r4, c4,
                     int(cc.block_size_wide[bsize]) >> 2,
                     int(cc.block_size_high[bsize]) >> 2, ref=d.ref,
                     gm_mv=gm_mv)
-                inter_mode = self._map_inter_mode(d.mv, stack, gm_mv)
+                inter_mode = self._map_inter_mode(
+                    d.mv, stack, gm_mv, use_warp=d.use_warp,
+                    gm_is_warp=(gm_model is not None
+                                and len(gm_model) == 6))
                 self._encode_inter_mode(inter_mode, stack)
                 if inter_mode == mv_pred.NEWMV:
                     mv_mod.encode_mv(enc, d.mv, stack.mvs[0], self.nmv,
@@ -889,6 +902,7 @@ class TileDecoder(TileCoderBase):
         is_inter = False
         inter_mode = 0
         mv = (0, 0)
+        use_warp = False
         ref = mv_pred.LAST_FRAME
         y_mode = cc.DC_PRED
         uv_mode = cc.DC_PRED
@@ -910,7 +924,8 @@ class TileDecoder(TileCoderBase):
                 update_cdf(cdfs.intra_inter[ictx], int(is_inter), 2)
             if is_inter:
                 ref = self._read_single_ref(r4, c4)
-                gm_mv = self.gm.get(ref, (0, 0))
+                gm_model = self.gm.get(ref)
+                gm_mv = mv_pred.gm_block_mv(gm_model, r4, c4, bsize)
                 stack = mv_pred.find_mv_stack(
                     self.migrid, r4, c4,
                     int(cc.block_size_wide[bsize]) >> 2,
@@ -926,6 +941,10 @@ class TileDecoder(TileCoderBase):
                     mv = tuple(stack.mvs[1 + drl])
                 else:  # GLOBALMV (this ref's global motion vector)
                     mv = tuple(gm_mv)
+                    # non-translation models warp the prediction
+                    # (spec 7.11.3: block >= 8x8 with a valid shear)
+                    if gm_model is not None and len(gm_model) == 6:
+                        use_warp = True
             else:
                 grp = int(SIZE_GROUP[bsize])
                 cdf = cdfs.y_mode[grp]
@@ -1018,7 +1037,7 @@ class TileDecoder(TileCoderBase):
         self.out[(r4, c4)] = BlockDecision(
             r4=r4, c4=c4, bsize=bsize, y_mode=y_mode, uv_mode=uv_mode,
             tx_type=tx_type, qcoeff_y=qy, qcoeff_u=qu, qcoeff_v=qv,
-            is_inter=is_inter, mv=mv, ref=ref,
+            is_inter=is_inter, mv=mv, ref=ref, use_warp=use_warp,
             angle_delta_y=angle_y, angle_delta_uv=angle_uv,
             cfl_alpha_u=cfl_au, cfl_alpha_v=cfl_av,
             qindex=(self.current_qindex

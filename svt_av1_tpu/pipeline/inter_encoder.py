@@ -58,10 +58,16 @@ def _mv_bits(mvs):
     return 4.0 + 1.4 * (jnp.log2(1.0 + a[:, 0]) + jnp.log2(1.0 + a[:, 1]))
 
 
-def _pass_a_fn(nb, K, bd=8):
-    """Build the all-blocks inter candidate evaluator."""
+def _pass_a_fn(nb, K, bd=8, warp0=False):
+    """Build the all-blocks inter candidate evaluator.
 
-    def run(src_y, src_u, src_v, refp_y, refp_u, refp_v, ys, xs,
+    warp0: candidate 0 is the GLOBAL warped prediction — its samples
+    come from the whole-frame warped reference (wref planes) at the
+    block position; its MV (the block-center projected gm vector) is
+    signaling-only."""
+
+    def run(src_y, src_u, src_v, refp_y, refp_u, refp_v,
+            wref_y, wref_u, wref_v, ys, xs,
             cand_mvs, zbin, rnd, qv, qshift, deq, lam, coefb, txbb,
             eoby):
         qp = quant.QuantParams(zbin, rnd, qv, qshift, deq)
@@ -70,6 +76,11 @@ def _pass_a_fn(nb, K, bd=8):
         mvsK = cand_mvs.transpose(1, 0, 2).reshape(nb * K, 2)
         pred = mc.mc_blocks(refp_y, ysK, xsK, mvsK, BLK, mc.PAD, 0, bd)
         offs = jnp.arange(BLK)
+        if warp0:
+            rows0 = ys[:, None, None] + offs[None, :, None]
+            cols0 = xs[:, None, None] + offs[None, None, :]
+            pred = jnp.concatenate(
+                [wref_y[rows0, cols0], pred[nb:]], axis=0)
         rows = ysK[:, None, None] + offs[None, :, None]
         cols = xsK[:, None, None] + offs[None, None, :]
         src_blk = src_y[rows, cols]
@@ -110,12 +121,16 @@ def _pass_a_fn(nb, K, bd=8):
         cys = ys // 2
         cxs = xs // 2
         qus, recs = [], []
-        for refp_c, src_c in ((refp_u, src_u), (refp_v, src_v)):
+        for refp_c, wref_c, src_c in ((refp_u, wref_u, src_u),
+                                      (refp_v, wref_v, src_v)):
             pred_c = mc.mc_blocks(refp_c, cys, cxs, best_mv, CBLK,
                                   mc.PAD, 1, bd)
             offc = jnp.arange(CBLK)
             crows = cys[:, None, None] + offc[None, :, None]
             ccols = cxs[:, None, None] + offc[None, None, :]
+            if warp0:
+                pred_c = jnp.where((kbest == 0)[:, None, None],
+                                   wref_c[crows, ccols], pred_c)
             src_cb = src_c[crows, ccols]
             coeffs_c = tf.fwd_txfm2d(src_cb - pred_c, cc.DCT_DCT,
                                      cc.TX_8X8)
@@ -124,8 +139,10 @@ def _pass_a_fn(nb, K, bd=8):
                                       cc.TX_8X8, bd=bd)
             qus.append(qcc)
             recs.append(rec_c)
+        is_warp = ((kbest == 0) if warp0
+                   else jnp.zeros((nb,), bool))
         return (best_cost, best_mv, best_qy, best_rec_y,
-                qus[0], recs[0], qus[1], recs[1])
+                qus[0], recs[0], qus[1], recs[1], is_warp)
 
     return run
 
@@ -177,10 +194,15 @@ def _inter_frame_program_fn(nw, maxb, modes, gw, bd=8):
 
 
 @functools.lru_cache(maxsize=None)
+def _jit_pass_a(nb, k_cands, bd=8, warp0=False):
+    return jax.jit(_pass_a_fn(nb, k_cands, bd, warp0=warp0))
+
+
+@functools.lru_cache(maxsize=None)
 def _jit_inter_programs(h, w, nw, maxb, modes, bd=8, k_cands=K_CANDS):
     gh, gw = h // BLK, w // BLK
     nb = gh * gw
-    pass_a = jax.jit(_pass_a_fn(nb, k_cands, bd))
+    pass_a = _jit_pass_a(nb, k_cands, bd)
     pass_b = jax.jit(_inter_frame_program_fn(nw, maxb, modes, gw, bd))
     return pass_a, pass_b
 
@@ -208,33 +230,131 @@ def estimate_global_translation(mv_y: np.ndarray, mv_x: np.ndarray):
     return (r, c)
 
 
+def estimate_global_rotzoom(mv_y: np.ndarray, mv_x: np.ndarray):
+    """ROTZOOM fit from the dense HME field (compute_global_motion /
+    ransac.c RotZoom role): least-squares on [a, b, tx, ty] with a
+    trimmed refit, quantized to the header's coded precision grid.
+    Returns a 6-entry wmmat or None when translation explains the field
+    as well (the caller then tries the translation estimator)."""
+    gh, gw = mv_y.shape
+    ys = (np.arange(gh) * BLK + BLK // 2).astype(np.float64)
+    xs = (np.arange(gw) * BLK + BLK // 2).astype(np.float64)
+    px = np.tile(xs, gh)
+    py = np.repeat(ys, gw)
+    dx = mv_x.astype(np.float64).reshape(-1)
+    dy = mv_y.astype(np.float64).reshape(-1)
+
+    def fit(sel):
+        # dx = a*x + b*y + tx ; dy = -b*x + a*y + ty
+        x, y = px[sel], py[sel]
+        u, v = dx[sel], dy[sel]
+        n = sel.sum()
+        A = np.zeros((2 * n, 4))
+        A[:n, 0] = x
+        A[:n, 1] = y
+        A[:n, 2] = 1.0
+        A[n:, 0] = y
+        A[n:, 1] = -x
+        A[n:, 3] = 1.0
+        rhs = np.concatenate([u, v])
+        sol, *_ = np.linalg.lstsq(A, rhs, rcond=None)
+        resid = A @ sol - rhs
+        return sol, np.hypot(resid[:n], resid[n:])
+
+    sel = np.ones(len(px), bool)
+    if sel.sum() < 8:
+        return None
+    sol, r = fit(sel)
+    keep = r <= max(1.5, np.median(r) * 2.0)
+    if keep.sum() >= 8:
+        sol, r = fit(keep)
+    a, b_, tx, ty = sol
+    # meaningful zoom/rotation? (pure translation -> a, b ~ 0)
+    span = max(gh, gw) * BLK
+    if abs(a) * span < 0.7 and abs(b_) * span < 0.7:
+        return None
+    # quantize to the coded grids: alphas multiples of 2 within
+    # 2^16 +- 2^13, translation multiples of 2^10
+    mat2 = int(np.clip(round((1.0 + a) * 65536 / 2) * 2,
+                       65536 - 8190, 65536 + 8190))
+    mat3 = int(np.clip(round(b_ * 65536 / 2) * 2, -8190, 8190))
+    mat0 = int(np.clip(round(tx * 65536 / 1024) * 1024,
+                       -(4095 << 10), 4095 << 10))
+    mat1 = int(np.clip(round(ty * 65536 / 1024) * 1024,
+                       -(4095 << 10), 4095 << 10))
+    mat = (mat0, mat1, mat2, mat3, -mat3, mat2)
+    from svt_av1_tpu.ops import warp as warp_ops
+    if warp_ops.shear_params(mat) is None:
+        return None
+    if mat2 == 65536 and mat3 == 0:
+        return None
+    return mat
+
+
 def _pass_a_for_ref(ref, src_y, src_u, src_v, qindex, bd, hme_rad2,
-                    hme_rad0, subpel_ring, pass_a, ys, xs, qp_j, lam):
+                    hme_rad0, subpel_ring, nb_k, ys, xs, qp_j, lam):
     """HME + pass-A candidate evaluation against one reference frame.
-    Candidate 0 is the global-motion vector (identity when GM is off) so
-    a GLOBALMV winner costs no explicit signaling."""
+    Candidate 0 is the global-motion prediction: the per-block gm vector
+    (translation), or the whole-frame warped reference (ROTZOOM) — so a
+    GLOBALMV winner costs no explicit MV signaling."""
+    from svt_av1_tpu.codec import mv_pred
     h, w = src_y.shape
-    nb = ys.shape[0]
+    nb, k_cands0 = nb_k
     mv_y, mv_x, _ = me_pipe.hierarchical_me(src_y, ref["y"],
                                             rad2=hme_rad2, rad0=hme_rad0)
-    gm = estimate_global_translation(mv_y, mv_x)
+    gm = estimate_global_rotzoom(mv_y, mv_x)
+    if gm is None:
+        gm = estimate_global_translation(mv_y, mv_x)
+    warp0 = gm is not None and len(gm) == 6
     hme = np.stack([mv_y.reshape(nb) * 8, mv_x.reshape(nb) * 8],
                    axis=-1).astype(np.int32)
     ring = _SUBPEL_RING if subpel_ring else _SUBPEL_RING[:1]
     k_cands = 1 + len(ring)
     cand = np.zeros((nb, k_cands, 2), np.int32)
-    if gm is not None:
+    if warp0:
+        gw_ = w // BLK
+        for bid in range(nb):
+            r4, c4 = (bid // gw_) * 4, (bid % gw_) * 4
+            cand[bid, 0] = mv_pred.gm_block_mv(gm, r4, c4,
+                                               cc.BLOCK_16X16)
+    elif gm is not None:
         cand[:, 0] = np.array(gm, np.int32)
     cand[:, 1:] = hme[:, None, :] + ring[None, :, :]
+    gm_cand0 = cand[:, 0].copy()
     cand = mc.clamp_mvs_for_pad(cand, ys[:, None], xs[:, None], BLK, h, w)
+    if warp0:
+        # candidate 0's MV is signaling-only (the prediction is the
+        # warped slice): keep the exact block-center projection or the
+        # decoder's MV-prediction context diverges
+        cand[:, 0] = gm_cand0
+        # a ring candidate colliding with the block's gm vector would
+        # make the syntax map a translational winner to GLOBALMV (and
+        # the decoder would warp it) — nudge collisions off the vector
+        coll = np.all(cand[:, 1:] == cand[:, :1], axis=2)
+        cand[:, 1:, 1] += coll.astype(np.int32) * 2
     refp_y = jnp.asarray(mc.pad_plane(ref["y"].astype(np.int32), mc.PAD))
     refp_u = jnp.asarray(mc.pad_plane(ref["u"].astype(np.int32),
                                       mc.PAD // 2))
     refp_v = jnp.asarray(mc.pad_plane(ref["v"].astype(np.int32),
                                       mc.PAD // 2))
+    if warp0:
+        from svt_av1_tpu.ops import warp as warp_ops
+        wy = warp_ops.warp_plane(np.asarray(ref["y"], np.int32), gm,
+                                 w, h, bd=bd)
+        wu = warp_ops.warp_plane(np.asarray(ref["u"], np.int32), gm,
+                                 w // 2, h // 2, bd=bd, subsampling=1)
+        wv = warp_ops.warp_plane(np.asarray(ref["v"], np.int32), gm,
+                                 w // 2, h // 2, bd=bd, subsampling=1)
+        wrefs = (jnp.asarray(wy.astype(np.int32)),
+                 jnp.asarray(wu.astype(np.int32)),
+                 jnp.asarray(wv.astype(np.int32)))
+    else:
+        wrefs = (refp_y[:h, :w], refp_u[:h // 2, :w // 2],
+                 refp_v[:h // 2, :w // 2])
+    pass_a = _jit_pass_a(nb, k_cands, bd, warp0=warp0)
     from svt_av1_tpu.codec.rate_est import md_rate_args
     rt = md_rate_args(qindex, (), ())
-    out = pass_a(src_y, src_u, src_v, refp_y, refp_u, refp_v,
+    out = pass_a(src_y, src_u, src_v, refp_y, refp_u, refp_v, *wrefs,
                  jnp.asarray(ys), jnp.asarray(xs), jnp.asarray(cand),
                  *qp_j, lam, rt[0], rt[2], rt[5])
     return out, gm
@@ -286,7 +406,7 @@ def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
     for renum in sorted(refs):
         out_a, gm_r = _pass_a_for_ref(
             refs[renum], sy, su, sv, qindex, bd, hme_rad2, hme_rad0,
-            subpel_ring, pass_a, ys, xs, qp_j, lam)
+            subpel_ring, (nb, 1 + len(ring)), ys, xs, qp_j, lam)
         if gm_r is not None:
             gm_by_ref[renum] = gm_r
         out_r = [np.asarray(o) for o in out_a]
@@ -299,7 +419,7 @@ def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
             for fi in range(len(best)):
                 t = take.reshape((nb,) + (1,) * (best[fi].ndim - 1))
                 best[fi] = np.where(t, out_r[fi], best[fi])
-    (icost, imv, iqy, irec_y, iqu, irec_u, iqv, irec_v) = best
+    (icost, imv, iqy, irec_y, iqu, irec_u, iqv, irec_v, iwarp) = best
 
     from svt_av1_tpu.codec.rate_est import md_rate_args
     from svt_av1_tpu.pipeline.intra_encoder import UV_MODES
@@ -327,7 +447,7 @@ def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
                     qcoeff_y=iqy[bid], qcoeff_u=iqu[bid],
                     qcoeff_v=iqv[bid], is_inter=True,
                     mv=(int(imv[bid, 0]), int(imv[bid, 1])),
-                    ref=int(iref[bid]))
+                    ref=int(iref[bid]), use_warp=bool(iwarp[bid]))
             else:
                 decisions[(r4, c4)] = BlockDecision(
                     r4=r4, c4=c4, bsize=cc.BLOCK_16X16,
@@ -343,7 +463,8 @@ def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
 
 def reconstruct_inter_from_decisions(decisions: Dict, ref,
                                      width: int, height: int, qindex: int,
-                                     bd: int = 8) -> Dict[str, np.ndarray]:
+                                     bd: int = 8,
+                                     gm=None) -> Dict[str, np.ndarray]:
     """Decoder-side reconstruction of an inter frame.
 
     ref: single plane dict (LAST only) or {ref_enum: plane_dict}.
@@ -363,7 +484,8 @@ def reconstruct_inter_from_decisions(decisions: Dict, ref,
 
     for renum, refp in refs.items():
         recon_y, recon_u, recon_v = _recon_inter_blocks_for_ref(
-            decisions, renum, refp, recon_y, recon_u, recon_v, qp_j, bd)
+            decisions, renum, refp, recon_y, recon_u, recon_v, qp_j, bd,
+            gm_model=(gm or {}).get(renum))
 
     for by in range(gh):
         for bx in range(gw):
@@ -388,16 +510,38 @@ def reconstruct_inter_from_decisions(decisions: Dict, ref,
 
 
 def _recon_inter_blocks_for_ref(decisions, renum, ref, recon_y, recon_u,
-                                recon_v, qp_j, bd):
+                                recon_v, qp_j, bd, gm_model=None):
     inter_keys = [k for k, d in decisions.items()
                   if d.is_inter and d.ref == renum]
     if inter_keys:
         ys = np.array([k[0] * 4 for k in inter_keys], np.int32)
         xs = np.array([k[1] * 4 for k in inter_keys], np.int32)
         mvs = np.array([decisions[k].mv for k in inter_keys], np.int32)
+        wsel = np.array([decisions[k].use_warp for k in inter_keys])
+        wplanes = None
+        if wsel.any():
+            # GLOBALMV + ROTZOOM: whole-frame warp, per-block slices
+            assert gm_model is not None and len(gm_model) == 6
+            from svt_av1_tpu.ops import warp as warp_ops
+            h_, w_ = recon_y.shape
+            wplanes = dict(
+                y=warp_ops.warp_plane(np.asarray(ref["y"], np.int32),
+                                      gm_model, w_, h_, bd=bd),
+                u=warp_ops.warp_plane(np.asarray(ref["u"], np.int32),
+                                      gm_model, w_ // 2, h_ // 2,
+                                      bd=bd, subsampling=1),
+                v=warp_ops.warp_plane(np.asarray(ref["v"], np.int32),
+                                      gm_model, w_ // 2, h_ // 2,
+                                      bd=bd, subsampling=1))
         refp_y = jnp.asarray(mc.pad_plane(ref["y"].astype(np.int32),
                                           mc.PAD))
         pred_y = mc.mc_blocks(refp_y, ys, xs, mvs, BLK, mc.PAD, 0, bd)
+        if wplanes is not None:
+            wy = jnp.asarray(wplanes["y"].astype(np.int32))
+            r0 = ys[:, None, None] + np.arange(BLK)[None, :, None]
+            c0 = xs[:, None, None] + np.arange(BLK)[None, None, :]
+            pred_y = jnp.where(jnp.asarray(wsel)[:, None, None],
+                               wy[r0, c0], pred_y)
         qy = jnp.asarray(np.stack([decisions[k].qcoeff_y
                                    for k in inter_keys]))
         dq = quant.dequantize(qy, quant.QuantParams(*qp_j), cc.TX_16X16)
@@ -412,6 +556,14 @@ def _recon_inter_blocks_for_ref(decisions, renum, ref, recon_y, recon_u,
                 ref[plane].astype(np.int32), mc.PAD // 2))
             pred_c = mc.mc_blocks(refp_c, ys // 2, xs // 2, mvs, CBLK,
                                   mc.PAD, 1, bd)
+            if wplanes is not None:
+                wc = jnp.asarray(wplanes[plane].astype(np.int32))
+                rc0 = ((ys // 2)[:, None, None]
+                       + np.arange(CBLK)[None, :, None])
+                cc0 = ((xs // 2)[:, None, None]
+                       + np.arange(CBLK)[None, None, :])
+                pred_c = jnp.where(jnp.asarray(wsel)[:, None, None],
+                                   wc[rc0, cc0], pred_c)
             qc = jnp.asarray(np.stack(
                 [getattr(decisions[k], f"qcoeff_{plane}")
                  for k in inter_keys]))
