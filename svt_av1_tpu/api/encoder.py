@@ -478,12 +478,13 @@ class Encoder:
             refs[mv_pred.ALTREF_FRAME] = self._slot_recon[bwd_slot]
         from svt_av1_tpu.utils.profiling import stage
         with stage("device_md_inter"):
-            decisions, recon, gm = inter_encoder.encode_inter_frame(
-                y, u, v, refs, qindex, modes=self._feat.intra_modes,
-                bd=self.cfg.encoder_bit_depth,
-                hme_rad2=self._feat.hme_rad2,
-                hme_rad0=self._feat.hme_rad0,
-                subpel_ring=self._feat.subpel_ring)
+            decisions, recon, gm, interp = \
+                inter_encoder.encode_inter_frame(
+                    y, u, v, refs, qindex, modes=self._feat.intra_modes,
+                    bd=self.cfg.encoder_bit_depth,
+                    hme_rad2=self._feat.hme_rad2,
+                    hme_rad0=self._feat.hme_rad0,
+                    subpel_ring=self._feat.subpel_ring)
         slot = min(self._slot_free) if ev.store else None
         if ev.store:
             self._slot_free.remove(slot)
@@ -504,7 +505,7 @@ class Encoder:
             decisions, recon, qindex, ev.poc, is_key=False,
             src=dict(y=y, u=u, v=v),
             chain=self._slot_state[last_slot], fp_setup=fp_setup,
-            return_state=True, gm=gm)
+            return_state=True, gm=gm, interp=interp)
         if ev.store:
             self._dpb[ev.poc] = slot
             self._slot_recon[slot] = full
@@ -841,7 +842,8 @@ class Encoder:
                         cfl=self._feat.cfl)
         else:
             with stage("device_md_inter"):
-                decisions, recon, gm = inter_encoder.encode_inter_frame(
+                decisions, recon, gm, interp = \
+                inter_encoder.encode_inter_frame(
                     y, u, v, self._ref, qindex,
                     modes=self._feat.intra_modes,
                     bd=self.cfg.encoder_bit_depth,
@@ -854,7 +856,8 @@ class Encoder:
                               delta_q=(qmap is not None
                                        and seg_info is None),
                               seg=seg_info,
-                              gm=None if is_key else gm)
+                              gm=None if is_key else gm,
+                              interp=0 if is_key else interp)
         if self.cfg.stat_report and pkt.recon is not None:
             from svt_av1_tpu.utils import metrics
             ss = src_full or dict(y=y, u=u, v=v)
@@ -871,7 +874,7 @@ class Encoder:
                    src_full=None, delta_q: bool = False,
                    fp_setup=None, chain="auto",
                    return_state: bool = False, gm=None,
-                   seg=None) -> Packet:
+                   seg=None, interp: int = 0) -> Packet:
         """Filters + entropy coding + OBU assembly for one frame.
 
         fp_setup: optional callable mutating the FrameParams (hierarchical
@@ -891,6 +894,8 @@ class Encoder:
                 fp.primary_ref_frame = 0  # chain CDFs from slot 0
         if gm:
             fp.gm_trans = tuple(gm.get(i + 1) for i in range(7))
+        if not is_key:
+            fp.interpolation_filter = interp
         if fp_setup is not None:
             fp_setup(fp)
         if delta_q:

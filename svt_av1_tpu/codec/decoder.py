@@ -129,7 +129,8 @@ class Decoder:
                          if m is not None}
             recon = reconstruct_inter_from_decisions(
                 decisions, refs, coded_w, self.sp.height,
-                fp.base_q_idx, bd=self.sp.bit_depth, gm=gm_models)
+                fp.base_q_idx, bd=self.sp.bit_depth, gm=gm_models,
+                interp=fp.interpolation_filter)
         recon = apply_loop_filter(recon, fp)
         deblocked = recon
         if self.sp.enable_cdef:

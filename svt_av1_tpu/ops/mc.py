@@ -52,7 +52,8 @@ def clamp_mvs_for_pad(mvs: np.ndarray, ys: np.ndarray, xs: np.ndarray,
 
 
 def mc_blocks(ref_padded: jnp.ndarray, ys, xs, mvs, blk: int,
-              pad: int, subsampling: int = 0, bd: int = 8) -> jnp.ndarray:
+              pad: int, subsampling: int = 0, bd: int = 8,
+              kind: int = 0) -> jnp.ndarray:
     """Batched MC: predict (B, blk, blk) blocks.
 
     ref_padded: (H/ss + 2*pad_p, W/ss + 2*pad_p) int32 plane where
@@ -78,7 +79,8 @@ def mc_blocks(ref_padded: jnp.ndarray, ys, xs, mvs, blk: int,
     rows = start_r[:, None, None] + offs[None, :, None]
     cols = start_c[:, None, None] + offs[None, None, :]
     windows = ref_padded[rows, cols]
-    return convolve_2d_sr(windows, phase_c, phase_r, blk, blk, bd=bd)
+    return convolve_2d_sr(windows, phase_c, phase_r, blk, blk,
+                          kind_x=kind, kind_y=kind, bd=bd)
 
 
 def mc_block_np(ref_plane: np.ndarray, y: int, x: int, mv, blk: int,

@@ -58,7 +58,7 @@ def _mv_bits(mvs):
     return 4.0 + 1.4 * (jnp.log2(1.0 + a[:, 0]) + jnp.log2(1.0 + a[:, 1]))
 
 
-def _pass_a_fn(nb, K, bd=8, warp0=False):
+def _pass_a_fn(nb, K, bd=8, warp0=False, interp=0):
     """Build the all-blocks inter candidate evaluator.
 
     warp0: candidate 0 is the GLOBAL warped prediction — its samples
@@ -74,7 +74,8 @@ def _pass_a_fn(nb, K, bd=8, warp0=False):
         ysK = jnp.tile(ys, K)
         xsK = jnp.tile(xs, K)
         mvsK = cand_mvs.transpose(1, 0, 2).reshape(nb * K, 2)
-        pred = mc.mc_blocks(refp_y, ysK, xsK, mvsK, BLK, mc.PAD, 0, bd)
+        pred = mc.mc_blocks(refp_y, ysK, xsK, mvsK, BLK, mc.PAD, 0,
+                            bd, kind=interp)
         offs = jnp.arange(BLK)
         if warp0:
             rows0 = ys[:, None, None] + offs[None, :, None]
@@ -124,7 +125,7 @@ def _pass_a_fn(nb, K, bd=8, warp0=False):
         for refp_c, wref_c, src_c in ((refp_u, wref_u, src_u),
                                       (refp_v, wref_v, src_v)):
             pred_c = mc.mc_blocks(refp_c, cys, cxs, best_mv, CBLK,
-                                  mc.PAD, 1, bd)
+                                  mc.PAD, 1, bd, kind=interp)
             offc = jnp.arange(CBLK)
             crows = cys[:, None, None] + offc[None, :, None]
             ccols = cxs[:, None, None] + offc[None, None, :]
@@ -194,8 +195,9 @@ def _inter_frame_program_fn(nw, maxb, modes, gw, bd=8):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_pass_a(nb, k_cands, bd=8, warp0=False):
-    return jax.jit(_pass_a_fn(nb, k_cands, bd, warp0=warp0))
+def _jit_pass_a(nb, k_cands, bd=8, warp0=False, interp=0):
+    return jax.jit(_pass_a_fn(nb, k_cands, bd, warp0=warp0,
+                              interp=interp))
 
 
 @functools.lru_cache(maxsize=None)
@@ -291,8 +293,44 @@ def estimate_global_rotzoom(mv_y: np.ndarray, mv_x: np.ndarray):
     return mat
 
 
+
+@functools.lru_cache(maxsize=None)
+def _jit_filter_probe(nb, bd, kind):
+    def f(src_y, refp_y, ys, xs, mvs):
+        pred = mc.mc_blocks(refp_y, ys, xs, mvs, BLK, mc.PAD, 0, bd,
+                            kind=kind)
+        offs = jnp.arange(BLK)
+        rows = ys[:, None, None] + offs[None, :, None]
+        cols = xs[:, None, None] + offs[None, None, :]
+        d = (src_y[rows, cols] - pred).astype(jnp.float32)
+        return jnp.sum(d * d)
+    return jax.jit(f)
+
+
+def choose_interp_filter(src_y, ref_y, ys, xs, hme, bd=8):
+    """Frame-level interpolation-filter decision (the reference's
+    interp-filter search, collapsed to one signaled frame filter):
+    probe each filter set's MC SSE at a quarter-pel offset of the HME
+    field and keep the best of REGULAR/SMOOTH/SHARP."""
+    nb = ys.shape[0]
+    mvs = hme + 2  # force a fractional phase so the filters differ
+    h, w = src_y.shape
+    mvs = mc.clamp_mvs_for_pad(mvs, ys, xs, BLK, h, w)
+    refp = jnp.asarray(mc.pad_plane(np.asarray(ref_y, np.int32),
+                                    mc.PAD))
+    best_kind, best_sse = 0, None
+    for kind in (0, 1, 2):
+        sse = float(_jit_filter_probe(nb, bd, kind)(
+            src_y, refp, jnp.asarray(ys), jnp.asarray(xs),
+            jnp.asarray(mvs)))
+        if best_sse is None or sse < best_sse:
+            best_kind, best_sse = kind, sse
+    return best_kind
+
+
 def _pass_a_for_ref(ref, src_y, src_u, src_v, qindex, bd, hme_rad2,
-                    hme_rad0, subpel_ring, nb_k, ys, xs, qp_j, lam):
+                    hme_rad0, subpel_ring, nb_k, ys, xs, qp_j, lam,
+                    interp=0):
     """HME + pass-A candidate evaluation against one reference frame.
     Candidate 0 is the global-motion prediction: the per-block gm vector
     (translation), or the whole-frame warped reference (ROTZOOM) — so a
@@ -351,7 +389,8 @@ def _pass_a_for_ref(ref, src_y, src_u, src_v, qindex, bd, hme_rad2,
     else:
         wrefs = (refp_y[:h, :w], refp_u[:h // 2, :w // 2],
                  refp_v[:h // 2, :w // 2])
-    pass_a = _jit_pass_a(nb, k_cands, bd, warp0=warp0)
+    pass_a = _jit_pass_a(nb, k_cands, bd, warp0=warp0,
+                         interp=interp)
     from svt_av1_tpu.codec.rate_est import md_rate_args
     rt = md_rate_args(qindex, (), ())
     out = pass_a(src_y, src_u, src_v, refp_y, refp_u, refp_v, *wrefs,
@@ -399,6 +438,17 @@ def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
     sv = jnp.asarray(src_v.astype(np.int32))
     qp_j = tuple(jnp.asarray(a) for a in qp_y)
 
+    # frame-level interpolation-filter pick (quality presets), probed
+    # on the first reference's HME field
+    interp = 0
+    if subpel_ring:
+        r0 = refs[sorted(refs)[0]]
+        mv_y0, mv_x0, _ = me_pipe.hierarchical_me(
+            src_y, r0["y"], rad2=hme_rad2, rad0=hme_rad0)
+        hme0 = np.stack([mv_y0.reshape(nb) * 8, mv_x0.reshape(nb) * 8],
+                        axis=-1).astype(np.int32)
+        interp = choose_interp_filter(sy, r0["y"], ys, xs, hme0, bd=bd)
+
     # pass A against each reference; elementwise host merge by RD cost
     best = None
     iref = None
@@ -406,7 +456,8 @@ def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
     for renum in sorted(refs):
         out_a, gm_r = _pass_a_for_ref(
             refs[renum], sy, su, sv, qindex, bd, hme_rad2, hme_rad0,
-            subpel_ring, (nb, 1 + len(ring)), ys, xs, qp_j, lam)
+            subpel_ring, (nb, 1 + len(ring)), ys, xs, qp_j, lam,
+            interp=interp)
         if gm_r is not None:
             gm_by_ref[renum] = gm_r
         out_r = [np.asarray(o) for o in out_a]
@@ -458,13 +509,13 @@ def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
     dt = np.uint8 if bd == 8 else np.uint16
     recon = dict(y=recon_y.astype(dt), u=recon_u.astype(dt),
                  v=recon_v.astype(dt))
-    return decisions, recon, gm_by_ref
+    return decisions, recon, gm_by_ref, interp
 
 
 def reconstruct_inter_from_decisions(decisions: Dict, ref,
                                      width: int, height: int, qindex: int,
-                                     bd: int = 8,
-                                     gm=None) -> Dict[str, np.ndarray]:
+                                     bd: int = 8, gm=None,
+                                     interp=0) -> Dict[str, np.ndarray]:
     """Decoder-side reconstruction of an inter frame.
 
     ref: single plane dict (LAST only) or {ref_enum: plane_dict}.
@@ -485,7 +536,7 @@ def reconstruct_inter_from_decisions(decisions: Dict, ref,
     for renum, refp in refs.items():
         recon_y, recon_u, recon_v = _recon_inter_blocks_for_ref(
             decisions, renum, refp, recon_y, recon_u, recon_v, qp_j, bd,
-            gm_model=(gm or {}).get(renum))
+            gm_model=(gm or {}).get(renum), interp=interp)
 
     for by in range(gh):
         for bx in range(gw):
@@ -510,7 +561,8 @@ def reconstruct_inter_from_decisions(decisions: Dict, ref,
 
 
 def _recon_inter_blocks_for_ref(decisions, renum, ref, recon_y, recon_u,
-                                recon_v, qp_j, bd, gm_model=None):
+                                recon_v, qp_j, bd, gm_model=None,
+                                interp=0):
     inter_keys = [k for k, d in decisions.items()
                   if d.is_inter and d.ref == renum]
     if inter_keys:
@@ -535,7 +587,8 @@ def _recon_inter_blocks_for_ref(decisions, renum, ref, recon_y, recon_u,
                                       bd=bd, subsampling=1))
         refp_y = jnp.asarray(mc.pad_plane(ref["y"].astype(np.int32),
                                           mc.PAD))
-        pred_y = mc.mc_blocks(refp_y, ys, xs, mvs, BLK, mc.PAD, 0, bd)
+        pred_y = mc.mc_blocks(refp_y, ys, xs, mvs, BLK, mc.PAD, 0, bd,
+                              kind=interp)
         if wplanes is not None:
             wy = jnp.asarray(wplanes["y"].astype(np.int32))
             r0 = ys[:, None, None] + np.arange(BLK)[None, :, None]
@@ -555,7 +608,7 @@ def _recon_inter_blocks_for_ref(decisions, renum, ref, recon_y, recon_u,
             refp_c = jnp.asarray(mc.pad_plane(
                 ref[plane].astype(np.int32), mc.PAD // 2))
             pred_c = mc.mc_blocks(refp_c, ys // 2, xs // 2, mvs, CBLK,
-                                  mc.PAD, 1, bd)
+                                  mc.PAD, 1, bd, kind=interp)
             if wplanes is not None:
                 wc = jnp.asarray(wplanes[plane].astype(np.int32))
                 rc0 = ((ys // 2)[:, None, None]

@@ -64,11 +64,31 @@ def _jit_hme(h, w, rad2, rad1, rad0):
         # pyramid
         src4 = me_ops.downsample2(me_ops.downsample2(src))
         ref4 = me_ops.downsample2(me_ops.downsample2(ref))
+        # coarse level (pre-HME + hme_level0 role): 1/8-res 8x8 blocks
+        # (64x64 superblocks at full res) over a wide window — restores
+        # the long pan/zoom reach the 1/4-level alone lacks
+        seed2_y = seed2_x = None
+        if rad1 > 0:
+            src8 = me_ops.downsample2(src4)
+            ref8 = me_ops.downsample2(ref4)
+            sb8, g8h, g8w = _block_grid(src8, 8)
+            cy8 = (jnp.arange(g8h * g8w) // g8w) * 8
+            cx8 = (jnp.arange(g8h * g8w) % g8w) * 8
+            myA, mxA = _search_level(sb8, ref8, cy8, cx8, 8, rad1)
+            seed2_y = myA * 2
+            seed2_x = mxA * 2
         # level 2 on 1/4-res 16x16 blocks == 64x64 superblocks at full res
         sb4, g4h, g4w = _block_grid(src4, BLK)
         cy = (jnp.arange(g4h * g4w) // g4w) * BLK
         cx = (jnp.arange(g4h * g4w) % g4w) * BLK
+        if seed2_y is not None:
+            # same SB grid at both coarse levels
+            cy = cy + seed2_y
+            cx = cx + seed2_x
         my2, mx2 = _search_level(sb4, ref4, cy, cx, BLK, rad2)
+        if seed2_y is not None:
+            my2 = my2 + seed2_y
+            mx2 = mx2 + seed2_x
         # upscale level-2 MVs (per 64x64) to 16x16 grid at full res
         gh, gw = h // BLK, w // BLK
         by = jnp.arange(gh * gw) // gw
@@ -93,13 +113,15 @@ def _jit_hme(h, w, rad2, rad1, rad0):
 
 
 def hierarchical_me(src: np.ndarray, ref: np.ndarray,
-                    rad2: int = 8, rad0: int = 7
+                    rad2: int = 8, rad0: int = 7, rad1: int = 8
                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Open-loop ME: per-16x16 integer MVs src->ref.
 
     Returns (mv_y, mv_x, ssd) as (gh, gw) arrays.  Effective search
-    range: +-(4*rad2 + rad0) full-res pels.  Dims that are not multiples
-    of 64 are edge-padded for the pyramid; the MV grid is cropped back."""
+    range: +-(8*rad1 + 4*rad2 + rad0) full-res pels (the 1/8-res coarse
+    level carries the reference's pre-HME/level-0 long reach).  Dims
+    that are not multiples of 64 are edge-padded for the pyramid; the
+    MV grid is cropped back."""
     h, w = src.shape
     assert h % BLK == 0 and w % BLK == 0
     h64 = (h + 63) & ~63
@@ -108,7 +130,7 @@ def hierarchical_me(src: np.ndarray, ref: np.ndarray,
         pads = ((0, h64 - h), (0, w64 - w))
         src = np.pad(src, pads, mode="edge")
         ref = np.pad(ref, pads, mode="edge")
-    run = _jit_hme(h64, w64, rad2, 0, rad0)
+    run = _jit_hme(h64, w64, rad2, rad1, rad0)
     mv_y, mv_x, ssd = run(jnp.asarray(src.astype(np.int32)),
                           jnp.asarray(ref.astype(np.int32)))
     gh, gw = h // BLK, w // BLK

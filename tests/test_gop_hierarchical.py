@@ -96,7 +96,7 @@ def test_hier_uses_backward_ref():
     noise = rng.integers(0, 255, (h, w)).astype(np.uint8)
     past = dict(y=noise, u=su, v=su)
     fut = dict(y=src, u=su, v=su)
-    decisions, recon, _gm = inter_encoder.encode_inter_frame(
+    decisions, recon, _gm, _interp = inter_encoder.encode_inter_frame(
         src, su, su, {mv_pred.LAST_FRAME: past,
                       mv_pred.ALTREF_FRAME: fut}, 120)
     refs = {d.ref for d in decisions.values() if d.is_inter}

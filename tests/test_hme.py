@@ -28,3 +28,20 @@ def test_hme_zero_motion():
     mv_y, mv_x, ssd = hierarchical_me(f, f)
     assert np.all(mv_y == 0) and np.all(mv_x == 0)
     assert np.all(ssd == 0)
+
+
+def test_hme_long_range_pan():
+    """1/8-res coarse level (pre-HME role) reaches motion far beyond
+    the old +-(4*rad2+rad0) range."""
+    import numpy as np
+    from svt_av1_tpu.pipeline.me import hierarchical_me
+    h, w = 192, 256
+    yy, xx = np.mgrid[0:h, 0:w]
+    ref = np.clip(120 + 60 * np.sin(xx / 23.0) + 50 * np.cos(yy / 19.0)
+                  + 30 * np.sin((xx * yy) / 3000.0), 0,
+                  255).astype(np.uint8)
+    src = np.roll(np.roll(ref, 40, axis=0), 72, axis=1)
+    my, mx, _ = hierarchical_me(src, ref)
+    inner = (slice(4, None), slice(6, None))
+    hits = ((my[inner] == -40) & (mx[inner] == -72)).mean()
+    assert hits > 0.7, hits
