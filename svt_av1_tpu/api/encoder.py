@@ -788,11 +788,17 @@ class Encoder:
         from svt_av1_tpu.utils import profiling
         return profiling.stage_stats()
 
-    def _encode_frame(self, y, u, v, pts) -> Packet:
-        if self._q_plan is not None and pts < len(self._q_plan):
+    def _encode_frame(self, y, u, v, pts, qindex_override=None,
+                      _depth=0) -> Packet:
+        if qindex_override is not None:
+            qindex = int(qindex_override)
+        elif self._q_plan is not None and pts < len(self._q_plan):
             qindex = int(self._q_plan[pts])
         else:
             qindex = self._rc.frame_qindex()
+        # recode loop (rc_process.c:2708 recode_loop_test analog): the
+        # DPB/CDF state must rewind before a re-encode of this frame
+        dpb_snap = (self._ref, self._ref_cdfs, self._ref_nmv)
         y, u, v = self._pad(y, u, v)
         src_full = dict(y=y, u=u, v=v)
         if self.sr_denom != 8:
@@ -807,9 +813,11 @@ class Encoder:
         from svt_av1_tpu.utils.profiling import stage
         is_key = self._frame_is_key(pts) or self._ref is None
         gop_has_inter = self.cfg.intra_period_length not in (-2, 0)
-        if is_key and gop_has_inter and self._q_plan is None:
+        if (is_key and gop_has_inter and self._q_plan is None
+                and qindex_override is None):
             # key-frame boost: keys are referenced by the whole GOP, so
-            # spend more bits on them (rc_process.c kf boost analog)
+            # spend more bits on them (rc_process.c kf boost analog);
+            # recode retries keep their raised qindex
             qindex = max(1, qindex - qindex // self._feat.kf_boost_div)
         qmap = None
         seg_info = None
@@ -858,6 +866,18 @@ class Encoder:
                               seg=seg_info,
                               gm=None if is_key else gm,
                               interp=0 if is_key else interp)
+        if (_depth == 0 and self._rc.mode in (1, 2)
+                and self._q_plan is None):
+            # strong overshoot vs the per-frame budget: re-encode once
+            # at a materially higher qindex (keys keep their boost)
+            bits = len(pkt.data) * 8
+            limit = (8.0 if is_key else 3.0)                 * self._rc.target_bits_per_frame
+            if bits > limit and qindex < self._rc.max_qindex:
+                newq = min(self._rc.max_qindex,
+                           max(qindex + 16, int(qindex * 1.25)))
+                self._ref, self._ref_cdfs, self._ref_nmv = dpb_snap
+                return self._encode_frame(
+                    y, u, v, pts, qindex_override=newq, _depth=1)
         if self.cfg.stat_report and pkt.recon is not None:
             from svt_av1_tpu.utils import metrics
             ss = src_full or dict(y=y, u=u, v=v)
