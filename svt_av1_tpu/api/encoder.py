@@ -1020,6 +1020,10 @@ class Encoder:
         if lr_info is not None:
             tenc.set_lr(lr_info)
         tenc.enable_filter_intra = self.sp.enable_filter_intra
+        if not is_key:
+            fp.reference_select = any(
+                d.ref2 for d in decisions.values() if d.is_inter)
+            tenc.reference_select = fp.reference_select
         if seg is not None:
             # per-SB segment ids -> mi granularity for the tile coder
             mi_map = np.repeat(np.repeat(seg[1], 16, 0), 16, 1)

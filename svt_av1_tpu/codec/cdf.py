@@ -62,6 +62,11 @@ class FrameCDFs:
         self.delta_q = d["delta_q_cdf"].copy()
         self.delta_lf = d["delta_lf_cdf"].copy()
         self.delta_lf_multi = d["delta_lf_multi_cdf"].copy()
+        self.comp_inter = d["comp_inter_cdf"].copy()
+        self.comp_ref_type = d["comp_ref_type_cdf"].copy()
+        self.comp_ref = d["comp_ref_cdf"].copy()
+        self.comp_bwdref = d["comp_bwdref_cdf"].copy()
+        self.inter_compound_mode = d["inter_compound_mode_cdf"].copy()
         self.seg_tree = d["seg_tree_cdf"].copy()
         self.segment_pred = d["segment_pred_cdf"].copy()
         self.spatial_pred_seg = d["spatial_pred_seg_tree_cdf"].copy()

@@ -90,6 +90,7 @@ class Decoder:
         if not is_intra:
             tdec.set_gm(fp.gm_trans)
         tdec.enable_filter_intra = self.sp.enable_filter_intra
+        tdec.reference_select = fp.reference_select
         if fp.segmentation is not None:
             tdec.set_segmentation(fp.segmentation)
         if fp.cdef_bits:

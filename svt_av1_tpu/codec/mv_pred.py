@@ -57,8 +57,12 @@ class MiGrid:
         self.mv = np.zeros(shp + (2,), np.int16)   # (row, col) 1/8 pel
         self.w4 = np.ones(shp, np.int8)            # block width in MI units
         self.h4 = np.ones(shp, np.int8)
+        # compound: second reference (0 = NONE) and its MV
+        self.ref2 = np.zeros(shp, np.int8)
+        self.mv2 = np.zeros(shp + (2,), np.int16)
 
-    def set_block(self, r4, c4, bw4, bh4, ref, mode, mv_row, mv_col):
+    def set_block(self, r4, c4, bw4, bh4, ref, mode, mv_row, mv_col,
+                  ref2=0, mv2=(0, 0)):
         sl = (slice(r4, r4 + bh4), slice(c4, c4 + bw4))
         self.ref_frame[sl] = ref
         self.mode[sl] = mode
@@ -66,6 +70,9 @@ class MiGrid:
         self.mv[sl + (1,)] = mv_col
         self.w4[sl] = bw4
         self.h4[sl] = bh4
+        self.ref2[sl] = ref2
+        self.mv2[sl + (0,)] = mv2[0]
+        self.mv2[sl + (1,)] = mv2[1]
 
 
 class _Stack:
@@ -335,3 +342,169 @@ def gm_block_mv(model, r4: int, c4: int, bsize: int,
         return -m if v < 0 else m
 
     return (rpot_s(yc, shift) * scale, rpot_s(xc, shift) * scale)
+
+
+@dataclasses.dataclass
+class MvStackComp:
+    """Compound reference-MV stack: entries are MV pairs."""
+    pairs: List[Tuple[Tuple[int, int], Tuple[int, int]]]
+    weights: List[int]
+    count: int
+    mode_context: int
+
+    def drl_ctx(self, idx: int) -> int:
+        w0 = self.weights[idx]
+        w1 = self.weights[idx + 1]
+        if w0 >= REF_CAT_LEVEL:
+            return 0 if w1 >= REF_CAT_LEVEL else 1
+        return 2 if w1 < REF_CAT_LEVEL else 0
+
+
+def find_mv_stack_comp(grid: MiGrid, mi_row: int, mi_col: int, bw4: int,
+                       bh4: int, ref_pair, sb_mi: int = 16,
+                       gm_mvs=((0, 0), (0, 0))) -> MvStackComp:
+    """Compound-pair MV stack (spec 7.10.2 with rf[1] > NONE): the same
+    neighbor traversal as the single-ref stack, matching blocks whose
+    (ref, ref2) equals the pair; underfull stacks pad with the global
+    pair then zeros."""
+    ref0, ref1 = ref_pair
+    st_pairs: List[Tuple] = []
+    st_w: List[int] = []
+
+    def stack_add(pair, len_, weight):
+        for i, p in enumerate(st_pairs):
+            if p == pair:
+                st_w[i] += weight * len_
+                return
+        if len(st_pairs) < MAX_REF_MV_STACK_SIZE:
+            st_pairs.append(pair)
+            st_w.append(weight * len_)
+
+    mi_rows, mi_cols = grid.mi_rows, grid.mi_cols
+    up = mi_row > 0
+    left = mi_col > 0
+    max_row_offset = max(-(MVREF_ROWS << 1), -mi_row) if up else 0
+    max_col_offset = max(-(MVREF_ROWS << 1), -mi_col) if left else 0
+    counts = dict(row_match=0, col_match=0, newmv=0)
+
+    def add_candidate(r, c, len_, weight, which):
+        if (int(grid.ref_frame[r, c]) != ref0
+                or int(grid.ref2[r, c]) != ref1):
+            return
+        p0 = (int(grid.mv[r, c, 0]), int(grid.mv[r, c, 1]))
+        p1 = (int(grid.mv2[r, c, 0]), int(grid.mv2[r, c, 1]))
+        if grid.mode[r, c] == GLOBALMV:
+            p0, p1 = tuple(gm_mvs[0]), tuple(gm_mvs[1])
+        stack_add((p0, p1), len_, weight)
+        if have_newmv(int(grid.mode[r, c])):
+            counts["newmv"] += 1
+        counts[which] += 1
+
+    def scan_row(row_offset):
+        end_mi = min(bw4, mi_cols - mi_col, 16)
+        col_off = 1 if abs(row_offset) > 1 else 0
+        i = 0
+        while i < end_mi:
+            r = mi_row + row_offset
+            c = mi_col + col_off + i
+            cw4 = int(grid.w4[r, c])
+            len_ = min(bw4, cw4)
+            if abs(row_offset) > 1:
+                len_ = max(len_, 2)
+            add_candidate(r, c, len_, 2, "row_match")
+            i += len_
+
+    def scan_col(col_offset):
+        end_mi = min(bh4, mi_rows - mi_row, 16)
+        row_off = 1 if abs(col_offset) > 1 else 0
+        i = 0
+        while i < end_mi:
+            r = mi_row + row_off + i
+            c = mi_col + col_offset
+            ch4 = int(grid.h4[r, c])
+            len_ = min(bh4, ch4)
+            if abs(col_offset) > 1:
+                len_ = max(len_, 2)
+            add_candidate(r, c, len_, 2, "col_match")
+            i += len_
+
+    if abs(max_row_offset) >= 1:
+        scan_row(-1)
+    if abs(max_col_offset) >= 1:
+        scan_col(-1)
+    if _has_top_right(mi_row, mi_col, bw4, bh4, sb_mi, mi_cols):
+        r, c = mi_row - 1, mi_col + bw4
+        if 0 <= c < mi_cols:
+            add_candidate(r, c, 2, 2, "row_match")
+
+    nearest_match = (counts["row_match"] > 0) + (counts["col_match"] > 0)
+    newmv_count = counts["newmv"]
+    st_w[:] = [w + REF_CAT_LEVEL for w in st_w]
+
+    if mi_row > 0 and mi_col > 0:
+        add_candidate(mi_row - 1, mi_col - 1, 2, 2, "row_match")
+    for idx in range(2, MVREF_ROWS + 1):
+        off = -(idx << 1) + 1
+        if abs(off) <= abs(max_row_offset):
+            scan_row(off)
+        if abs(off) <= abs(max_col_offset):
+            scan_col(off)
+
+    ref_match_count = (counts["row_match"] > 0) + (counts["col_match"] > 0)
+    mode_context = 0
+    if nearest_match == 0:
+        if ref_match_count >= 1:
+            mode_context |= 1
+        if ref_match_count == 1:
+            mode_context |= (1 << REFMV_OFFSET)
+        elif ref_match_count >= 2:
+            mode_context |= (2 << REFMV_OFFSET)
+    elif nearest_match == 1:
+        mode_context |= 2 if newmv_count > 0 else 3
+        if ref_match_count == 1:
+            mode_context |= (3 << REFMV_OFFSET)
+        elif ref_match_count >= 2:
+            mode_context |= (4 << REFMV_OFFSET)
+    else:
+        mode_context |= 4 if newmv_count >= 1 else 5
+        mode_context |= (5 << REFMV_OFFSET)
+
+    # weight sort (stable bubble, as single-ref)
+    n = len(st_pairs)
+    ln = n
+    while ln > 0:
+        nr = 0
+        for i in range(1, ln):
+            if st_w[i - 1] < st_w[i]:
+                st_pairs[i - 1], st_pairs[i] = st_pairs[i], st_pairs[i - 1]
+                st_w[i - 1], st_w[i] = st_w[i], st_w[i - 1]
+                nr = i
+        ln = nr
+
+    while len(st_pairs) < MAX_MV_REF_CANDIDATES:
+        pad = (tuple(gm_mvs[0]), tuple(gm_mvs[1]))
+        if pad in st_pairs:
+            pad = ((0, 0), (0, 0))
+        if pad in st_pairs:
+            pad = ((0, 0), (0, 2 * (len(st_pairs) + 1)))
+        st_pairs.append(pad)
+        st_w.append(2)
+
+    # clamp both MVs of every pair (same rule as the single-ref stack)
+    bw_px, bh_px = bw4 * 4, bh4 * 4
+    to_left = -(mi_col * 4 * 8)
+    to_right = (mi_cols - bw4 - mi_col) * 4 * 8
+    to_top = -(mi_row * 4 * 8)
+    to_bottom = (mi_rows - bh4 - mi_row) * 4 * 8
+
+    def cl(mv):
+        r = _clamp(mv[0], to_top - bh_px * 8 - MV_BORDER,
+                   to_bottom + bh_px * 8 + MV_BORDER)
+        c = _clamp(mv[1], to_left - bw_px * 8 - MV_BORDER,
+                   to_right + bw_px * 8 + MV_BORDER)
+        return (r, c)
+
+    st_pairs = [(cl(p0), cl(p1)) for (p0, p1) in st_pairs]
+    return MvStackComp(pairs=st_pairs, weights=st_w,
+                       count=max(len(st_pairs), 2),
+                       mode_context=mode_context)

@@ -141,7 +141,7 @@ class FrameParams:
     allow_high_precision_mv: bool = False
     interpolation_filter: int = 0   # EIGHTTAP
     is_motion_mode_switchable: bool = False
-    reference_select: bool = False  # single-reference mode
+    reference_select: bool = False  # compound refs allowed per block
 
 
 def _wb_write_primitive_subexpfin(w: BitWriter, n: int, k: int, v: int):
@@ -496,7 +496,6 @@ def write_frame_header_bits(w: BitWriter, sp: SequenceParams,
     # frame_reference_mode
     if not is_intra:
         w.f(int(fp.reference_select), 1)
-        assert not fp.reference_select, "compound mode: later round"
     # skip_mode_params: skipModeAllowed=0 (no reference_select / order
     # hints) => no bit
     # allow_warped_motion: seq enable_warped_motion == 0 => no bit
@@ -893,7 +892,6 @@ def read_frame_header(r: BitReader, sp: SequenceParams) -> FrameParams:
     fp.tx_mode_select = bool(r.f(1))
     if not is_intra:
         fp.reference_select = bool(r.f(1))
-        assert not fp.reference_select
     fp.reduced_tx_set = bool(r.f(1))
     if not is_intra:
         gms = []

@@ -135,6 +135,9 @@ class BlockDecision:
     ref: int = mv_pred.LAST_FRAME
     # GLOBALMV with a non-translation model: warped prediction
     use_warp: bool = False
+    # compound: second reference (0 = NONE) and its MV
+    ref2: int = 0
+    mv2: tuple = (0, 0)
     # per-SB adaptive quantization (0 = frame base_q_idx)
     qindex: int = 0
     # recursive filter-intra (y_mode == DC_PRED carrier); -1 = off
@@ -166,6 +169,7 @@ class ContextState:
         self.mi_coded = np.zeros((mi_rows, mi_cols), bool)
         self.mi_is_inter = np.zeros((mi_rows, mi_cols), np.int32)
         self.mi_ref = np.zeros((mi_rows, mi_cols), np.int32)  # 0 = INTRA
+        self.mi_ref2 = np.zeros((mi_rows, mi_cols), np.int32)  # 0 = NONE
 
     def start_sb_row(self):
         self.left_part[:] = 0
@@ -202,7 +206,7 @@ class ContextState:
         return above + left
 
     def set_block(self, r4, c4, bsize, mode, skip, is_inter=False,
-                  ref=0):
+                  ref=0, ref2=0):
         w4 = int(cc.block_size_wide[bsize]) >> 2
         h4 = int(cc.block_size_high[bsize]) >> 2
         self.mi_mode[r4:r4 + h4, c4:c4 + w4] = mode
@@ -210,6 +214,74 @@ class ContextState:
         self.mi_coded[r4:r4 + h4, c4:c4 + w4] = True
         self.mi_is_inter[r4:r4 + h4, c4:c4 + w4] = int(is_inter)
         self.mi_ref[r4:r4 + h4, c4:c4 + w4] = ref if is_inter else 0
+        self.mi_ref2[r4:r4 + h4, c4:c4 + w4] = ref2 if is_inter else 0
+
+    def comp_mode_ctx(self, r4, c4) -> int:
+        """av1_get_reference_mode_context (single-vs-compound flag)."""
+        def bwd(r, c):
+            return (self.mi_is_inter[r, c]
+                    and self.mi_ref[r, c] >= mv_pred.BWDREF_FRAME)
+
+        def comp(r, c):
+            return self.mi_ref2[r, c] > 0
+
+        has_a = r4 > 0 and self.mi_coded[r4 - 1, c4]
+        has_l = c4 > 0 and self.mi_coded[r4, c4 - 1]
+        a = (r4 - 1, c4)
+        l = (r4, c4 - 1)
+        if has_a and has_l:
+            if not comp(*a) and not comp(*l):
+                return int(bool(bwd(*a)) ^ bool(bwd(*l)))
+            if not comp(*a):
+                return 2 + int(bwd(*a) or not self.mi_is_inter[a])
+            if not comp(*l):
+                return 2 + int(bwd(*l) or not self.mi_is_inter[l])
+            return 4
+        if has_a:
+            return int(bool(bwd(*a))) if not comp(*a) else 3
+        if has_l:
+            return int(bool(bwd(*l))) if not comp(*l) else 3
+        return 1
+
+    def comp_ref_type_ctx(self, r4, c4) -> int:
+        """av1_get_comp_reference_type_context (uni vs bidir pairs;
+        our streams only code BIDIR, all pairs here are fwd+bwd)."""
+        def inter(r, c):
+            return bool(self.mi_is_inter[r, c])
+
+        def comp(r, c):
+            return self.mi_ref2[r, c] > 0
+
+        def bwd0(r, c):
+            return self.mi_ref[r, c] >= mv_pred.BWDREF_FRAME
+
+        has_a = r4 > 0 and self.mi_coded[r4 - 1, c4]
+        has_l = c4 > 0 and self.mi_coded[r4, c4 - 1]
+        a = (r4 - 1, c4)
+        l = (r4, c4 - 1)
+        if has_a and has_l:
+            ai, li = inter(*a), inter(*l)
+            if not ai and not li:
+                return 2
+            if not ai or not li:
+                e = l if not ai else a
+                if not comp(*e):
+                    return 2
+                return 3  # bidir pairs only in our streams
+            asg, lsg = not comp(*a), not comp(*l)
+            if asg and lsg:
+                return 1 + 2 * int(not (bool(bwd0(*a)) ^ bool(bwd0(*l))))
+            if asg or lsg:
+                return 3
+            return 4
+        if has_a or has_l:
+            e = a if has_a else l
+            if not inter(*e):
+                return 2
+            if not comp(*e):
+                return 2
+            return 3
+        return 2
 
     # ---- inter contexts ----
     def intra_inter_ctx(self, r4, c4) -> int:
@@ -345,6 +417,9 @@ class TileCoderBase:
         # sequence-level enable_filter_intra: eligible DC blocks code a
         # use_filter_intra flag (spec filter_intra_mode_info, 5.11.31)
         self.enable_filter_intra = False
+        # frame-level reference_select: inter blocks code a comp_mode
+        # flag (single vs compound reference)
+        self.reference_select = False
         # segmentation (SEG_LVL_ALT_Q on intra frames): params + coded
         # per-mi segment-id map (spec read_segment_id, 5.11.14)
         self.seg = None
@@ -384,6 +459,85 @@ class TileCoderBase:
         h4 = int(cc.block_size_high[bsize]) >> 2
         self.seg_ids[r4:r4 + h4, c4:c4 + w4] = sid
         return sid
+
+    # compound_mode_ctx_map (aom av1_mode_context_analyzer)
+    _COMP_MODE_CTX_MAP = ((0, 1, 1, 1, 1), (1, 2, 3, 4, 4),
+                          (4, 4, 5, 6, 7))
+
+    def _comp_mode_cdf_ctx(self, mode_context: int) -> int:
+        newmv_ctx = mode_context & 7
+        refmv_ctx = (mode_context >> mv_pred.REFMV_OFFSET) & 0xF
+        return self._COMP_MODE_CTX_MAP[min(refmv_ctx >> 1, 2)][
+            min(newmv_ctx, 4)]
+
+    def _code_comp_refs(self, r4, c4, dec=None, refs=None):
+        """Compound reference-pair coding (BIDIR only; trees from
+        write_ref_frames compound branch).  Encoder: refs=(fwd, bwd);
+        decoder returns the pair."""
+        enc_or_dec = self.enc if dec is None else dec
+        p1, p2, p3, p4, p5, p6 = self.ctx.single_ref_ctxs(r4, c4)
+        tctx = self.ctx.comp_ref_type_ctx(r4, c4)
+
+        def bit(cdf, val=None):
+            if dec is None:
+                enc_or_dec.encode_symbol(int(val), cdf, 2)
+                out = int(val)
+            else:
+                out = dec.read_symbol(cdf, 2)
+            if self.update:
+                update_cdf(cdf, out, 2)
+            return out
+
+        # comp_reference_type: 1 = BIDIR
+        t = bit(self.cdfs.comp_ref_type[tctx],
+                1 if dec is None else None)
+        assert t == 1, "unidirectional compound unsupported"
+        if dec is None:
+            fwd, bwd = refs
+            assert fwd == mv_pred.LAST_FRAME \
+                and bwd == mv_pred.ALTREF_FRAME
+            bit(self.cdfs.comp_ref[p3][0], 0)   # LAST/LAST2 group
+            bit(self.cdfs.comp_ref[p4][1], 0)   # LAST
+            bit(self.cdfs.comp_bwdref[p2][0], 1)  # ALTREF
+            return fwd, bwd
+        b0 = bit(self.cdfs.comp_ref[p3][0])
+        if b0 == 0:
+            b1 = bit(self.cdfs.comp_ref[p4][1])
+            fwd = mv_pred.LAST2_FRAME if b1 else mv_pred.LAST_FRAME
+        else:
+            b2 = bit(self.cdfs.comp_ref[p5][2])
+            fwd = mv_pred.GOLDEN_FRAME if b2 else mv_pred.LAST3_FRAME
+        c0 = bit(self.cdfs.comp_bwdref[p2][0])
+        if c0:
+            bwd = mv_pred.ALTREF_FRAME
+        else:
+            c1 = bit(self.cdfs.comp_bwdref[p6][1])
+            bwd = mv_pred.ALTREF2_FRAME if c1 else mv_pred.BWDREF_FRAME
+        return fwd, bwd
+
+    def _code_comp_mode_and_drl(self, cmode, stackc, dec=None):
+        """inter_compound_mode symbol (+ drl for NEW_NEWMV, idx 0)."""
+        cctx = self._comp_mode_cdf_ctx(stackc.mode_context)
+        cdf = self.cdfs.inter_compound_mode[cctx]
+        if dec is None:
+            self.enc.encode_symbol(cmode, cdf, 8)
+        else:
+            cmode = dec.read_symbol(cdf, 8)
+        if self.update:
+            update_cdf(cdf, cmode, 8)
+        if cmode == 7:      # NEW_NEWMV: drl (always index 0)
+            if stackc.count > 1:
+                dctx = stackc.drl_ctx(0)
+                dcdf = self.cdfs.drl[dctx]
+                if dec is None:
+                    self.enc.encode_symbol(0, dcdf, 2)
+                    d0 = 0
+                else:
+                    d0 = dec.read_symbol(dcdf, 2)
+                if self.update:
+                    update_cdf(dcdf, d0, 2)
+                assert d0 == 0, "drl > 0 unsupported in compound"
+        return cmode
 
     def _filter_intra_allowed(self, bsize, is_inter, y_mode) -> bool:
         """Spec FilterIntraAllowed (palette is never coded here)."""
@@ -477,10 +631,11 @@ class TileCoderBase:
         h4 = int(cc.block_size_high[bsize]) >> 2
         if is_inter:
             self.migrid.set_block(r4, c4, w4, h4, d.ref, inter_mode,
-                                  d.mv[0], d.mv[1])
+                                  d.mv[0], d.mv[1], ref2=d.ref2,
+                                  mv2=d.mv2)
         else:
             self.migrid.set_block(r4, c4, w4, h4, mv_pred.INTRA_FRAME,
-                                  0, 0, 0)
+                                  0, 0, 0, ref2=0, mv2=(0, 0))
 
 
 class TileEncoder(TileCoderBase):
@@ -609,22 +764,51 @@ class TileEncoder(TileCoderBase):
                 update_cdf(cdfs.intra_inter[ictx], int(is_inter), 2)
             inter_mode = 0
             if is_inter:
-                self._encode_single_ref(r4, c4, d.ref)
-                gm_model = self.gm.get(d.ref)
-                gm_mv = mv_pred.gm_block_mv(gm_model, r4, c4, bsize)
-                stack = mv_pred.find_mv_stack(
-                    self.migrid, r4, c4,
-                    int(cc.block_size_wide[bsize]) >> 2,
-                    int(cc.block_size_high[bsize]) >> 2, ref=d.ref,
-                    gm_mv=gm_mv)
-                inter_mode = self._map_inter_mode(
-                    d.mv, stack, gm_mv, use_warp=d.use_warp,
-                    gm_is_warp=(gm_model is not None
-                                and len(gm_model) == 6))
-                self._encode_inter_mode(inter_mode, stack)
-                if inter_mode == mv_pred.NEWMV:
-                    mv_mod.encode_mv(enc, d.mv, stack.mvs[0], self.nmv,
-                                     update=self.update)
+                is_comp = d.ref2 > 0
+                if self.reference_select:
+                    cmctx = ctx.comp_mode_ctx(r4, c4)
+                    ccdf = cdfs.comp_inter[cmctx]
+                    enc.encode_symbol(int(is_comp), ccdf, 2)
+                    if self.update:
+                        update_cdf(ccdf, int(is_comp), 2)
+                else:
+                    assert not is_comp, \
+                        "compound block without reference_select"
+                if is_comp:
+                    self._code_comp_refs(r4, c4, refs=(d.ref, d.ref2))
+                    w4b = int(cc.block_size_wide[bsize]) >> 2
+                    h4b = int(cc.block_size_high[bsize]) >> 2
+                    stackc = mv_pred.find_mv_stack_comp(
+                        self.migrid, r4, c4, w4b, h4b,
+                        (d.ref, d.ref2))
+                    pair = (tuple(d.mv), tuple(d.mv2))
+                    cmode = 0 if pair == stackc.pairs[0] else 7
+                    self._code_comp_mode_and_drl(cmode, stackc)
+                    if cmode == 7:
+                        mv_mod.encode_mv(enc, d.mv, stackc.pairs[0][0],
+                                         self.nmv, update=self.update)
+                        mv_mod.encode_mv(enc, d.mv2,
+                                         stackc.pairs[0][1],
+                                         self.nmv, update=self.update)
+                    inter_mode = (mv_pred.NEWMV if cmode == 7
+                                  else mv_pred.NEARESTMV)
+                else:
+                    self._encode_single_ref(r4, c4, d.ref)
+                    gm_model = self.gm.get(d.ref)
+                    gm_mv = mv_pred.gm_block_mv(gm_model, r4, c4, bsize)
+                    stack = mv_pred.find_mv_stack(
+                        self.migrid, r4, c4,
+                        int(cc.block_size_wide[bsize]) >> 2,
+                        int(cc.block_size_high[bsize]) >> 2, ref=d.ref,
+                        gm_mv=gm_mv)
+                    inter_mode = self._map_inter_mode(
+                        d.mv, stack, gm_mv, use_warp=d.use_warp,
+                        gm_is_warp=(gm_model is not None
+                                    and len(gm_model) == 6))
+                    self._encode_inter_mode(inter_mode, stack)
+                    if inter_mode == mv_pred.NEWMV:
+                        mv_mod.encode_mv(enc, d.mv, stack.mvs[0],
+                                         self.nmv, update=self.update)
             else:
                 grp = int(SIZE_GROUP[bsize])
                 cdf = cdfs.y_mode[grp]
@@ -661,7 +845,8 @@ class TileEncoder(TileCoderBase):
                     update_cdf(mcdf, d.filter_intra_mode,
                                cc.FILTER_INTRA_MODES)
 
-        ctx.set_block(r4, c4, bsize, d.y_mode, skip, is_inter, d.ref)
+        ctx.set_block(r4, c4, bsize, d.y_mode, skip, is_inter, d.ref,
+                      ref2=d.ref2 if is_inter else 0)
         self._set_migrid(r4, c4, bsize, d, is_inter,
                          inter_mode if not self.frame_is_intra else 0)
 
@@ -902,6 +1087,8 @@ class TileDecoder(TileCoderBase):
         is_inter = False
         inter_mode = 0
         mv = (0, 0)
+        mv2 = (0, 0)
+        ref2 = 0
         use_warp = False
         ref = mv_pred.LAST_FRAME
         y_mode = cc.DC_PRED
@@ -923,28 +1110,59 @@ class TileDecoder(TileCoderBase):
             if self.update:
                 update_cdf(cdfs.intra_inter[ictx], int(is_inter), 2)
             if is_inter:
-                ref = self._read_single_ref(r4, c4)
-                gm_model = self.gm.get(ref)
-                gm_mv = mv_pred.gm_block_mv(gm_model, r4, c4, bsize)
-                stack = mv_pred.find_mv_stack(
-                    self.migrid, r4, c4,
-                    int(cc.block_size_wide[bsize]) >> 2,
-                    int(cc.block_size_high[bsize]) >> 2, ref=ref,
-                    gm_mv=gm_mv)
-                inter_mode, drl = self._read_inter_mode(stack)
-                if inter_mode == mv_pred.NEWMV:
-                    mv = mv_mod.decode_mv(dec, stack.mvs[drl], self.nmv,
-                                          update=self.update)
-                elif inter_mode == mv_pred.NEARESTMV:
-                    mv = tuple(stack.mvs[0])
-                elif inter_mode == mv_pred.NEARMV:
-                    mv = tuple(stack.mvs[1 + drl])
-                else:  # GLOBALMV (this ref's global motion vector)
-                    mv = tuple(gm_mv)
-                    # non-translation models warp the prediction
-                    # (spec 7.11.3: block >= 8x8 with a valid shear)
-                    if gm_model is not None and len(gm_model) == 6:
-                        use_warp = True
+                is_comp = False
+                if self.reference_select:
+                    cmctx = ctx.comp_mode_ctx(r4, c4)
+                    ccdf = cdfs.comp_inter[cmctx]
+                    is_comp = bool(dec.read_symbol(ccdf, 2))
+                    if self.update:
+                        update_cdf(ccdf, int(is_comp), 2)
+                if is_comp:
+                    ref, ref2 = self._code_comp_refs(r4, c4, dec=dec)
+                    w4b = int(cc.block_size_wide[bsize]) >> 2
+                    h4b = int(cc.block_size_high[bsize]) >> 2
+                    stackc = mv_pred.find_mv_stack_comp(
+                        self.migrid, r4, c4, w4b, h4b, (ref, ref2))
+                    cmode = self._code_comp_mode_and_drl(
+                        None, stackc, dec=dec)
+                    if cmode == 7:
+                        mv = mv_mod.decode_mv(dec, stackc.pairs[0][0],
+                                              self.nmv,
+                                              update=self.update)
+                        mv2 = mv_mod.decode_mv(dec, stackc.pairs[0][1],
+                                               self.nmv,
+                                               update=self.update)
+                    elif cmode == 0:
+                        mv, mv2 = stackc.pairs[0]
+                    else:
+                        raise NotImplementedError(
+                            f"compound mode {cmode}")
+                    inter_mode = (mv_pred.NEWMV if cmode == 7
+                                  else mv_pred.NEARESTMV)
+                else:
+                    ref = self._read_single_ref(r4, c4)
+                    gm_model = self.gm.get(ref)
+                    gm_mv = mv_pred.gm_block_mv(gm_model, r4, c4, bsize)
+                    stack = mv_pred.find_mv_stack(
+                        self.migrid, r4, c4,
+                        int(cc.block_size_wide[bsize]) >> 2,
+                        int(cc.block_size_high[bsize]) >> 2, ref=ref,
+                        gm_mv=gm_mv)
+                    inter_mode, drl = self._read_inter_mode(stack)
+                    if inter_mode == mv_pred.NEWMV:
+                        mv = mv_mod.decode_mv(dec, stack.mvs[drl],
+                                              self.nmv,
+                                              update=self.update)
+                    elif inter_mode == mv_pred.NEARESTMV:
+                        mv = tuple(stack.mvs[0])
+                    elif inter_mode == mv_pred.NEARMV:
+                        mv = tuple(stack.mvs[1 + drl])
+                    else:  # GLOBALMV (this ref's global mv)
+                        mv = tuple(gm_mv)
+                        # non-translation models warp the prediction
+                        # (spec 7.11.3: >= 8x8 with a valid shear)
+                        if gm_model is not None and len(gm_model) == 6:
+                            use_warp = True
             else:
                 grp = int(SIZE_GROUP[bsize])
                 cdf = cdfs.y_mode[grp]
@@ -978,12 +1196,13 @@ class TileDecoder(TileCoderBase):
                 if self.update:
                     update_cdf(mcdf, fi_mode, cc.FILTER_INTRA_MODES)
 
-        ctx.set_block(r4, c4, bsize, y_mode, skip, is_inter, ref)
+        ctx.set_block(r4, c4, bsize, y_mode, skip, is_inter, ref,
+                      ref2=ref2)
         d_for_grid = BlockDecision(
             r4=r4, c4=c4, bsize=bsize, y_mode=y_mode, uv_mode=uv_mode,
             tx_type=cc.DCT_DCT, qcoeff_y=np.zeros((1, 1), np.int32),
             qcoeff_u=None, qcoeff_v=None, is_inter=is_inter, mv=mv,
-            ref=ref)
+            ref=ref, ref2=ref2, mv2=mv2)
         self._set_migrid(r4, c4, bsize, d_for_grid, is_inter, inter_mode)
 
         tx_size = MAX_TX[bsize]
@@ -1038,6 +1257,7 @@ class TileDecoder(TileCoderBase):
             r4=r4, c4=c4, bsize=bsize, y_mode=y_mode, uv_mode=uv_mode,
             tx_type=tx_type, qcoeff_y=qy, qcoeff_u=qu, qcoeff_v=qv,
             is_inter=is_inter, mv=mv, ref=ref, use_warp=use_warp,
+            ref2=ref2, mv2=mv2,
             angle_delta_y=angle_y, angle_delta_uv=angle_uv,
             cfl_alpha_u=cfl_au, cfl_alpha_v=cfl_av,
             qindex=(self.current_qindex

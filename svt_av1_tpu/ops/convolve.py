@@ -90,3 +90,42 @@ def convolve_2d_sr(windows: jnp.ndarray, subpel_x: jnp.ndarray,
     bits = 2 * FILTER_BITS - ROUND0 - ROUND1
     out = _round_pow2(res, bits) if bits > 0 else res
     return jnp.clip(out, 0, (1 << bd) - 1)
+
+
+def convolve_2d_compound_avg(win0: jnp.ndarray, win1: jnp.ndarray,
+                             spx0, spy0, spx1, spy1, w: int, h: int,
+                             kind: int = EIGHTTAP_REGULAR,
+                             bd: int = 8) -> jnp.ndarray:
+    """COMPOUND_AVERAGE dual prediction, bit-exact vs the reference
+    jnt convolve path with use_jnt_comp_avg = 0 (jnt_convolve_2d:
+    round_1 = COMPOUND_ROUND1_BITS, CONV_BUF intermediate, average,
+    offset removal, final rounding)."""
+    ROUND1_COMP = 7
+    tab = jnp.asarray(filter_table(kind))
+
+    def one(windows, spx, spy):
+        fx = tab[spx]
+        fy = tab[spy]
+        im_h = h + 7
+        x = windows.astype(jnp.int32)
+        acc = jnp.full((x.shape[0], im_h, w),
+                       1 << (bd + FILTER_BITS - 1), jnp.int32)
+        for k in range(8):
+            acc = acc + fx[:, k][:, None, None] * x[:, :, k:k + w]
+        im = _round_pow2(acc, ROUND0)
+        offset_bits = bd + 2 * FILTER_BITS - ROUND0
+        acc2 = jnp.full((x.shape[0], h, w), 1 << offset_bits, jnp.int32)
+        for k in range(8):
+            acc2 = acc2 + fy[:, k][:, None, None] * im[:, k:k + h, :]
+        return _round_pow2(acc2, ROUND1_COMP)   # CONV_BUF domain
+
+    t0 = one(win0, spx0, spy0)
+    t1 = one(win1, spx1, spy1)
+    avg = (t0 + t1) >> 1
+    offset_bits = bd + 2 * FILTER_BITS - ROUND0
+    res = avg - ((1 << (offset_bits - ROUND1_COMP))
+                 + (1 << (offset_bits - ROUND1_COMP - 1)))
+    round_bits = 2 * FILTER_BITS - ROUND0 - ROUND1_COMP
+    mag = (jnp.abs(res) + (1 << (round_bits - 1))) >> round_bits
+    out = jnp.where(res < 0, -mag, mag)
+    return jnp.clip(out, 0, (1 << bd) - 1)

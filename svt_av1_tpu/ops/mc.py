@@ -16,7 +16,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from svt_av1_tpu.ops.convolve import convolve_2d_sr
+from svt_av1_tpu.ops.convolve import (convolve_2d_compound_avg,
+                                      convolve_2d_sr)
 
 PAD = 80  # default reference padding in luma pixels
 
@@ -93,3 +94,30 @@ def mc_block_np(ref_plane: np.ndarray, y: int, x: int, mv, blk: int,
                     np.array([mv], np.int32), blk, pad,
                     subsampling=subsampling, bd=bd)
     return np.asarray(out[0])
+
+
+def mc_blocks_compound(refp0: jnp.ndarray, refp1: jnp.ndarray, ys, xs,
+                       mvs0, mvs1, blk: int, pad: int,
+                       subsampling: int = 0, bd: int = 8,
+                       kind: int = 0) -> jnp.ndarray:
+    """Batched COMPOUND_AVERAGE MC from two references."""
+    ys = jnp.asarray(ys, jnp.int32)
+    xs = jnp.asarray(xs, jnp.int32)
+    pad_p = pad >> subsampling
+    win = blk + 7
+    offs = jnp.arange(win)
+
+    def gather(refp, mvs):
+        mvs = jnp.asarray(mvs, jnp.int32)
+        mvq_r = mvs[:, 0] * (2 >> subsampling)
+        mvq_c = mvs[:, 1] * (2 >> subsampling)
+        start_r = ys + (mvq_r >> 4) - 3 + pad_p
+        start_c = xs + (mvq_c >> 4) - 3 + pad_p
+        rows = start_r[:, None, None] + offs[None, :, None]
+        cols = start_c[:, None, None] + offs[None, None, :]
+        return refp[rows, cols], mvq_c & 15, mvq_r & 15
+
+    w0, px0, py0 = gather(refp0, mvs0)
+    w1, px1, py1 = gather(refp1, mvs1)
+    return convolve_2d_compound_avg(w0, w1, px0, py0, px1, py1,
+                                    blk, blk, kind=kind, bd=bd)

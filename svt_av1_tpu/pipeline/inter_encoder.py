@@ -148,6 +148,59 @@ def _pass_a_fn(nb, K, bd=8, warp0=False, interp=0):
     return run
 
 
+
+def _pass_comp_fn(nb, bd=8, interp=0):
+    """COMPOUND_AVERAGE candidate evaluator: one (mv0, mv1) pair per
+    block against the (LAST, ALTREF) pair."""
+
+    def run(src_y, src_u, src_v, p0y, p0u, p0v, p1y, p1u, p1v,
+            ys, xs, mv0, mv1, zbin, rnd, qv, qshift, deq, lam, coefb,
+            txbb, eoby):
+        qp = quant.QuantParams(zbin, rnd, qv, qshift, deq)
+        pred = mc.mc_blocks_compound(p0y, p1y, ys, xs, mv0, mv1, BLK,
+                                     mc.PAD, 0, bd, kind=interp)
+        offs = jnp.arange(BLK)
+        rows = ys[:, None, None] + offs[None, :, None]
+        cols = xs[:, None, None] + offs[None, None, :]
+        resid = src_y[rows, cols] - pred
+        coeffs = tf.fwd_txfm2d(resid, cc.DCT_DCT, cc.TX_16X16)
+        qc, dq = quant.quantize(coeffs, qp, cc.TX_16X16)
+        s2 = np.float32(tf.coeff_sse_scale(cc.TX_16X16, cc.DCT_DCT))
+        dist = s2 * jnp.sum((coeffs - dq.astype(jnp.float32)) ** 2,
+                            axis=(1, 2))
+        from svt_av1_tpu.pipeline.intra_encoder import (_scan_pos,
+                                                        _txb_bits)
+        pos16 = jnp.asarray(_scan_pos(cc.TX_16X16))
+        bits = (_txb_bits(jnp.abs(qc), coefb, txbb[0], eoby, pos16)
+                + _mv_bits(mv0) + _mv_bits(mv1) + 2.0)
+        cost = dist + lam * bits
+        rec_y = tf.inv_txfm2d_add(dq, pred, cc.DCT_DCT, cc.TX_16X16,
+                                  bd=bd)
+        cys, cxs = ys // 2, xs // 2
+        outs = []
+        for pc0, pc1, src_c in ((p0u, p1u, src_u), (p0v, p1v, src_v)):
+            pred_c = mc.mc_blocks_compound(pc0, pc1, cys, cxs, mv0,
+                                           mv1, CBLK, mc.PAD, 1, bd,
+                                           kind=interp)
+            offc = jnp.arange(CBLK)
+            crows = cys[:, None, None] + offc[None, :, None]
+            ccols = cxs[:, None, None] + offc[None, None, :]
+            cfs = tf.fwd_txfm2d(src_c[crows, ccols] - pred_c,
+                                cc.DCT_DCT, cc.TX_8X8)
+            qcc, dqc = quant.quantize(cfs, qp, cc.TX_8X8)
+            outs.append((qcc, tf.inv_txfm2d_add(dqc, pred_c, cc.DCT_DCT,
+                                                cc.TX_8X8, bd=bd)))
+        return (cost, qc, rec_y, outs[0][0], outs[0][1], outs[1][0],
+                outs[1][1])
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_pass_comp(nb, bd=8, interp=0):
+    return jax.jit(_pass_comp_fn(nb, bd, interp))
+
+
 def _inter_frame_program_fn(nw, maxb, modes, gw, bd=8):
     """Pass-B wavefront with the per-block inter candidate override."""
 
@@ -396,13 +449,13 @@ def _pass_a_for_ref(ref, src_y, src_u, src_v, qindex, bd, hme_rad2,
     out = pass_a(src_y, src_u, src_v, refp_y, refp_u, refp_v, *wrefs,
                  jnp.asarray(ys), jnp.asarray(xs), jnp.asarray(cand),
                  *qp_j, lam, rt[0], rt[2], rt[5])
-    return out, gm
+    return out, gm, hme
 
 
 def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
                        src_v: np.ndarray, ref, qindex: int, modes=MODES,
                        bd: int = 8, hme_rad2: int = 8, hme_rad0: int = 7,
-                       subpel_ring: bool = True
+                       subpel_ring: bool = True, compound: bool = True
                        ) -> Tuple[Dict, Dict[str, np.ndarray]]:
     """Encode one inter frame.
 
@@ -453,13 +506,15 @@ def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
     best = None
     iref = None
     gm_by_ref = {}
+    hme_by_ref = {}
     for renum in sorted(refs):
-        out_a, gm_r = _pass_a_for_ref(
+        out_a, gm_r, hme_r = _pass_a_for_ref(
             refs[renum], sy, su, sv, qindex, bd, hme_rad2, hme_rad0,
             subpel_ring, (nb, 1 + len(ring)), ys, xs, qp_j, lam,
             interp=interp)
         if gm_r is not None:
             gm_by_ref[renum] = gm_r
+        hme_by_ref[renum] = hme_r
         out_r = [np.asarray(o) for o in out_a]
         if best is None:
             best = out_r
@@ -471,6 +526,64 @@ def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
                 t = take.reshape((nb,) + (1,) * (best[fi].ndim - 1))
                 best[fi] = np.where(t, out_r[fi], best[fi])
     (icost, imv, iqy, irec_y, iqu, irec_u, iqv, irec_v, iwarp) = best
+
+    # COMPOUND_AVERAGE probe (LAST + ALTREF pair, B frames only): the
+    # per-ref HME winners predict jointly; RD competes with the merged
+    # single-reference winner (compound-mode funnel role)
+    from svt_av1_tpu.codec import mv_pred as mvp
+    icomp = np.zeros(nb, bool)
+    imv2 = np.zeros((nb, 2), np.int32)
+    if (compound and mvp.LAST_FRAME in refs
+            and mvp.ALTREF_FRAME in refs):
+        r0p, r1p = refs[mvp.LAST_FRAME], refs[mvp.ALTREF_FRAME]
+        mv0 = mc.clamp_mvs_for_pad(hme_by_ref[mvp.LAST_FRAME], ys, xs,
+                                   BLK, h, w)
+        mv1 = mc.clamp_mvs_for_pad(hme_by_ref[mvp.ALTREF_FRAME], ys,
+                                   xs, BLK, h, w)
+        from svt_av1_tpu.codec.rate_est import md_rate_args
+        rt = md_rate_args(qindex, (), ())
+        pads = []
+        for rp in (r0p, r1p):
+            pads += [jnp.asarray(mc.pad_plane(
+                         rp["y"].astype(np.int32), mc.PAD)),
+                     jnp.asarray(mc.pad_plane(
+                         rp["u"].astype(np.int32), mc.PAD // 2)),
+                     jnp.asarray(mc.pad_plane(
+                         rp["v"].astype(np.int32), mc.PAD // 2))]
+        probe = _jit_pass_comp(nb, bd, interp)
+        zero = np.zeros_like(mv0)
+        cands = [(mv0, mv1), (zero, zero)]
+        merged = None
+        for (m0, m1) in cands:
+            outc = probe(sy, su, sv, *pads, jnp.asarray(ys),
+                         jnp.asarray(xs), jnp.asarray(m0),
+                         jnp.asarray(m1), *qp_j, lam,
+                         rt[0], rt[2], rt[5])
+            outc = [np.asarray(o) for o in outc] + [m0, m1]
+            if merged is None:
+                merged = outc
+            else:
+                tk = outc[0] < merged[0]
+                for fi in range(len(merged)):
+                    sh = (nb,) + (1,) * (merged[fi].ndim - 1)
+                    merged[fi] = np.where(tk.reshape(sh), outc[fi],
+                                          merged[fi])
+        (ccost, cqy, crec_y, cqu, crec_u, cqv, crec_v, mv0, mv1) = \
+            merged
+        take = ccost < icost
+        icomp = take
+        icost = np.where(take, ccost, icost)
+        imv = np.where(take[:, None], mv0, imv)
+        imv2 = np.where(take[:, None], mv1, imv2)
+        iref = np.where(take, mvp.LAST_FRAME, iref)
+        iwarp = np.where(take, False, iwarp)
+        t3 = take[:, None, None]
+        iqy = np.where(t3, cqy, iqy)
+        irec_y = np.where(t3, crec_y, irec_y)
+        iqu = np.where(t3, cqu, iqu)
+        irec_u = np.where(t3, crec_u, irec_u)
+        iqv = np.where(t3, cqv, iqv)
+        irec_v = np.where(t3, crec_v, irec_v)
 
     from svt_av1_tpu.codec.rate_est import md_rate_args
     from svt_av1_tpu.pipeline.intra_encoder import UV_MODES
@@ -498,7 +611,10 @@ def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
                     qcoeff_y=iqy[bid], qcoeff_u=iqu[bid],
                     qcoeff_v=iqv[bid], is_inter=True,
                     mv=(int(imv[bid, 0]), int(imv[bid, 1])),
-                    ref=int(iref[bid]), use_warp=bool(iwarp[bid]))
+                    ref=int(iref[bid]), use_warp=bool(iwarp[bid]),
+                    ref2=(int(mvp.ALTREF_FRAME) if icomp[bid] else 0),
+                    mv2=((int(imv2[bid, 0]), int(imv2[bid, 1]))
+                         if icomp[bid] else (0, 0)))
             else:
                 decisions[(r4, c4)] = BlockDecision(
                     r4=r4, c4=c4, bsize=cc.BLOCK_16X16,
@@ -537,6 +653,8 @@ def reconstruct_inter_from_decisions(decisions: Dict, ref,
         recon_y, recon_u, recon_v = _recon_inter_blocks_for_ref(
             decisions, renum, refp, recon_y, recon_u, recon_v, qp_j, bd,
             gm_model=(gm or {}).get(renum), interp=interp)
+    recon_y, recon_u, recon_v = _recon_compound_blocks(
+        decisions, refs, recon_y, recon_u, recon_v, qp_j, bd, interp)
 
     for by in range(gh):
         for bx in range(gw):
@@ -560,11 +678,65 @@ def reconstruct_inter_from_decisions(decisions: Dict, ref,
                 v=np.asarray(recon_v).astype(dt))
 
 
+def _recon_compound_blocks(decisions, refs, recon_y, recon_u, recon_v,
+                           qp_j, bd, interp=0):
+    """COMPOUND_AVERAGE reconstruction for two-reference blocks."""
+    keys = [k for k, d in decisions.items() if d.is_inter and d.ref2]
+    if not keys:
+        return recon_y, recon_u, recon_v
+    pairs = sorted({(decisions[k].ref, decisions[k].ref2)
+                    for k in keys})
+    for (r0, r1) in pairs:
+        pk = [k for k in keys if (decisions[k].ref,
+                                  decisions[k].ref2) == (r0, r1)]
+        ys = np.array([k[0] * 4 for k in pk], np.int32)
+        xs = np.array([k[1] * 4 for k in pk], np.int32)
+        mv0 = np.array([decisions[k].mv for k in pk], np.int32)
+        mv1 = np.array([decisions[k].mv2 for k in pk], np.int32)
+        p0y = jnp.asarray(mc.pad_plane(
+            refs[r0]["y"].astype(np.int32), mc.PAD))
+        p1y = jnp.asarray(mc.pad_plane(
+            refs[r1]["y"].astype(np.int32), mc.PAD))
+        pred_y = mc.mc_blocks_compound(p0y, p1y, ys, xs, mv0, mv1,
+                                       BLK, mc.PAD, 0, bd, kind=interp)
+        qy = jnp.asarray(np.stack([decisions[k].qcoeff_y for k in pk]))
+        dq = quant.dequantize(qy, quant.QuantParams(*qp_j), cc.TX_16X16)
+        rec_y = tf.inv_txfm2d_add(dq, pred_y, cc.DCT_DCT, cc.TX_16X16,
+                                  bd=bd)
+        offs = jnp.arange(BLK)
+        rows = ys[:, None, None] + offs[None, :, None]
+        cols = xs[:, None, None] + offs[None, None, :]
+        recon_y = recon_y.at[rows, cols].set(rec_y)
+        for plane in ("u", "v"):
+            p0c = jnp.asarray(mc.pad_plane(
+                refs[r0][plane].astype(np.int32), mc.PAD // 2))
+            p1c = jnp.asarray(mc.pad_plane(
+                refs[r1][plane].astype(np.int32), mc.PAD // 2))
+            pred_c = mc.mc_blocks_compound(p0c, p1c, ys // 2, xs // 2,
+                                           mv0, mv1, CBLK, mc.PAD, 1,
+                                           bd, kind=interp)
+            qc = jnp.asarray(np.stack(
+                [getattr(decisions[k], f"qcoeff_{plane}")
+                 for k in pk]))
+            dqc = quant.dequantize(qc, quant.QuantParams(*qp_j),
+                                   cc.TX_8X8)
+            rec_c = tf.inv_txfm2d_add(dqc, pred_c, cc.DCT_DCT,
+                                      cc.TX_8X8, bd=bd)
+            offc = jnp.arange(CBLK)
+            crows = (ys // 2)[:, None, None] + offc[None, :, None]
+            ccols = (xs // 2)[:, None, None] + offc[None, None, :]
+            if plane == "u":
+                recon_u = recon_u.at[crows, ccols].set(rec_c)
+            else:
+                recon_v = recon_v.at[crows, ccols].set(rec_c)
+    return recon_y, recon_u, recon_v
+
+
 def _recon_inter_blocks_for_ref(decisions, renum, ref, recon_y, recon_u,
                                 recon_v, qp_j, bd, gm_model=None,
                                 interp=0):
     inter_keys = [k for k, d in decisions.items()
-                  if d.is_inter and d.ref == renum]
+                  if d.is_inter and d.ref == renum and not d.ref2]
     if inter_keys:
         ys = np.array([k[0] * 4 for k in inter_keys], np.int32)
         xs = np.array([k[1] * 4 for k in inter_keys], np.int32)
