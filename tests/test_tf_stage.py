@@ -54,3 +54,25 @@ def test_mctf_gop_e2e():
     p_off = run(0)
     p_on = run(1)
     assert p_on > p_off + 1.0, (p_off, p_on)
+
+
+def test_mctf_filters_chroma():
+    import numpy as np
+    from svt_av1_tpu.pipeline.tf_stage import mctf_filter_frame
+    rng = np.random.default_rng(0)
+    h, w = 64, 96
+    clean_u = np.full((h // 2, w // 2), 120.0)
+    frames = []
+    for t in range(3):
+        xx = np.arange(w)[None, :]
+        y = np.clip(110 + 50 * np.sin(xx / 13.0)
+                    + rng.normal(0, 8, (h, w)), 0, 255).astype(np.uint8)
+        u = np.clip(clean_u + rng.normal(0, 8, (h // 2, w // 2)), 0,
+                    255).astype(np.uint8)
+        v = np.clip(clean_u + rng.normal(0, 8, (h // 2, w // 2)), 0,
+                    255).astype(np.uint8)
+        frames.append((y, u, v))
+    _, fu, _ = mctf_filter_frame(frames[1], [frames[0], frames[2]])
+    assert not np.array_equal(fu, frames[1][1]), "chroma must filter"
+    assert (np.std(fu.astype(float) - clean_u)
+            < np.std(frames[1][1].astype(float) - clean_u))
