@@ -48,6 +48,7 @@ class EncoderConfig:
     tile_columns: int = 0
     tile_rows: int = 0
     screen_content_mode: int = 0
+    sframe_dist: int = 0              # S_FRAME every N inter frames
     avif: bool = False                # single-picture (AVIF) mode:
                                       # still_picture + reduced header
     # HDR metadata (metadata_handle.c surface); SVT string formats:
@@ -109,6 +110,7 @@ _PARAM_MAP = {
     "tune": ("tune", int),
     "film-grain": ("film_grain_denoise_strength", int),
     "avif": ("avif", lambda v: bool(int(v))),
+    "sframe-dist": ("sframe_dist", int),
     "mastering-display": ("mastering_display", str),
     "content-light": ("content_light", str),
     "superres-mode": ("superres_mode", int),

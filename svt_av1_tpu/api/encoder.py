@@ -624,6 +624,22 @@ class Encoder:
                 (m["R"], m["G"], m["B"]), m["WP"], m["L"][0], m["L"][1])
         return out
 
+    def reconfigure(self, target_bit_rate=None, qp=None):
+        """On-the-fly reconfiguration (resource_coordination
+        update_rate_info role): adjust the rate target / base quantizer
+        between pictures without resetting encoder state."""
+        if target_bit_rate is not None:
+            self.cfg.target_bit_rate = int(target_bit_rate)
+            fps = (self.cfg.frame_rate_numerator
+                   / max(self.cfg.frame_rate_denominator, 1))
+            self._rc.target_bits_per_frame = \
+                max(target_bit_rate, 1) / max(fps, 1e-6)
+        if qp is not None:
+            if not (0 <= qp <= 63):
+                raise ConfigError(f"bad qp {qp}")
+            self.cfg.qp = int(qp)
+            self._rc.qindex = qp_to_qindex(qp)
+
     def get_stream_info(self, info_id: int = 0):
         """svt_av1_enc_get_stream_info parity: id 0 returns the
         first-pass stats blob (STREAM_INFO_FIRST_PASS_STATS_OUT)."""
@@ -858,6 +874,18 @@ class Encoder:
                     hme_rad2=self._feat.hme_rad2,
                     hme_rad0=self._feat.hme_rad0,
                     subpel_ring=self._feat.subpel_ring)
+        # switch frames (S_FRAME, Docs/Appendix-Switch-Frame.md role):
+        # every sframe_dist-th inter frame codes as an error-resilient
+        # switch point (default CDFs, refresh-all)
+        sframe = (not is_key and self.cfg.sframe_dist > 0
+                  and pts % self.cfg.sframe_dist == 0)
+
+        def _sframe_setup(fp):
+            fp.frame_type = obu.S_FRAME
+            fp.error_resilient_mode = True
+            fp.refresh_frame_flags = 0xFF
+            fp.primary_ref_frame = obu.PRIMARY_REF_NONE
+
         pkt = self._packetize(decisions, recon, qindex, pts,
                               is_key=is_key, src=dict(y=y, u=u, v=v),
                               src_full=src_full,
@@ -865,7 +893,8 @@ class Encoder:
                                        and seg_info is None),
                               seg=seg_info,
                               gm=None if is_key else gm,
-                              interp=0 if is_key else interp)
+                              interp=0 if is_key else interp,
+                              fp_setup=_sframe_setup if sframe else None)
         if (_depth == 0 and self._rc.mode in (1, 2)
                 and self._q_plan is None):
             # strong overshoot vs the per-frame budget: re-encode once

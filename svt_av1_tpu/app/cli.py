@@ -20,8 +20,10 @@ from svt_av1_tpu.utils.y4m import Y4MReader
 def build_parser():
     p = argparse.ArgumentParser(prog="SvtAv1TpuEncApp",
                                 description="TPU-native AV1 encoder")
-    p.add_argument("-i", "--input", required=True, help="input .y4m")
-    p.add_argument("-b", "--output", required=True, help="output .ivf")
+    p.add_argument("-i", "--input", required=True, action="append",
+                   help="input .y4m (repeat for multi-channel)")
+    p.add_argument("-b", "--output", required=True, action="append",
+                   help="output .ivf (one per input channel)")
     p.add_argument("--preset", type=int, default=10)
     p.add_argument("--crf", type=int, default=35)
     p.add_argument("--keyint", type=int, default=-2)
@@ -35,7 +37,20 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    reader = Y4MReader(args.input)
+    if len(args.input) != len(args.output):
+        print("channel count mismatch: need one -b per -i",
+              file=sys.stderr)
+        return 1
+    # multi-channel (app_main.c MAX_CHANNEL_NUMBER role): each channel
+    # is an independent encode
+    rc = 0
+    for cin, cout in zip(args.input, args.output):
+        rc |= _encode_channel(args, cin, cout)
+    return rc
+
+
+def _encode_channel(args, input_path, output_path):
+    reader = Y4MReader(input_path)
     hdr = reader.header
     cfg = EncoderConfig(source_width=hdr.width, source_height=hdr.height,
                         encoder_bit_depth=hdr.bit_depth,
@@ -48,7 +63,7 @@ def main(argv=None):
         parse_parameter(cfg, name, value)
 
     enc = Encoder(cfg)
-    writer = IVFWriter(args.output, hdr.width, hdr.height,
+    writer = IVFWriter(output_path, hdr.width, hdr.height,
                        hdr.fps_num, hdr.fps_den)
     t0 = time.time()
     count = 0

@@ -405,7 +405,13 @@ def write_frame_header_bits(w: BitWriter, sp: SequenceParams,
             "short ref signaling path not implemented"
         for i in range(7):
             w.f(fp.ref_frame_idx[i], 3)
-    # frame_size(): override=0 => from sequence; superres; render_size
+    # frame_size(): S_FRAME implies frame_size_override_flag=1 and
+    # codes the size explicitly; other frames inherit the sequence size
+    if fp.frame_type == S_FRAME:
+        wbits = max(1, (sp.width - 1).bit_length())
+        hbits = max(1, (sp.height - 1).bit_length())
+        w.f(sp.width - 1, wbits)
+        w.f(sp.height - 1, hbits)
     if sp.enable_superres:
         use = fp.superres_denom != 8
         w.f(int(use), 1)
@@ -804,6 +810,11 @@ def read_frame_header(r: BitReader, sp: SequenceParams) -> FrameParams:
     if not is_intra:
         assert not sp.enable_order_hint
         fp.ref_frame_idx = tuple(r.f(3) for _ in range(7))
+    if fp.frame_type == S_FRAME:
+        wbits = max(1, (sp.width - 1).bit_length())
+        hbits = max(1, (sp.height - 1).bit_length())
+        assert r.f(wbits) + 1 == sp.width
+        assert r.f(hbits) + 1 == sp.height
     if sp.enable_superres:
         if r.f(1):
             fp.superres_denom = r.f(3) + 9
