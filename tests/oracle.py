@@ -1,6 +1,8 @@
 """ctypes bridge to the reference SVT-AV1 scalar kernels, used as *test
 oracles* only (bit-exactness ground truth).  No reference code is copied;
-we call the compiled library built from /root/reference in /tmp.
+we call the compiled library built from /root/reference in /tmp —
+build it with tools/build_oracle.sh (strips the hidden-visibility flag
+so the internal kernels export).
 
 Tests that use the oracle are skipped automatically when the library is
 absent (e.g. on a fresh machine); golden vectors generated from the oracle
