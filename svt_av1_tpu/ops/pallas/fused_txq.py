@@ -29,21 +29,21 @@ TILE_B = 64
 N = 16
 
 
-def _kernel(resid_ref, fv_ref, fh_ref, qparams_ref, qc_ref, dqc_ref):
+def _kernel(resid_ref, fv_ref, fh_ref, qparams_ref, coef_ref, qc_ref,
+            dqc_ref):
     # resid: (TILE_B*N, N) f32 view of TILE_B blocks stacked row-wise
     x = resid_ref[:].astype(jnp.float32)
     fh = fh_ref[:]                     # (N, N)
     fv = fv_ref[:]                     # (N, N)
-    # row transform: X @ Fh^T  for every block row at once (MXU)
-    xr = jax.lax.dot_general(x, fh, (((1,), (1,)), ((), ())),
+    # SAME op order as ops/transforms.fwd_txfm2d (vertical then
+    # horizontal) so the float32 rounding matches the XLA path exactly
+    x3 = x.reshape(TILE_B, N, N)
+    y1 = jax.lax.dot_general(x3, fv, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    # column transform per block: reshape to (TILE_B, N, N), Fv @ block
-    xr = xr.reshape(TILE_B, N, N)
-    y = jax.lax.dot_general(
-        xr, fv, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)      # (TILE_B, N, N) -> b,w,i
-    y = jnp.swapaxes(y, 1, 2)                    # coeffs (TILE_B, N, N)
-    coeff = jnp.round(y).astype(jnp.int32).reshape(TILE_B * N, N)
+    y1 = jnp.swapaxes(y1, 1, 2)        # (b, i, w)
+    y2 = jax.lax.dot_general(y1, fh, (((2,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    coeff = jnp.round(y2).astype(jnp.int32).reshape(TILE_B * N, N)
 
     # quantizer epilogue (AC params everywhere, DC fixed at (0,0) lanes)
     zbin_dc = qparams_ref[0, 0]
@@ -65,6 +65,7 @@ def _kernel(resid_ref, fv_ref, fh_ref, qparams_ref, qc_ref, dqc_ref):
     qs = jnp.where(is_dc, qs_dc, qs_ac)
     dq = jnp.where(is_dc, dq_dc, dq_ac)
 
+    coef_ref[:] = coeff
     sign = jnp.where(coeff < 0, -1, 1)
     abs_c = jnp.abs(coeff)
     tmp = jnp.clip(abs_c + rnd, -32768, 32767)
@@ -95,8 +96,11 @@ def _build(interpret: bool):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((TILE_B * N, N), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_B * N, N), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_shape=[
+                jax.ShapeDtypeStruct(resid2d.shape, jnp.int32),
                 jax.ShapeDtypeStruct(resid2d.shape, jnp.int32),
                 jax.ShapeDtypeStruct(resid2d.shape, jnp.int32),
             ],
@@ -125,8 +129,35 @@ def fwd_txfm_quant_16x16(resid: jnp.ndarray, qindex: int,
                          0, 0, 0, 0, 0, 0]], dtype=np.int32)
     resid2d = resid.astype(jnp.float32).reshape(bt * N, N)
     call = _build(interpret)
-    qc, dqc = call(resid2d, jnp.asarray(fv), jnp.asarray(fh),
-                   jnp.asarray(qparams), bt // TILE_B)
+    coef, qc, dqc = call(resid2d, jnp.asarray(fv), jnp.asarray(fh),
+                         jnp.asarray(qparams), bt // TILE_B)
+    coef = coef.reshape(bt, N, N)[:b]
     qc = qc.reshape(bt, N, N)[:b]
     dqc = dqc.reshape(bt, N, N)[:b]
-    return qc, dqc
+    return coef, qc, dqc
+
+
+def fwd_txfm_quant_16x16_qp(resid: jnp.ndarray, qp, interpret=False):
+    """Fused path with already-built QuantParams (traced arrays, frame
+    quantizer — not the per-block AQ rows).  Returns (coeff, qcoeff,
+    dqcoeff), each (B, 16, 16) int32 matching the unfused ops path."""
+    b = resid.shape[0]
+    pad = (-b) % TILE_B
+    if pad:
+        resid = jnp.concatenate(
+            [resid, jnp.zeros((pad, N, N), resid.dtype)], axis=0)
+    bt = resid.shape[0]
+    fv, fh, _, _ = tf._fwd_matrices(cc.DCT_DCT, cc.TX_16X16)
+    zbin, rnd, qv, qshift, deq = (jnp.asarray(a).astype(jnp.int32)
+                                  for a in qp)
+    zero = jnp.zeros((), jnp.int32)
+    qparams = jnp.stack([zbin[0], zbin[1], rnd[0], rnd[1], qv[0], qv[1],
+                         qshift[0], qshift[1], deq[0], deq[1],
+                         zero, zero, zero, zero, zero,
+                         zero]).reshape(1, 16)
+    resid2d = resid.astype(jnp.float32).reshape(bt * N, N)
+    call = _build(interpret)
+    coef, qc, dqc = call(resid2d, jnp.asarray(fv), jnp.asarray(fh),
+                         qparams, bt // TILE_B)
+    return (coef.reshape(bt, N, N)[:b], qc.reshape(bt, N, N)[:b],
+            dqc.reshape(bt, N, N)[:b])

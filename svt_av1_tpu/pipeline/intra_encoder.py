@@ -44,6 +44,15 @@ TX_SEARCH_SET = (cc.DCT_DCT, cc.ADST_ADST, cc.ADST_DCT, cc.DCT_ADST)
 ANGLE_DELTAS = (-3, -2, -1, 1, 2, 3)
 
 
+def _pallas_ok() -> bool:
+    """Use the Pallas fused kernels only on a real TPU backend (the CPU
+    test mesh runs the identical-numerics XLA path)."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def cand_angle(mode: int, delta: int) -> int:
     """Prediction angle of a candidate (0 = non-directional)."""
     if cc.V_PRED <= mode <= cc.D67_PRED:
@@ -315,8 +324,15 @@ def _rd_step(recon, src, ys, xs, valid, have_above, have_left,
     resid_all = src_all - pred_all
     if same_tx:
         tx0 = cc.DCT_DCT if tx_types is None else tx_types[0]
-        coeffs = tf.fwd_txfm2d(resid_all, tx0, tx_size)
-        qcoeff_all, dq_all = quant.quantize(coeffs, qp, tx_size)
+        if (tx_size == cc.TX_16X16 and tx0 == cc.DCT_DCT
+                and not per_block_qp and _pallas_ok()):
+            # VMEM-fused txfm+quant (Pallas), bit-identical on TPU
+            from svt_av1_tpu.ops.pallas import fused_txq
+            coeffs, qcoeff_all, dq_all = \
+                fused_txq.fwd_txfm_quant_16x16_qp(resid_all, qp)
+        else:
+            coeffs = tf.fwd_txfm2d(resid_all, tx0, tx_size)
+            qcoeff_all, dq_all = quant.quantize(coeffs, qp, tx_size)
         if rdoq and rates is not None and rdoq_tbl is not None:
             from svt_av1_tpu.ops import rdoq as rdoq_mod
             kh_, kw_ = qcoeff_all.shape[-2:]
