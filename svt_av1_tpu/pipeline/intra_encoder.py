@@ -45,9 +45,14 @@ ANGLE_DELTAS = (-3, -2, -1, 1, 2, 3)
 
 
 def _pallas_ok() -> bool:
-    """Use the Pallas fused kernels only on a real TPU backend (the CPU
-    test mesh runs the identical-numerics XLA path)."""
+    """Use the Pallas fused kernels only on a real TPU backend.  CPU
+    test meshes AND tpu-default sessions tracing under a pinned CPU
+    device (the multichip dryrun) take the identical-numerics XLA
+    path."""
     try:
+        dd = jax.config.jax_default_device
+        if dd is not None and getattr(dd, "platform", "cpu") != "tpu":
+            return False
         return jax.default_backend() == "tpu"
     except Exception:
         return False
