@@ -213,6 +213,21 @@ class Encoder:
             self._slot_free = set(range(8))
             self._slot_recon: Dict[int, Dict] = {}
             self._slot_state: Dict[int, tuple] = {}
+        # fused fast GOP path (pipeline/gop_fast.py): inter frames run
+        # as 2 device programs + 1 bundled pull; DPB recon stays on
+        # device.  8-bit single-tile scope; other configs use the
+        # round-2 stage path.
+        self._fast = (self._hier > 0
+                      and config.encoder_bit_depth == 8
+                      and self.sr_denom == 8
+                      and config.film_grain_denoise_strength == 0
+                      and self._log2_tile_cols == 0
+                      and not config.avif
+                      and config.sframe_dist <= 0)
+        # pulling recon off the device costs a ~30 ms round trip per
+        # frame on a tunneled TPU: callers that don't consume
+        # Packet.recon (the bench) can turn it off
+        self.recon_enabled = True
         if config.pass_ == 2 and config.rc_stats_buffer:
             from svt_av1_tpu.pipeline import rate_control as rc_mod
             stats = rc_mod.unpack_first_pass_stats(config.rc_stats_buffer)
@@ -342,11 +357,15 @@ class Encoder:
                 if p not in self._h_frames or self._is_key_poc(p):
                     break
                 chain.append(self._pad(*self._h_frames[p])[0])
-            stats = [tpl.tpl_frame_stats(chain[0], None)]
-            deps = [None]
-            for i in range(1, len(chain)):
-                stats.append(tpl.tpl_frame_stats(chain[i], chain[i - 1]))
-                deps.append(i - 1)
+            deps = [None] + [[i - 1] for i in range(1, len(chain))]
+            if self._fast:
+                from svt_av1_tpu.pipeline import gop_fast
+                stats = gop_fast.tpl_group_stats(chain, deps)
+            else:
+                stats = [tpl.tpl_frame_stats(chain[0], None)]
+                for i in range(1, len(chain)):
+                    stats.append(tpl.tpl_frame_stats(chain[i],
+                                                     chain[i - 1]))
             dep0 = tpl.synthesize(stats, deps)[0]
             qindex = tpl.tpl_adjust_qindex(qindex, tpl.r0_of(stats[0],
                                                              dep0), 0)
@@ -433,11 +452,17 @@ class Encoder:
                 order.append(p)
                 deps.append([idx_of[tail]])
                 tail = p
-            stats = []
-            for i, p in enumerate(order):
-                refs = (None if deps[i] is None
-                        else [src_of[order[j]] for j in deps[i]])
-                stats.append(tpl.tpl_frame_stats(src_of[p], refs))
+            if self._fast:
+                # whole-group dispenser: ONE device program + pull
+                from svt_av1_tpu.pipeline import gop_fast
+                stats = gop_fast.tpl_group_stats(
+                    [src_of[p] for p in order], deps)
+            else:
+                stats = []
+                for i, p in enumerate(order):
+                    refs = (None if deps[i] is None
+                            else [src_of[order[j]] for j in deps[i]])
+                    stats.append(tpl.tpl_frame_stats(src_of[p], refs))
             mc_dep = tpl.synthesize(stats, deps)
             tpl_r0 = {p: tpl.r0_of(stats[i], mc_dep[i])
                       for i, p in enumerate(order)}
@@ -466,6 +491,8 @@ class Encoder:
     def _encode_inter_job(self, ev, base_q: int, layered: bool = True):
         from svt_av1_tpu.codec import mv_pred
         from svt_av1_tpu.pipeline import gop
+        if self._fast:
+            return self._encode_inter_job_fast(ev, base_q, layered)
         y, u, v = self._h_frames.pop(ev.poc)
         y, u, v = self._pad(y, u, v)
         qindex = (gop.layer_qindex(base_q, ev.layer, self._hier + 1)
@@ -515,16 +542,132 @@ class Encoder:
             pkt.recon = None
         self._finish_packet(pkt, qindex)
 
+    def _encode_inter_job_fast(self, ev, base_q: int,
+                               layered: bool = True):
+        """Fused-program inter frame (pipeline/gop_fast.py): 2 device
+        dispatches + 1 bundled pull; DPB recon stays on device."""
+        from svt_av1_tpu.codec import mv_pred
+        from svt_av1_tpu.pipeline import gop, gop_fast
+        from svt_av1_tpu.pipeline.cdef_stage import SEARCH_SET
+        y, u, v = self._h_frames.pop(ev.poc)
+        y, u, v = self._pad(y, u, v)
+        qindex = (gop.layer_qindex(base_q, ev.layer, self._hier + 1)
+                  if layered else base_q)
+        last_slot = self._dpb[ev.last_poc]
+        refs = {mv_pred.LAST_FRAME: self._slot_recon[last_slot]}
+        bwd_slot = None
+        if ev.bwd_poc is not None:
+            bwd_slot = self._dpb[ev.bwd_poc]
+            refs[mv_pred.ALTREF_FRAME] = self._slot_recon[bwd_slot]
+        h, w = self.coded_h, self.coded_w
+        src_pack = np.concatenate(
+            [np.asarray(y, np.uint8),
+             np.concatenate([np.asarray(u, np.uint8),
+                             np.asarray(v, np.uint8)], axis=1)], axis=0)
+        from svt_av1_tpu.utils.profiling import stage
+        with stage("device_md_inter"):
+            pend = gop_fast.run_inter_frame(
+                src_pack, refs, qindex, h, w,
+                modes=self._feat.intra_modes,
+                ring=self._feat.subpel_ring,
+                rad2=self._feat.hme_rad2, rad0=self._feat.hme_rad0,
+                cdef_cands=SEARCH_SET[:self._feat.cdef_candidates],
+                dlf_on=bool(self.cfg.enable_dlf_flag),
+                cdef_on=self.sp.enable_cdef)
+            decisions, recon_dev, header = \
+                gop_fast.collect_inter_frame(pend)
+        slot = min(self._slot_free) if ev.store else None
+        if ev.store:
+            self._slot_free.remove(slot)
+        pkt, tenc = self._packetize_fast(decisions, header, qindex, ev,
+                                         last_slot, bwd_slot, slot)
+        if ev.store:
+            self._dpb[ev.poc] = slot
+            self._slot_recon[slot] = recon_dev
+            self._slot_state[slot] = (tenc.cdfs, tenc.nmv)
+        pkt.displayed = ev.shown
+        if ev.shown and (self.recon_enabled or self.cfg.stat_report):
+            full = {k: np.asarray(recon_dev[k]) for k in ("y", "u", "v")}
+            pkt.recon = dict(
+                y=full["y"][:self.render_h, :self.render_w],
+                u=full["u"][:(self.render_h + 1) // 2,
+                            :(self.render_w + 1) // 2],
+                v=full["v"][:(self.render_h + 1) // 2,
+                            :(self.render_w + 1) // 2])
+            if self.cfg.stat_report:
+                from svt_av1_tpu.utils import metrics
+                pkt.stats = metrics.frame_stats(
+                    dict(y=y, u=u, v=v), pkt.recon,
+                    self.cfg.encoder_bit_depth)
+        self._finish_packet(pkt, qindex)
+
+    def _packetize_fast(self, decisions, header, qindex, ev, last_slot,
+                        bwd_slot, slot):
+        """OBU assembly for a fast-path inter frame: filter decisions
+        arrive precomputed in ``header`` (no host filter stages)."""
+        from svt_av1_tpu.codec import mv_pred
+        from svt_av1_tpu.pipeline.cdef_stage import cdef_damping
+        from svt_av1_tpu.utils.profiling import stage
+        fp = obu.FrameParams(frame_type=obu.INTER_FRAME,
+                             show_frame=ev.shown, base_q_idx=qindex,
+                             render_width=self.render_w,
+                             render_height=self.render_h)
+        fp.showable_frame = not ev.shown
+        fp.refresh_frame_flags = (1 << slot) if ev.store else 0
+        idx = [last_slot] * 7
+        if bwd_slot is not None:
+            idx[mv_pred.BWDREF_FRAME - 1] = bwd_slot
+            idx[mv_pred.ALTREF2_FRAME - 1] = bwd_slot
+            idx[mv_pred.ALTREF_FRAME - 1] = bwd_slot
+        fp.ref_frame_idx = tuple(idx)
+        fp.primary_ref_frame = 0
+        gm = header["gm"]
+        fp.gm_trans = tuple(gm.get(i + 1) for i in range(7))
+        fp.interpolation_filter = header["interp"]
+        if self.cfg.enable_dlf_flag:
+            ly, lu, lv = header["dlf_levels"]
+            fp.filter_level = (ly, ly)
+            fp.filter_level_uv = (lu, lv)
+        if header["cdef"] is not None:
+            fp.cdef_damping = cdef_damping(qindex)
+            fp.cdef_bits = header["cdef"]["bits"]
+            fp.cdef_strengths = header["cdef"]["sets"][0]
+        fp.reference_select = any(
+            d.ref2 for d in decisions.values() if d.is_inter)
+        tenc = TileEncoder(self.sr_w, self.sp.height, qindex,
+                           reduced_tx_set=fp.reduced_tx_set,
+                           update_cdfs=not fp.disable_cdf_update,
+                           frame_is_intra=False,
+                           init_cdfs=self._slot_state[last_slot][0],
+                           init_nmv=self._slot_state[last_slot][1])
+        tenc.enable_filter_intra = self.sp.enable_filter_intra
+        tenc.reference_select = fp.reference_select
+        tenc.set_gm(fp.gm_trans)
+        with stage("host_ec"):
+            tile_data = tenc.encode(decisions)
+        tu = obu.temporal_delimiter()
+        if not self._seq_hdr_sent:
+            tu += obu.write_sequence_header(self.sp)
+            tu += self._metadata_obus()
+            self._seq_hdr_sent = True
+        tu += obu.write_frame_obu(self.sp, fp, tile_data)
+        pkt = Packet(data=tu, pts=ev.poc, frame_type=obu.INTER_FRAME,
+                     recon=None)
+        return pkt, tenc
+
     def _emit_show_existing(self, poc: int):
         slot = self._dpb[poc]
         data = obu.temporal_delimiter() + obu.write_show_existing(slot)
-        full = self._slot_recon[slot]
-        recon = dict(
-            y=full["y"][:self.render_h, :self.render_w],
-            u=full["u"][:(self.render_h + 1) // 2,
-                        :(self.render_w + 1) // 2],
-            v=full["v"][:(self.render_h + 1) // 2,
-                        :(self.render_w + 1) // 2])
+        recon = None
+        if self.recon_enabled or self.cfg.stat_report:
+            full = {k: np.asarray(v)
+                    for k, v in self._slot_recon[slot].items()}
+            recon = dict(
+                y=full["y"][:self.render_h, :self.render_w],
+                u=full["u"][:(self.render_h + 1) // 2,
+                            :(self.render_w + 1) // 2],
+                v=full["v"][:(self.render_h + 1) // 2,
+                            :(self.render_w + 1) // 2])
         self._packets.append(Packet(data=data, pts=poc,
                                     frame_type=obu.INTER_FRAME,
                                     recon=recon))

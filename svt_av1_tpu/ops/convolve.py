@@ -52,6 +52,23 @@ def filter_table(kind: int, small: bool = False) -> np.ndarray:
     return d[name].astype(np.int32)
 
 
+@functools.lru_cache(maxsize=1)
+def filter_table_all() -> np.ndarray:
+    """(3, 16, 8) stacked REGULAR/SMOOTH/SHARP tables — lets the filter
+    kind be a TRACED scalar (one compiled program covers every frame
+    interp-filter decision instead of recompiling per kind)."""
+    return np.stack([filter_table(k) for k in (EIGHTTAP_REGULAR,
+                                               EIGHTTAP_SMOOTH,
+                                               MULTITAP_SHARP)])
+
+
+def _tab_of(kind):
+    """Filter table for a static int or traced scalar ``kind``."""
+    if isinstance(kind, (int, np.integer)):
+        return jnp.asarray(filter_table(int(kind)))
+    return jnp.asarray(filter_table_all())[kind]
+
+
 def _round_pow2(x, n):
     return (x + (1 << (n - 1))) >> n if n > 0 else x
 
@@ -68,8 +85,8 @@ def convolve_2d_sr(windows: jnp.ndarray, subpel_x: jnp.ndarray,
     subpel_x/subpel_y: (B,) int32 in [0, 16) (q4 phase).
     Returns (B, h, w) int32 predicted samples in [0, 2^bd).
     """
-    tab_x = jnp.asarray(filter_table(kind_x))
-    tab_y = jnp.asarray(filter_table(kind_y))
+    tab_x = _tab_of(kind_x)
+    tab_y = _tab_of(kind_y)
     fx = tab_x[subpel_x]  # (B, 8)
     fy = tab_y[subpel_y]
     im_h = h + 7
@@ -101,7 +118,7 @@ def convolve_2d_compound_avg(win0: jnp.ndarray, win1: jnp.ndarray,
     round_1 = COMPOUND_ROUND1_BITS, CONV_BUF intermediate, average,
     offset removal, final rounding)."""
     ROUND1_COMP = 7
-    tab = jnp.asarray(filter_table(kind))
+    tab = _tab_of(kind)
 
     def one(windows, spx, spy):
         fx = tab[spx]

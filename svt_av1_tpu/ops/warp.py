@@ -89,8 +89,9 @@ def shear_params(mat):
     return alpha, beta, gamma, delta
 
 
-@functools.lru_cache(maxsize=None)
-def _jit_warp(nb, h, w, bd):
+def warp_core(nb, h, w, bd):
+    """Traceable batched 8x8-block warp (see _jit_warp); composable
+    into larger fused programs (pipeline/gop_fast.py)."""
     offset_bits_horiz = bd + FILTER_BITS - 1
     round0 = 3 + (2 if bd == 12 else 0)
     reduce_bits_vert = 2 * FILTER_BITS - round0
@@ -137,7 +138,12 @@ def _jit_warp(nb, h, w, bd):
         out = jnp.clip(acc - (1 << (bd - 1)) - (1 << bd), 0, hi)
         return out                                        # (nb, 8, 8)
 
-    return jax.jit(f)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_warp(nb, h, w, bd):
+    return jax.jit(warp_core(nb, h, w, bd))
 
 
 def warp_plane(ref: np.ndarray, mat, p_width: int, p_height: int,

@@ -1,0 +1,1078 @@
+"""Fast hierarchical-GOP pipeline: fused device programs per inter frame.
+
+Round-3 speed redesign of the inter/GOP path.  The round-2 path ran
+~10-20 separate device dispatches per frame with a host round trip after
+most of them (HME pull for GM fitting, one pass-A dispatch + host merge
+PER REFERENCE, 3 interp-filter probes, per-level DLF pulls, per-candidate
+CDEF pulls).  On a tunneled TPU every device->host pull costs ~30 ms
+regardless of size, so the frame rate was transfer-bound at well under
+1 fps (measured 0.02 fps, VERDICT round 2).
+
+The redesign (this module) runs each inter frame as:
+
+  P1 "md"      — ONE program: per-ref HME -> global-motion fit (device
+                 least squares + normative shear/quantization) -> warped
+                 reference -> frame interp-filter pick -> pass A over all
+                 refs and candidates (gm/ring/neighbor MVs, skip-mode
+                 aware, COMPOUND_AVERAGE pair) merged ON DEVICE -> pass B
+                 wavefront (intra fallback) -> dense per-block decision
+                 arrays + unfiltered recon.
+  P2 "filters" — ONE program: DLF per-plane level search (whole ladder
+                 evaluated on device, argmin SSE) + CDEF direction search
+                 and per-SB, per-candidate SSE matrix.
+  host         — ONE bundled device_get (a single ~30 ms round trip for
+                 the per-block decision arrays + filter stats), CDEF
+                 strength-set subset selection, entropy coding.
+  P3 "cdef"    — apply the selected per-SB CDEF strengths; the output
+                 recon STAYS ON DEVICE as the DPB slot for future frames.
+
+Behavioral reference for the stage contents is unchanged (pass A/B
+semantics: product_coding_loop.c MD funnel; DLF search dlf_process.c:
+106-131; CDEF search cdef_process.c cdef_seg_search; GM global_me.c:139);
+the fusion/batching shape is the TPU-native part.  Everything here is
+8-bit, single-tile; other configs fall back to the round-2 stage path.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svt_av1_tpu.codec import constants as cc
+from svt_av1_tpu.ops import mc, quant, transforms as tf
+from svt_av1_tpu.ops import warp as warp_ops
+from svt_av1_tpu.pipeline import me as me_pipe
+from svt_av1_tpu.pipeline.intra_encoder import (
+    BLK, CBLK, _natural_maxb, _rd_step, _rd_step_chroma, _scan_pos,
+    _schedule_arrays, _txb_bits, _wave_flat_index)
+from svt_av1_tpu.pipeline.inter_encoder import _SUBPEL_RING, _mv_bits
+
+WM = 1 << 16  # WARPEDMODEL_PREC_BITS unit
+
+
+# --------------------------------------------------------------------------
+# device global-motion estimation (estimate_global_rotzoom /
+# estimate_global_translation ported to jnp so the HME field never
+# leaves the device; the fit is a closed-form centered least squares)
+# --------------------------------------------------------------------------
+
+def _rpot_signed_t(v, n):
+    """round_power_of_two_signed with traced shift (int32-safe)."""
+    m = (jnp.abs(v) + (1 << (n - 1))) >> n
+    return jnp.where(v < 0, -m, m)
+
+
+def _rpot_signed_wide(p, y, s):
+    """round_power_of_two_signed(p * y, s) where p*y may exceed int32.
+
+    Exact 46-bit product emulation: |p| = a_hi*2^14 + a_lo, so
+    (|p*y| + 2^(s-1)) >> s == (a_hi*|y| + ((a_lo*|y| + 2^(s-1)) >> 14))
+    >> (s - 14) for s > 14 (shift composition on non-negative ints)."""
+    sign = jnp.sign(p) * jnp.sign(y)
+    a = jnp.abs(p)
+    b = jnp.abs(y)
+    t = (a >> 14) * b
+    u = (a & 16383) * b
+    c = u + (1 << (s - 1))       # rounding constant rides the low limb
+    q = (t + (c >> 14)) >> (s - 14)
+    return sign * q
+
+
+def _msb_int(d, maxbit=18):
+    """floor(log2(d)) for 1 <= d < 2^maxbit (traced)."""
+    acc = jnp.zeros((), jnp.int32)
+    for k in range(1, maxbit + 1):
+        acc = acc + (d >= (1 << k)).astype(jnp.int32)
+    return acc
+
+
+def _shear_device(mat):
+    """(alpha, beta, gamma, delta, valid) — svt_get_shear_params with
+    traced wmmat (behavioral ref warped_motion.c:298-360)."""
+    div_lut = jnp.asarray(warp_ops._div_lut())
+    alpha = jnp.clip(mat[2] - WM, -32768, 32767)
+    beta = jnp.clip(mat[3], -32768, 32767)
+    d = jnp.maximum(jnp.abs(mat[2]), 1)
+    shift = _msb_int(d)
+    e = d - (1 << shift)
+    hi = (e + (1 << jnp.maximum(shift - 9, 0))) >> jnp.maximum(shift - 8, 0)
+    lo = e << jnp.maximum(8 - shift, 0)
+    f = jnp.where(shift > 8, hi, lo)
+    y = div_lut[jnp.clip(f, 0, 256)]
+    shift_t = shift + 14
+    # gamma: v = (mat[4] << 16) * y  ==  rpot(mat[4]*y, shift_t - 16)
+    gamma = jnp.clip(_rpot_signed_t(mat[4] * y, shift_t - 16),
+                     -32768, 32767)
+    # delta: v = (mat[3] * mat[4]) * y (needs > 32 bits)
+    dterm = _rpot_signed_wide(mat[3] * mat[4], y, shift_t)
+    delta = jnp.clip(mat[5] - dterm - WM, -32768, 32767)
+    rb = warp_ops.WARP_PARAM_REDUCE_BITS
+    alpha = _rpot_signed_t(alpha, rb) << rb
+    beta = _rpot_signed_t(beta, rb) << rb
+    gamma = _rpot_signed_t(gamma, rb) << rb
+    delta = _rpot_signed_t(delta, rb) << rb
+    valid = ((mat[2] > 0)
+             & (4 * jnp.abs(alpha) + 7 * jnp.abs(beta) < WM)
+             & (4 * jnp.abs(gamma) + 4 * jnp.abs(delta) < WM))
+    return alpha, beta, gamma, delta, valid
+
+
+def _gm_fit(mv_y, mv_x, gh, gw):
+    """Device GM fit from the HME field.
+
+    Returns (mat (6,) int32, trans (2,) int32 1/8-pel, kind int32)
+    with kind 0=IDENTITY, 1=TRANSLATION, 2=ROTZOOM.  Mirrors
+    inter_encoder.estimate_global_{rotzoom,translation} (centered
+    closed-form LS replaces lstsq; same trimmed refit and coded-grid
+    quantization)."""
+    dy = mv_y.astype(jnp.float32).reshape(-1)
+    dx = mv_x.astype(jnp.float32).reshape(-1)
+    n = gh * gw
+    ysc = (np.arange(gh) * BLK + BLK // 2).astype(np.float32)
+    xsc = (np.arange(gw) * BLK + BLK // 2).astype(np.float32)
+    px = jnp.asarray(np.tile(xsc, gh))
+    py = jnp.asarray(np.repeat(ysc, gw))
+
+    def fit(wsel):
+        wsum = jnp.maximum(wsel.sum(), 1.0)
+        mx = (px * wsel).sum() / wsum
+        my = (py * wsel).sum() / wsum
+        cx = px - mx
+        cy = py - my
+        s = ((cx * cx + cy * cy) * wsel).sum() + 1e-6
+        a = (((cx * dx + cy * dy) * wsel).sum()) / s
+        b = (((cy * dx - cx * dy) * wsel).sum()) / s
+        txp = ((dx * wsel).sum()) / wsum
+        typ = ((dy * wsel).sum()) / wsum
+        tx = txp - a * mx - b * my
+        ty = typ + b * mx - a * my
+        resx = a * px + b * py + tx - dx
+        resy = -b * px + a * py + ty - dy
+        r = jnp.sqrt(resx * resx + resy * resy)
+        return a, b, tx, ty, r
+
+    ones = jnp.ones((n,), jnp.float32)
+    a0, b0, _, _, r0 = fit(ones)
+    thr = jnp.maximum(1.5, jnp.median(r0) * 2.0)
+    keep = (r0 <= thr).astype(jnp.float32)
+    enough = keep.sum() >= 8
+    a, b, tx, ty, _ = fit(jnp.where(enough, keep, ones))
+    # quantize to coded grids (inter_encoder.estimate_global_rotzoom)
+    mat2 = jnp.clip((jnp.round((1.0 + a) * WM / 2) * 2).astype(jnp.int32),
+                    WM - 8190, WM + 8190)
+    mat3 = jnp.clip((jnp.round(b * WM / 2) * 2).astype(jnp.int32),
+                    -8190, 8190)
+    mat0 = jnp.clip((jnp.round(tx * 64) * 1024).astype(jnp.int32),
+                    -(4095 << 10), 4095 << 10)
+    mat1 = jnp.clip((jnp.round(ty * 64) * 1024).astype(jnp.int32),
+                    -(4095 << 10), 4095 << 10)
+    mat = jnp.stack([mat0, mat1, mat2, mat3, -mat3, mat2])
+    span = np.float32(max(gh, gw) * BLK)
+    rot_sig = ((jnp.abs(a) * span >= 0.7) | (jnp.abs(b) * span >= 0.7))
+    *_, shear_ok = _shear_device(mat)
+    non_ident = ~((mat2 == WM) & (mat3 == 0))
+    rot_ok = rot_sig & shear_ok & non_ident
+
+    # translation fallback (median + inlier mean, estimate_global_
+    # translation semantics)
+    med_y = jnp.median(dy)
+    med_x = jnp.median(dx)
+    inl = ((jnp.abs(dy - med_y) <= 1.5)
+           & (jnp.abs(dx - med_x) <= 1.5)).astype(jnp.float32)
+    frac = inl.sum() / np.float32(n)
+    isum = jnp.maximum(inl.sum(), 1.0)
+    tr = jnp.clip(jnp.round((dy * inl).sum() / isum) * 8,
+                  -504, 504).astype(jnp.int32) & ~1
+    tc = jnp.clip(jnp.round((dx * inl).sum() / isum) * 8,
+                  -504, 504).astype(jnp.int32) & ~1
+    tr_ok = ((jnp.abs(med_y) >= 1) | (jnp.abs(med_x) >= 1)) \
+        & (frac >= 0.4) & ((tr != 0) | (tc != 0))
+    kind = jnp.where(rot_ok, 2, jnp.where(tr_ok, 1, 0)).astype(jnp.int32)
+    trans = jnp.where(kind == 1, jnp.stack([tr, tc]),
+                      jnp.zeros(2, jnp.int32))
+    ident = jnp.asarray([0, 0, WM, 0, 0, WM], jnp.int32)
+    mat = jnp.where(kind == 2, mat, ident)
+    return mat, trans, kind
+
+
+def _gm_block_mvs(mat, gh, gw):
+    """Vectorized gm_block_mv for the 16x16 grid (codec/mv_pred.py:319):
+    (nb, 2) int32 1/8-pel vectors from the block-center projection."""
+    nb = gh * gw
+    x = (np.arange(nb) % gw * BLK + BLK // 2 - 1).astype(np.int32)
+    y = (np.arange(nb) // gw * BLK + BLK // 2 - 1).astype(np.int32)
+    xc = (mat[2] - WM) * x + mat[3] * y + mat[0]
+    yc = mat[4] * x + (mat[5] - WM) * y + mat[1]
+    return jnp.stack([_rpot_signed_t(yc, 14) * 2,
+                      _rpot_signed_t(xc, 14) * 2], axis=-1)
+
+
+def _warp_plane_traced(ref, mat, shear, p_w, p_h, bd, ss):
+    """Whole-plane warped prediction with traced wmmat/shear
+    (warp_plane with device parameters; bit-exact same filter)."""
+    h, w = ref.shape
+    gbh, gbw = p_h // 8, p_w // 8
+    nb = gbh * gbw
+    bi = ((np.arange(nb) // gbw) * 8).astype(np.int32)
+    bj = ((np.arange(nb) % gbw) * 8).astype(np.int32)
+    src_x = ((bj + 4) << ss).astype(np.int32)
+    src_y = ((bi + 4) << ss).astype(np.int32)
+    dst_x = mat[2] * src_x + mat[3] * src_y + mat[0]
+    dst_y = mat[4] * src_x + mat[5] * src_y + mat[1]
+    x4 = dst_x >> ss
+    y4 = dst_y >> ss
+    ix4 = x4 >> warp_ops.WARPEDMODEL_PREC_BITS
+    sx4 = x4 & (WM - 1)
+    iy4 = y4 >> warp_ops.WARPEDMODEL_PREC_BITS
+    sy4 = y4 & (WM - 1)
+    alpha, beta, gamma, delta = shear
+    sx4 = (sx4 - 4 * (alpha + beta)) & ~((1 << 6) - 1)
+    sy4 = (sy4 - 4 * (gamma + delta)) & ~((1 << 6) - 1)
+    f = warp_ops.warp_core(nb, h, w, bd)
+    out = f(ref, ix4, iy4, sx4, sy4, alpha, beta, gamma, delta)
+    return (out.reshape(gbh, gbw, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(p_h, p_w))
+
+
+# --------------------------------------------------------------------------
+# pass A (device, multi-ref merged)
+# --------------------------------------------------------------------------
+
+def _clamp_cands(cand, ys, xs, blk, h, w, pad=mc.PAD):
+    """jnp clamp_mvs_for_pad over (nb, K, 2) candidates."""
+    r = jnp.clip(cand[..., 0], (-(ys + pad - 4) * 8)[:, None],
+                 ((h + pad - 4 - (ys + blk)) * 8)[:, None])
+    c = jnp.clip(cand[..., 1], (-(xs + pad - 4) * 8)[:, None],
+                 ((w + pad - 4 - (xs + blk)) * 8)[:, None])
+    return jnp.stack([r & ~1, c & ~1], axis=-1)
+
+
+def _eval_ref(src_y, src_u, src_v, refp_y, refp_u, refp_v,
+              wref_y, wref_u, wref_v, cand, is_warp0,
+              ys, xs, qp, lam, rt, bd, interp, nb, K):
+    """Pass-A candidate evaluation vs ONE reference (skip-aware).
+
+    cand: (nb, K, 2) clamped MVs (slot 0 = global-motion candidate,
+    signaling-only when is_warp0).  Returns the per-block winner:
+    (cost_y, mv, skip, qy, rec_y, pred_y_sse, qu, rec_u, qv, rec_v,
+    warp_flag, coded_cost_tot, skip_cost_tot)."""
+    coef_y, coef_uv, txbb, eob_y, eob_uv = rt
+    qpp = quant.QuantParams(*qp)
+    ysK = jnp.tile(ys, K)
+    xsK = jnp.tile(xs, K)
+    mvsK = cand.transpose(1, 0, 2).reshape(nb * K, 2)
+    pred = mc.mc_blocks(refp_y, ysK, xsK, mvsK, BLK, mc.PAD, 0, bd,
+                        kind=interp)
+    offs = jnp.arange(BLK)
+    rows0 = ys[:, None, None] + offs[None, :, None]
+    cols0 = xs[:, None, None] + offs[None, None, :]
+    wslice = wref_y[rows0, cols0]
+    pred = jnp.concatenate(
+        [jnp.where(is_warp0, wslice, pred[:nb]), pred[nb:]], axis=0)
+    rows = ysK[:, None, None] + offs[None, :, None]
+    cols = xsK[:, None, None] + offs[None, None, :]
+    resid = src_y[rows, cols] - pred
+    coeffs = tf.fwd_txfm2d(resid, cc.DCT_DCT, cc.TX_16X16)
+    qc, dq = quant.quantize(coeffs, qpp, cc.TX_16X16)
+    s2 = np.float32(tf.coeff_sse_scale(cc.TX_16X16, cc.DCT_DCT))
+    dist = s2 * jnp.sum((coeffs - dq.astype(jnp.float32)) ** 2,
+                        axis=(1, 2))
+    pos16 = jnp.asarray(_scan_pos(cc.TX_16X16))
+    mvb = _mv_bits(mvsK)
+    bits = _txb_bits(jnp.abs(qc), coef_y, txbb[0], eob_y, pos16) + mvb
+    cost_coded = dist + lam * bits
+    dist_skip = jnp.sum(resid.astype(jnp.float32) ** 2, axis=(1, 2))
+    cost_skip = dist_skip + lam * (mvb + 2.0)
+    skip_k = cost_skip < cost_coded
+    cost = jnp.where(skip_k, cost_skip, cost_coded).reshape(K, nb)
+    kbest = jnp.argmin(cost, axis=0)
+    # winner select (where-chains)
+    qk = qc.reshape(K, nb, BLK, BLK)
+    dqk = dq.reshape(K, nb, BLK, BLK)
+    pk = pred.reshape(K, nb, BLK, BLK)
+    mvk = mvsK.reshape(K, nb, 2)
+    sk = skip_k.reshape(K, nb)
+    ck = cost_coded.reshape(K, nb)
+    sck = cost_skip.reshape(K, nb)
+    best = [cost[0], mvk[0], qk[0], dqk[0], pk[0], sk[0], ck[0], sck[0]]
+    for k in range(1, K):
+        take = kbest == k
+        t3 = take[:, None, None]
+        best[0] = jnp.where(take, cost[k], best[0])
+        best[1] = jnp.where(take[:, None], mvk[k], best[1])
+        best[2] = jnp.where(t3, qk[k], best[2])
+        best[3] = jnp.where(t3, dqk[k], best[3])
+        best[4] = jnp.where(t3, pk[k], best[4])
+        best[5] = jnp.where(take, sk[k], best[5])
+        best[6] = jnp.where(take, ck[k], best[6])
+        best[7] = jnp.where(take, sck[k], best[7])
+    (bcost, bmv, bq, bdq, bpred, bskip, bcoded, bskipc) = best
+    rec_coded = tf.inv_txfm2d_add(bdq, bpred, cc.DCT_DCT, cc.TX_16X16,
+                                  bd=bd)
+    # chroma at the winner MV (gm candidate 0 under warp uses the
+    # warped chroma planes)
+    warp_flag = (kbest == 0) & is_warp0
+    cys, cxs = ys // 2, xs // 2
+    offc = jnp.arange(CBLK)
+    crows = cys[:, None, None] + offc[None, :, None]
+    ccols = cxs[:, None, None] + offc[None, None, :]
+    pos8 = jnp.asarray(_scan_pos(cc.TX_8X8))
+    ch = []
+    for refp_c, wref_c, src_c in ((refp_u, wref_u, src_u),
+                                  (refp_v, wref_v, src_v)):
+        pred_c = mc.mc_blocks(refp_c, cys, cxs, bmv, CBLK, mc.PAD, 1,
+                              bd, kind=interp)
+        pred_c = jnp.where(warp_flag[:, None, None],
+                           wref_c[crows, ccols], pred_c)
+        resid_c = src_c[crows, ccols] - pred_c
+        cf = tf.fwd_txfm2d(resid_c, cc.DCT_DCT, cc.TX_8X8)
+        qcc, dqc = quant.quantize(cf, qpp, cc.TX_8X8)
+        s2c = np.float32(tf.coeff_sse_scale(cc.TX_8X8, cc.DCT_DCT))
+        dist_c = s2c * jnp.sum((cf - dqc.astype(jnp.float32)) ** 2,
+                               axis=(1, 2))
+        bits_c = _txb_bits(jnp.abs(qcc), coef_uv, txbb[1], eob_uv, pos8)
+        rec_c = tf.inv_txfm2d_add(dqc, pred_c, cc.DCT_DCT, cc.TX_8X8,
+                                  bd=bd)
+        dskip_c = jnp.sum(resid_c.astype(jnp.float32) ** 2, axis=(1, 2))
+        ch.append((qcc, rec_c, pred_c, dist_c + lam * bits_c, dskip_c))
+    (qu, rec_u, pred_u, cu, su), (qv_, rec_v, pred_v, cvq, sv) = ch
+    # joint skip decision across planes (skip flag covers all planes)
+    coded_tot = bcoded + cu + cvq
+    skip_tot = bskipc + su + sv
+    skip = skip_tot < coded_tot
+    s3 = skip[:, None, None]
+    qy = jnp.where(s3, 0, bq)
+    rec_y = jnp.where(s3, bpred, rec_coded)
+    qu = jnp.where(s3, 0, qu)
+    rec_u = jnp.where(s3, pred_u, rec_u)
+    qv_ = jnp.where(s3, 0, qv_)
+    rec_v = jnp.where(s3, pred_v, rec_v)
+    cost_tot = jnp.where(skip, skip_tot, coded_tot)
+    # luma-only cost for the pass-B intra/inter comparison
+    cost_y = jnp.where(skip, bskipc, jnp.minimum(bcoded, bskipc))
+    return (cost_tot, cost_y, bmv, skip, qy, rec_y, qu, rec_u, qv_,
+            rec_v, warp_flag)
+
+
+def _eval_pair(src_y, src_u, src_v, p0, p1, mv0, mv1, ys, xs, qp, lam,
+               rt, bd, interp, nb):
+    """COMPOUND_AVERAGE (mv0, mv1) pair evaluation with joint skip."""
+    coef_y, coef_uv, txbb, eob_y, eob_uv = rt
+    qpp = quant.QuantParams(*qp)
+    pred = mc.mc_blocks_compound(p0[0], p1[0], ys, xs, mv0, mv1, BLK,
+                                 mc.PAD, 0, bd, kind=interp)
+    offs = jnp.arange(BLK)
+    rows = ys[:, None, None] + offs[None, :, None]
+    cols = xs[:, None, None] + offs[None, None, :]
+    resid = src_y[rows, cols] - pred
+    coeffs = tf.fwd_txfm2d(resid, cc.DCT_DCT, cc.TX_16X16)
+    qc, dq = quant.quantize(coeffs, qpp, cc.TX_16X16)
+    s2 = np.float32(tf.coeff_sse_scale(cc.TX_16X16, cc.DCT_DCT))
+    dist = s2 * jnp.sum((coeffs - dq.astype(jnp.float32)) ** 2,
+                        axis=(1, 2))
+    pos16 = jnp.asarray(_scan_pos(cc.TX_16X16))
+    mvb = _mv_bits(mv0) + _mv_bits(mv1) + 2.0
+    bits = _txb_bits(jnp.abs(qc), coef_y, txbb[0], eob_y, pos16) + mvb
+    coded_y = dist + lam * bits
+    skip_y = jnp.sum(resid.astype(jnp.float32) ** 2, axis=(1, 2)) \
+        + lam * (mvb + 2.0)
+    rec_coded = tf.inv_txfm2d_add(dq, pred, cc.DCT_DCT, cc.TX_16X16,
+                                  bd=bd)
+    cys, cxs = ys // 2, xs // 2
+    offc = jnp.arange(CBLK)
+    crows = cys[:, None, None] + offc[None, :, None]
+    ccols = cxs[:, None, None] + offc[None, None, :]
+    pos8 = jnp.asarray(_scan_pos(cc.TX_8X8))
+    ch = []
+    for pc0, pc1, src_c in ((p0[1], p1[1], src_u), (p0[2], p1[2], src_v)):
+        pred_c = mc.mc_blocks_compound(pc0, pc1, cys, cxs, mv0, mv1,
+                                       CBLK, mc.PAD, 1, bd, kind=interp)
+        resid_c = src_c[crows, ccols] - pred_c
+        cf = tf.fwd_txfm2d(resid_c, cc.DCT_DCT, cc.TX_8X8)
+        qcc, dqc = quant.quantize(cf, qpp, cc.TX_8X8)
+        s2c = np.float32(tf.coeff_sse_scale(cc.TX_8X8, cc.DCT_DCT))
+        dist_c = s2c * jnp.sum((cf - dqc.astype(jnp.float32)) ** 2,
+                               axis=(1, 2))
+        bits_c = _txb_bits(jnp.abs(qcc), coef_uv, txbb[1], eob_uv, pos8)
+        rec_c = tf.inv_txfm2d_add(dqc, pred_c, cc.DCT_DCT, cc.TX_8X8,
+                                  bd=bd)
+        dskip_c = jnp.sum(resid_c.astype(jnp.float32) ** 2, axis=(1, 2))
+        ch.append((qcc, rec_c, pred_c, dist_c + lam * bits_c, dskip_c))
+    (qu, rec_u, pu, cu, su), (qv_, rec_v, pv, cvq, sv) = ch
+    coded_tot = coded_y + cu + cvq
+    skip_tot = skip_y + su + sv
+    skip = skip_tot < coded_tot
+    s3 = skip[:, None, None]
+    return (jnp.where(skip, skip_tot, coded_tot),
+            jnp.where(skip, skip_y, jnp.minimum(coded_y, skip_y)),
+            skip,
+            jnp.where(s3, 0, qc),
+            jnp.where(s3, pred, rec_coded),
+            jnp.where(s3, 0, qu), jnp.where(s3, pu, rec_u),
+            jnp.where(s3, 0, qv_), jnp.where(s3, pv, rec_v))
+
+
+# --------------------------------------------------------------------------
+# P1: whole inter-frame MD program
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _jit_p1(h, w, R, modes, bd=8, ring=True, compound=True,
+            rad2=8, rad0=7):
+    gh, gw = h // BLK, w // BLK
+    nb = gh * gw
+    h64 = (h + 63) & ~63
+    w64 = (w + 63) & ~63
+    hme_run = me_pipe.hme_core(h64, w64, rad2, 8, rad0)
+    ring_np = np.asarray(_SUBPEL_RING if ring else _SUBPEL_RING[:1])
+    n_ring = len(ring_np)
+    K = 1 + n_ring + 2  # gm + ring + (above, left) neighbor MVs
+    maxb = _natural_maxb(gh, gw)
+    waves, bys, bxs, valid, trs, bls, hls = _schedule_arrays(gh, gw, maxb)
+    nw = len(waves)
+    wi, wj, wby, wbx = _wave_flat_index(waves, 0)
+    perm = np.zeros(gh * gw, np.int32)
+    perm[wby * gw + wbx] = wi * maxb + wj
+    ys_np = (np.arange(nb) // gw * BLK).astype(np.int32)
+    xs_np = (np.arange(nb) % gw * BLK).astype(np.int32)
+
+    def p1(src_pack, refs_y, refs_u, refs_v, zbin, rnd, qv_, qshift,
+           deq, lam, cy_t, cuv_t, txbb, modeb, uvb, eoby, eobuv):
+        src_y = src_pack[:h].astype(jnp.int32)
+        src_u = src_pack[h:, :w // 2].astype(jnp.int32)
+        src_v = src_pack[h:, w // 2:].astype(jnp.int32)
+        qp = (zbin, rnd, qv_, qshift, deq)
+        rt = (cy_t, cuv_t, txbb, eoby, eobuv)
+        ys = jnp.asarray(ys_np)
+        xs = jnp.asarray(xs_np)
+        pad64 = ((0, h64 - h), (0, w64 - w))
+        src64 = jnp.pad(src_y, pad64, mode="edge")
+
+        # per-ref HME + GM
+        hmes, gms = [], []
+        for r in range(R):
+            ref64 = jnp.pad(refs_y[r].astype(jnp.int32), pad64,
+                            mode="edge")
+            mvy, mvx, _ = hme_run(src64, ref64)
+            mvy = mvy[:gh, :gw]
+            mvx = mvx[:gh, :gw]
+            hmes.append(jnp.stack([mvy.reshape(nb) * 8,
+                                   mvx.reshape(nb) * 8],
+                                  axis=-1).astype(jnp.int32))
+            gms.append(_gm_fit(mvy, mvx, gh, gw))
+
+        # frame interp-filter pick on ref0 (choose_interp_filter role)
+        refp0_y = jnp.pad(refs_y[0].astype(jnp.int32), mc.PAD,
+                          mode="edge")
+        probe_mv = _clamp_cands((hmes[0] + 2)[:, None], ys, xs, BLK,
+                                h, w)[:, 0]
+        sses = []
+        for kind in (0, 1, 2):
+            pp = mc.mc_blocks(refp0_y, ys, xs, probe_mv, BLK, mc.PAD,
+                              0, bd, kind=kind)
+            offs = jnp.arange(BLK)
+            rows = ys[:, None, None] + offs[None, :, None]
+            cols = xs[:, None, None] + offs[None, None, :]
+            d = (src_y[rows, cols] - pp).astype(jnp.float32)
+            sses.append(jnp.sum(d * d))
+        interp = jnp.argmin(jnp.stack(sses)).astype(jnp.int32)
+
+        # pass A per ref, merged on device
+        best = None
+        iref_idx = jnp.zeros((nb,), jnp.int32)
+        per_ref_meta = []
+        for r in range(R):
+            mat, trans, kind = gms[r]
+            per_ref_meta.append((mat, trans, kind))
+            is_warp0 = kind == 2
+            shear = _shear_device(mat)[:4]
+            wy = _warp_plane_traced(refs_y[r].astype(jnp.int32), mat,
+                                    shear, w, h, bd, 0)
+            wu = _warp_plane_traced(refs_u[r].astype(jnp.int32), mat,
+                                    shear, w // 2, h // 2, bd, 1)
+            wv = _warp_plane_traced(refs_v[r].astype(jnp.int32), mat,
+                                    shear, w // 2, h // 2, bd, 1)
+            gm_mv = jnp.where(is_warp0, _gm_block_mvs(mat, gh, gw),
+                              jnp.where(kind == 1,
+                                        jnp.broadcast_to(trans, (nb, 2)),
+                                        jnp.zeros((nb, 2), jnp.int32)))
+            hme = hmes[r]
+            above = jnp.roll(hme.reshape(gh, gw, 2), 1, axis=0)
+            above = above.at[0].set(0).reshape(nb, 2)
+            left = jnp.roll(hme.reshape(gh, gw, 2), 1, axis=1)
+            left = left.at[:, 0].set(0).reshape(nb, 2)
+            cand = jnp.concatenate(
+                [gm_mv[:, None],
+                 hme[:, None] + jnp.asarray(ring_np)[None],
+                 above[:, None], left[:, None]], axis=1)
+            cand = _clamp_cands(cand, ys, xs, BLK, h, w)
+            # warp candidate 0 signals the exact projection; nudge ring
+            # candidates that collide with it (syntax would map them to
+            # GLOBALMV and the decoder would warp)
+            cand = cand.at[:, 0].set(
+                jnp.where(is_warp0, gm_mv, cand[:, 0]))
+            coll = jnp.all(cand[:, 1:] == cand[:, :1], axis=2) \
+                & is_warp0
+            cand = cand.at[:, 1:, 1].add(coll.astype(jnp.int32) * 2)
+            refp_y = refp0_y if r == 0 else jnp.pad(
+                refs_y[r].astype(jnp.int32), mc.PAD, mode="edge")
+            refp_u = jnp.pad(refs_u[r].astype(jnp.int32), mc.PAD // 2,
+                             mode="edge")
+            refp_v = jnp.pad(refs_v[r].astype(jnp.int32), mc.PAD // 2,
+                             mode="edge")
+            out = _eval_ref(src_y, src_u, src_v, refp_y, refp_u, refp_v,
+                            wy, wu, wv, cand, is_warp0, ys, xs,
+                            qp, lam, rt, bd, interp, nb, K)
+            if best is None:
+                best = list(out)
+            else:
+                take = out[0] < best[0]
+                iref_idx = jnp.where(take, r, iref_idx)
+                for fi in range(len(best)):
+                    t = take.reshape((nb,) + (1,) * (best[fi].ndim - 1))
+                    best[fi] = jnp.where(t, out[fi], best[fi])
+        (cost_tot, cost_y, imv, iskip, iqy, irec_y, iqu, irec_u,
+         iqv, irec_v, iwarp) = best
+
+        icomp = jnp.zeros((nb,), bool)
+        imv2 = jnp.zeros((nb, 2), jnp.int32)
+        if compound and R == 2:
+            pads0 = (refp0_y,
+                     jnp.pad(refs_u[0].astype(jnp.int32), mc.PAD // 2,
+                             mode="edge"),
+                     jnp.pad(refs_v[0].astype(jnp.int32), mc.PAD // 2,
+                             mode="edge"))
+            pads1 = (jnp.pad(refs_y[1].astype(jnp.int32), mc.PAD,
+                             mode="edge"),
+                     jnp.pad(refs_u[1].astype(jnp.int32), mc.PAD // 2,
+                             mode="edge"),
+                     jnp.pad(refs_v[1].astype(jnp.int32), mc.PAD // 2,
+                             mode="edge"))
+            mv0 = _clamp_cands(hmes[0][:, None], ys, xs, BLK, h, w)[:, 0]
+            mv1 = _clamp_cands(hmes[1][:, None], ys, xs, BLK, h, w)[:, 0]
+            zero = jnp.zeros_like(mv0)
+            merged = None
+            for (m0, m1) in ((mv0, mv1), (zero, zero)):
+                outc = list(_eval_pair(src_y, src_u, src_v, pads0,
+                                       pads1, m0, m1, ys, xs, qp, lam,
+                                       rt, bd, interp, nb)) + [m0, m1]
+                if merged is None:
+                    merged = outc
+                else:
+                    tk = outc[0] < merged[0]
+                    for fi in range(len(merged)):
+                        sh_ = (nb,) + (1,) * (merged[fi].ndim - 1)
+                        merged[fi] = jnp.where(tk.reshape(sh_), outc[fi],
+                                               merged[fi])
+            (ccost, ccost_y, cskip, cqy, crec_y, cqu, crec_u, cqv,
+             crec_v, m0, m1) = merged
+            take = ccost < cost_tot
+            icomp = take
+            t3 = take[:, None, None]
+            cost_y = jnp.where(take, ccost_y, cost_y)
+            imv = jnp.where(take[:, None], m0, imv)
+            imv2 = jnp.where(take[:, None], m1, imv2)
+            iskip = jnp.where(take, cskip, iskip)
+            iwarp = jnp.where(take, False, iwarp)
+            iref_idx = jnp.where(take, 0, iref_idx)
+            iqy = jnp.where(t3, cqy, iqy)
+            irec_y = jnp.where(t3, crec_y, irec_y)
+            iqu = jnp.where(t3, cqu, iqu)
+            irec_u = jnp.where(t3, crec_u, irec_u)
+            iqv = jnp.where(t3, cqv, iqv)
+            irec_v = jnp.where(t3, crec_v, irec_v)
+
+        # ---- pass B: wavefront with the inter override ----
+        qp_t = qp
+        modes_acc = jnp.zeros((nw, maxb), jnp.int32)
+        uv_acc0 = jnp.zeros((nw, maxb), jnp.int32)
+        choose_acc = jnp.zeros((nw, maxb), bool)
+        qy_acc = jnp.zeros((nw, maxb, BLK, BLK), jnp.int16)
+        qu_acc = jnp.zeros((nw, maxb, CBLK, CBLK), jnp.int16)
+        qv_acc = jnp.zeros((nw, maxb, CBLK, CBLK), jnp.int16)
+
+        def body(i, carry):
+            ry, ru, rv, ma, uma, ca, qya, qua, qva = carry
+            by = jnp.asarray(bys)[i]
+            bx = jnp.asarray(bxs)[i]
+            va = jnp.asarray(valid)[i]
+            ha = (by > 0) & va
+            hl = (bx > 0) & va
+            bid = by * gw + bx
+            m, q, ry, choose = _rd_step(
+                ry, src_y, by * BLK, bx * BLK, va, ha, hl, qp_t, lam,
+                BLK, cc.TX_16X16, modes, 0,
+                tr_avail=jnp.asarray(trs)[i] & va,
+                bl_avail=jnp.asarray(bls)[i] & va, bd=bd,
+                inter=(cost_y[bid], irec_y[bid]),
+                rates=(cy_t, txbb, modeb, eoby))
+            choose = choose & va
+            um, qu_, qv2, ru, rv = _rd_step_chroma(
+                ru, rv, src_u, src_v, by * CBLK, bx * CBLK, va, ha, hl,
+                qp_t, lam, bd=bd,
+                inter=(choose, irec_u[bid], irec_v[bid]),
+                rates=(cuv_t, txbb, uvb, eobuv))
+            return (ry, ru, rv, ma.at[i].set(m), uma.at[i].set(um),
+                    ca.at[i].set(choose),
+                    qya.at[i].set(q.astype(jnp.int16)),
+                    qua.at[i].set(qu_.astype(jnp.int16)),
+                    qva.at[i].set(qv2.astype(jnp.int16)))
+
+        init = (jnp.zeros((h, w), jnp.int32),
+                jnp.zeros((h // 2, w // 2), jnp.int32),
+                jnp.zeros((h // 2, w // 2), jnp.int32),
+                modes_acc, uv_acc0, choose_acc, qy_acc, qu_acc, qv_acc)
+        (ry, ru, rv, ma, uma, ca, qya, qua, qva) = jax.lax.fori_loop(
+            0, nw, body, init)
+
+        # dense raster re-layout + device-side decision merge
+        pj = jnp.asarray(perm)
+        ymode = ma.reshape(-1)[pj]
+        umode = uma.reshape(-1)[pj]
+        choose = ca.reshape(-1)[pj]
+        qyB = qya.reshape(nw * maxb, BLK * BLK)[pj]
+        quB = qua.reshape(nw * maxb, CBLK * CBLK)[pj]
+        qvB = qva.reshape(nw * maxb, CBLK * CBLK)[pj]
+        c3 = choose[:, None]
+        qy_f = jnp.where(c3, iqy.reshape(nb, -1).astype(jnp.int16), qyB)
+        qu_f = jnp.where(c3, iqu.reshape(nb, -1).astype(jnp.int16), quB)
+        qv_f = jnp.where(c3, iqv.reshape(nb, -1).astype(jnp.int16), qvB)
+        gm_mats = jnp.stack([m[0] for m in per_ref_meta])
+        gm_trans = jnp.stack([m[1] for m in per_ref_meta])
+        gm_kinds = jnp.stack([m[2] for m in per_ref_meta])
+        return (ry.astype(jnp.uint8), ru.astype(jnp.uint8),
+                rv.astype(jnp.uint8),
+                ymode.astype(jnp.uint8), umode.astype(jnp.uint8),
+                choose, iskip & choose,
+                imv.astype(jnp.int16), imv2.astype(jnp.int16),
+                iref_idx.astype(jnp.uint8), icomp, iwarp & choose,
+                qy_f, qu_f, qv_f, gm_mats, gm_trans, gm_kinds, interp)
+
+    return jax.jit(p1)
+
+
+# --------------------------------------------------------------------------
+# P2: DLF level search/apply + CDEF search (device)
+# --------------------------------------------------------------------------
+
+def _sse_plane(a, b):
+    """Frame SSE, int32-exact in 8-row chunks then f32 summed."""
+    d = (a - b).astype(jnp.int32)
+    d2 = d * d
+    hh = d2.shape[0] - d2.shape[0] % 8
+    head = d2[:hh].reshape(hh // 8, -1).sum(axis=1,
+                                            dtype=jnp.int32)
+    tot = head.astype(jnp.float32).sum()
+    if d2.shape[0] % 8:
+        tot = tot + d2[hh:].astype(jnp.float32).sum()
+    return tot
+
+
+def _dlf_plane_traced(x, step, blimit, limit, thresh, flen, bd):
+    """loop_filter_plane_uniform with traced thresholds."""
+    from svt_av1_tpu.ops import dlf
+    h, w = x.shape
+    edges = np.arange(step, w, step)
+    if len(edges):
+        cols = edges[:, None] + np.arange(-7, 7)[None]
+        lines = x[:, cols].transpose(1, 0, 2).reshape(-1, 14)
+        f = dlf.filter_lines(lines, blimit, limit, thresh, flen, bd)
+        f = f.reshape(len(edges), h, 14).transpose(1, 0, 2)
+        x = x.at[:, cols].set(f)
+    redges = np.arange(step, h, step)
+    if len(redges):
+        rows = redges[:, None] + np.arange(-7, 7)[None]
+        lines = x[rows, :].transpose(0, 2, 1).reshape(-1, 14)
+        f = dlf.filter_lines(lines, blimit, limit, thresh, flen, bd)
+        f = f.reshape(len(redges), w, 14).transpose(0, 2, 1)
+        x = x.at[rows, :].set(f)
+    return x
+
+
+NLVL = 5  # DLF ladder size (padded to fixed shape)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_p2(h, w, bd=8, ncand=8, dlf_on=True, cdef_on=True):
+    """DLF search+apply and CDEF per-SB/per-candidate SSE.
+
+    Inputs: src planes, recon planes (post pass B), skip16, DLF ladder
+    params (NLVL, 4) per plane group [level, blimit, limit, thresh],
+    CDEF candidate strengths (ncand, 4) + damping.
+    Outputs: filtered recon (post DLF), chosen levels (3,), per-SB CDEF
+    SSE matrix (nsb, ncand) and the per-8x8 directions/vars."""
+    from svt_av1_tpu.ops import cdef as cdef_ops
+    gh8, gw8 = h // 8, w // 8
+    nb8 = gh8 * gw8
+    sbr, sbc = (h + 63) // 64, (w + 63) // 64
+
+    def p2(src_pack, rec_y, rec_u, rec_v, skip16, dlf_y, dlf_uv,
+           cands, damping):
+        src_y = src_pack[:h].astype(jnp.int32)
+        src_u = src_pack[h:, :w // 2].astype(jnp.int32)
+        src_v = src_pack[h:, w // 2:].astype(jnp.int32)
+        # ---- DLF: evaluate the ladder per plane, pick min SSE ----
+        def search_plane(src, rec, step, flen, params):
+            if not dlf_on:
+                return rec, jnp.zeros((), jnp.int32)
+            outs = [rec]
+            sses = [_sse_plane(src, rec)]
+            for li in range(1, NLVL):
+                f = _dlf_plane_traced(rec, step, params[li, 1],
+                                      params[li, 2], params[li, 3],
+                                      flen, bd)
+                outs.append(f)
+                sses.append(_sse_plane(src, f))
+            sse = jnp.stack(sses)
+            best = jnp.argmin(sse)
+            out = outs[0]
+            for li in range(1, NLVL):
+                out = jnp.where(best == li, outs[li], out)
+            return out, params[best, 0]
+
+        fy, ly = search_plane(src_y, rec_y.astype(jnp.int32), BLK, 14,
+                              dlf_y)
+        fu, lu = search_plane(src_u, rec_u.astype(jnp.int32), CBLK, 6,
+                              dlf_uv)
+        fv, lv = search_plane(src_v, rec_v.astype(jnp.int32), CBLK, 6,
+                              dlf_uv)
+
+        # ---- CDEF: dirs once, per-candidate SSE per SB ----
+        if not cdef_on:
+            return (fy.astype(jnp.uint8), fu.astype(jnp.uint8),
+                    fv.astype(jnp.uint8), jnp.stack([ly, lu, lv]),
+                    jnp.zeros((sbr * sbc, ncand), jnp.float32))
+        ys8 = (jnp.arange(nb8) // gw8 * 8).astype(jnp.int32)
+        xs8 = (jnp.arange(nb8) % gw8 * 8).astype(jnp.int32)
+        r8 = ys8[:, None, None] + jnp.arange(8)[None, :, None]
+        c8 = xs8[:, None, None] + jnp.arange(8)[None, None, :]
+        blocks = fy[r8, c8]
+        dirs, var = cdef_ops.cdef_find_dir(blocks, bd - 8)
+        skip8 = jnp.repeat(jnp.repeat(skip16, 2, 0), 2, 1).reshape(-1)
+        pad_y = jnp.pad(fy, 2, constant_values=cdef_ops.CDEF_VERY_LARGE)
+        pad_u = jnp.pad(fu, 2, constant_values=cdef_ops.CDEF_VERY_LARGE)
+        pad_v = jnp.pad(fv, 2, constant_values=cdef_ops.CDEF_VERY_LARGE)
+        wy = pad_y[ys8[:, None, None] + jnp.arange(12)[None, :, None],
+                   xs8[:, None, None] + jnp.arange(12)[None, None, :]]
+        cys, cxs = ys8 // 2, xs8 // 2
+        wu = pad_u[cys[:, None, None] + jnp.arange(8)[None, :, None],
+                   cxs[:, None, None] + jnp.arange(8)[None, None, :]]
+        wv = pad_v[cys[:, None, None] + jnp.arange(8)[None, :, None],
+                   cxs[:, None, None] + jnp.arange(8)[None, None, :]]
+        src_blk_y = src_y[r8, c8]
+        rc4 = cys[:, None, None] + jnp.arange(4)[None, :, None]
+        cc4 = cxs[:, None, None] + jnp.arange(4)[None, None, :]
+        src_blk_u = src_u[rc4, cc4]
+        src_blk_v = src_v[rc4, cc4]
+        cur_u = fu[rc4, cc4]
+        cur_v = fv[rc4, cc4]
+        cs = bd - 8
+        sb_of = ((ys8 // 64) * sbc + (xs8 // 64))
+        sses = []
+        from svt_av1_tpu.pipeline.cdef_stage import _adjust_strength
+        for ci in range(ncand):
+            pri_y = _adjust_strength(cands[ci, 0] << cs, var)
+            sec_y0 = cands[ci, 1] + (cands[ci, 1] == 3)
+            filt_y = cdef_ops.cdef_filter_block(
+                wy, pri_y, jnp.broadcast_to(sec_y0 << cs, (nb8,)),
+                dirs, damping + cs, damping + cs, cs, bd, n=8)
+            keep = skip8[:, None, None]
+            filt_y = jnp.where(keep, blocks, filt_y)
+            dy2 = (filt_y - src_blk_y) ** 2
+            pri_c = jnp.broadcast_to(cands[ci, 2] << cs, (nb8,))
+            sec_c0 = cands[ci, 3] + (cands[ci, 3] == 3)
+            sec_c = jnp.broadcast_to(sec_c0 << cs, (nb8,))
+            filt_u = cdef_ops.cdef_filter_block(
+                wu, pri_c, sec_c, dirs, damping - 1 + cs,
+                damping - 1 + cs, cs, bd, n=4)
+            filt_v = cdef_ops.cdef_filter_block(
+                wv, pri_c, sec_c, dirs, damping - 1 + cs,
+                damping - 1 + cs, cs, bd, n=4)
+            filt_u = jnp.where(keep, cur_u, filt_u)
+            filt_v = jnp.where(keep, cur_v, filt_v)
+            du2 = (filt_u - src_blk_u) ** 2
+            dv2 = (filt_v - src_blk_v) ** 2
+            per8 = (dy2.sum(axis=(1, 2)) + du2.sum(axis=(1, 2))
+                    + dv2.sum(axis=(1, 2))).astype(jnp.float32)
+            sses.append(jax.ops.segment_sum(per8, sb_of,
+                                            num_segments=sbr * sbc))
+        sse_sb = jnp.stack(sses, axis=1)         # (nsb, ncand)
+        return (fy.astype(jnp.uint8), fu.astype(jnp.uint8),
+                fv.astype(jnp.uint8), jnp.stack([ly, lu, lv]), sse_sb)
+
+    return jax.jit(p2)
+
+
+def dlf_ladder_params(qindex: int, chroma: bool) -> np.ndarray:
+    """(NLVL, 4) [level, blimit, limit, thresh] ladder for the device
+    DLF search (dlf_stage._ladder + loop_filter_thresholds)."""
+    from svt_av1_tpu.ops.dlf import loop_filter_thresholds
+    from svt_av1_tpu.pipeline.dlf_stage import _ladder, \
+        default_filter_level
+    d = default_filter_level(qindex)
+    if chroma:
+        d = max(0, d - 2)
+    lvls = list(_ladder(d))
+    lvls = ([0] + [l for l in lvls if l > 0])[:NLVL]
+    while len(lvls) < NLVL:
+        lvls.append(lvls[-1])
+    out = np.zeros((NLVL, 4), np.int32)
+    for i, l in enumerate(lvls):
+        bl, li, th = loop_filter_thresholds(max(l, 1))
+        out[i] = (l, bl, li, th)
+    return out
+
+
+# --------------------------------------------------------------------------
+# batched TPL (whole lookahead group in ONE program + ONE pull)
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _jit_tpl_group(h, w, deps):
+    """TPL dispenser for a whole mini-GoP/lookahead group: deps[i] is a
+    tuple of reference indices into the group (empty = intra anchor).
+    Replaces the per-frame tpl_frame_stats calls (which cost 2-3 device
+    round trips EACH) with one program and one pull."""
+    from svt_av1_tpu.pipeline import tpl as tpl_mod
+    gh, gw = h // BLK, w // BLK
+    nb = gh * gw
+    h64 = (h + 63) & ~63
+    w64 = (w + 63) & ~63
+    hme_run = me_pipe.hme_core(h64, w64, 8, 8, 4)
+    costs, ys_np, xs_np = tpl_mod.tpl_costs_core(h, w)
+    ne = len(deps)
+
+    def run(srcs_u8):
+        srcs = srcs_u8.astype(jnp.int32)
+        pad64 = ((0, h64 - h), (0, w64 - w))
+        ys = jnp.asarray(ys_np)
+        xs = jnp.asarray(xs_np)
+        intra_o = jnp.zeros((ne, nb), jnp.float32)
+        inter_o = jnp.full((ne, nb), jnp.float32(3.0e38))
+        mv_o = jnp.zeros((ne, nb, 2), jnp.int32)
+        sel_o = jnp.zeros((ne, nb), jnp.int32)
+        for i, dep in enumerate(deps):
+            src = srcs[i]
+            if not dep:
+                refp = jnp.pad(src, mc.PAD, mode="edge")
+                ic, _ = costs(src, refp, jnp.zeros((nb, 2), jnp.int32))
+                intra_o = intra_o.at[i].set(ic.astype(jnp.float32))
+                continue
+            src64 = jnp.pad(src, pad64, mode="edge")
+            best_e = None
+            for ri, j in enumerate(dep):
+                ref = srcs[j]
+                mvy, mvx, _ = hme_run(src64, jnp.pad(ref, pad64,
+                                                     mode="edge"))
+                mvs = jnp.stack([mvy[:gh, :gw].reshape(nb) * 8,
+                                 mvx[:gh, :gw].reshape(nb) * 8],
+                                axis=-1).astype(jnp.int32)
+                mvs = _clamp_cands(mvs[:, None], ys, xs, BLK, h,
+                                   w)[:, 0]
+                refp = jnp.pad(ref, mc.PAD, mode="edge")
+                ic, ec = costs(src, refp, mvs)
+                ec = ec.astype(jnp.float32)
+                if best_e is None:
+                    intra_o = intra_o.at[i].set(ic.astype(jnp.float32))
+                    best_e = (ec, mvs, jnp.zeros((nb,), jnp.int32))
+                else:
+                    take = ec < best_e[0]
+                    best_e = (jnp.where(take, ec, best_e[0]),
+                              jnp.where(take[:, None], mvs, best_e[1]),
+                              jnp.where(take, ri, best_e[2]))
+            inter_o = inter_o.at[i].set(best_e[0])
+            mv_o = mv_o.at[i].set(best_e[1])
+            sel_o = sel_o.at[i].set(best_e[2])
+        return intra_o, inter_o, mv_o, sel_o
+
+    return jax.jit(run)
+
+
+def tpl_group_stats(srcs, deps):
+    """Batched dispenser: srcs = [(h, w) uint8/int arrays], deps[i] a
+    list/None of reference indices.  Returns the per-frame stats dicts
+    consumed by tpl.synthesize — computed with ONE device round trip."""
+    h, w = srcs[0].shape
+    gh, gw = h // BLK, w // BLK
+    key = tuple(tuple(d) if d else () for d in deps)
+    run = _jit_tpl_group(h, w, key)
+    packed = np.stack([np.asarray(s, np.uint8) for s in srcs])
+    intra, inter, mv, sel = jax.device_get(run(packed))
+    out = []
+    for i, dep in enumerate(key):
+        if not dep:
+            out.append(dict(intra=intra[i].astype(np.float64),
+                            inter=np.full(gh * gw, np.inf),
+                            mv=np.zeros((gh * gw, 2), np.int32),
+                            ref_sel=np.zeros(gh * gw, np.int32),
+                            gh=gh, gw=gw))
+        else:
+            out.append(dict(intra=intra[i].astype(np.float64),
+                            inter=inter[i].astype(np.float64),
+                            mv=mv[i], ref_sel=sel[i], gh=gh, gw=gw))
+    return out
+
+
+# --------------------------------------------------------------------------
+# host orchestration
+# --------------------------------------------------------------------------
+
+class PendingInterFrame:
+    """Handle for one dispatched inter frame: device outputs + meta."""
+
+    def __init__(self, outs, p2_outs, ref_enums, h, w, qindex):
+        self.outs = outs
+        self.p2_outs = p2_outs
+        self.ref_enums = ref_enums
+        self.h, self.w = h, w
+        self.qindex = qindex
+
+
+def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
+                    qindex: int, h: int, w: int, modes, bd: int = 8,
+                    ring: bool = True, rad2: int = 8, rad0: int = 7,
+                    cdef_cands=None, dlf_on: bool = True,
+                    cdef_on: bool = True):
+    """Dispatch P1+P2 for one inter frame.  refs: {ref_enum: device
+    plane dict} in MD priority order (LAST first).  Returns
+    PendingInterFrame; finish with collect_inter_frame."""
+    from svt_av1_tpu.codec.rate_est import md_rate_args
+    from svt_av1_tpu.pipeline.cdef_stage import SEARCH_SET, cdef_damping
+    ref_enums = sorted(refs)
+    R = len(ref_enums)
+    refs_y = jnp.stack([jnp.asarray(refs[e]["y"]).astype(jnp.int32)
+                        for e in ref_enums])
+    refs_u = jnp.stack([jnp.asarray(refs[e]["u"]).astype(jnp.int32)
+                        for e in ref_enums])
+    refs_v = jnp.stack([jnp.asarray(refs[e]["v"]).astype(jnp.int32)
+                        for e in ref_enums])
+    qp = quant.make_quant_params(qindex, bd=bd)
+    qstep = quant.dc_q(qindex, bd=bd) / 8.0
+    lam = np.float32(0.7 * qstep * qstep)
+    rt = md_rate_args(qindex, tuple(modes), _UV_MODES())
+    p1 = _jit_p1(h, w, R, tuple(modes), bd, ring, R == 2, rad2, rad0)
+    outs = p1(src_pack_u8, refs_y, refs_u, refs_v,
+              *(np.asarray(a) for a in qp), lam,
+              rt[0], rt[1], rt[2], rt[3], rt[4], rt[5], rt[6])
+    (ry, ru, rv) = outs[:3]
+    cands = np.asarray(cdef_cands if cdef_cands is not None
+                       else SEARCH_SET, np.int32)
+    p2 = _jit_p2(h, w, bd, len(cands), dlf_on, cdef_on)
+    # skip16 from the final coeff arrays (device)
+    qy_f, qu_f, qv_f = outs[12], outs[13], outs[14]
+    skip16 = ((jnp.abs(qy_f).max(axis=1) == 0)
+              & (jnp.abs(qu_f).max(axis=1) == 0)
+              & (jnp.abs(qv_f).max(axis=1) == 0)).reshape(h // BLK,
+                                                          w // BLK)
+    p2_outs = p2(src_pack_u8, ry, ru, rv, skip16,
+                 dlf_ladder_params(qindex, False),
+                 dlf_ladder_params(qindex, True),
+                 cands, np.int32(cdef_damping(qindex)))
+    pend = PendingInterFrame(outs, p2_outs, ref_enums, h, w, qindex)
+    pend.cdef_cands = cands
+    pend.skip16 = skip16
+    pend.cdef_on = cdef_on
+    pend.dlf_on = dlf_on
+    return pend
+
+
+def _UV_MODES():
+    from svt_av1_tpu.pipeline.intra_encoder import UV_MODES
+    return UV_MODES
+
+
+def collect_inter_frame(pend: PendingInterFrame, bd: int = 8):
+    """ONE bundled device->host pull + host CDEF selection + final
+    device CDEF apply.  Returns (decisions, recon_device, header_info).
+
+    recon_device: dict of DEVICE arrays (the DPB slot content)."""
+    from svt_av1_tpu.codec import mv_pred
+    from svt_av1_tpu.codec.syntax import BlockDecision
+    h, w = pend.h, pend.w
+    gh, gw = h // BLK, w // BLK
+    nb = gh * gw
+    # the single round trip: every host-needed array in one device_get
+    small = list(pend.outs[3:]) + [pend.p2_outs[3], pend.p2_outs[4]]
+    pulled = jax.device_get(small)
+    (ymode, umode, choose, iskip, imv, imv2, iref_idx, icomp, iwarp,
+     qy_f, qu_f, qv_f, gm_mats, gm_trans, gm_kinds, interp,
+     dlf_levels, sse_sb) = pulled
+    fy, fu, fv = pend.p2_outs[:3]
+
+    # ---- CDEF strength selection (host, small matrix) ----
+    cdef_info = None
+    rec_y, rec_u, rec_v = fy, fu, fv
+    if pend.cdef_on:
+        from svt_av1_tpu.ops import quant as q_
+        qstep = q_.dc_q(pend.qindex, bd=bd) / 8.0
+        lam = 0.7 * qstep * qstep
+        skip16 = np.asarray(jax.device_get(pend.skip16))
+        sbr, sbc = (h + 63) // 64, (w + 63) // 64
+        pad = np.ones((sbr * 4, sbc * 4), bool)
+        pad[:skip16.shape[0], :skip16.shape[1]] = skip16
+        coded = ~pad.reshape(sbr, 4, sbc, 4).all(axis=(1, 3))
+        ncoded = int(coded.sum())
+        # frame-uniform pick (cdef_bits = 0) for inter frames: min total
+        totals = sse_sb.sum(axis=0)
+        best_ci = int(np.argmin(totals))
+        strengths = tuple(int(x) for x in pend.cdef_cands[best_ci])
+        cdef_info = dict(bits=0, sets=(strengths,), idx_map=None,
+                         best_ci=best_ci)
+        # device apply with the chosen strengths
+        from svt_av1_tpu.pipeline import cdef_stage
+        damping = cdef_stage.cdef_damping(pend.qindex)
+        fn = cdef_stage._jit_apply(h, w, damping, bd)
+        skip8 = np.repeat(np.repeat(skip16, 2, 0), 2, 1)
+        pri_y, sec_y, pri_uv, sec_uv = cdef_stage._block_strengths(
+            h, w, strengths, None)
+        rec_y, rec_u, rec_v = fn(
+            fy.astype(jnp.int32), fu.astype(jnp.int32),
+            fv.astype(jnp.int32), jnp.asarray(skip8),
+            jnp.asarray(pri_y), jnp.asarray(sec_y),
+            jnp.asarray(pri_uv), jnp.asarray(sec_uv))
+        rec_y = rec_y.astype(jnp.uint8)
+        rec_u = rec_u.astype(jnp.uint8)
+        rec_v = rec_v.astype(jnp.uint8)
+
+    # ---- decisions ----
+    gm = {}
+    for i, e in enumerate(pend.ref_enums):
+        k = int(gm_kinds[i])
+        if k == 2:
+            gm[e] = tuple(int(x) for x in gm_mats[i])
+        elif k == 1:
+            gm[e] = (int(gm_trans[i][0]), int(gm_trans[i][1]))
+    qy_f = qy_f.astype(np.int32).reshape(nb, BLK, BLK)
+    qu_f = qu_f.astype(np.int32).reshape(nb, CBLK, CBLK)
+    qv_f = qv_f.astype(np.int32).reshape(nb, CBLK, CBLK)
+    decisions = {}
+    enums = pend.ref_enums
+    for bid in range(nb):
+        by, bx = bid // gw, bid % gw
+        r4, c4 = by * 4, bx * 4
+        if choose[bid]:
+            decisions[(r4, c4)] = BlockDecision(
+                r4=r4, c4=c4, bsize=cc.BLOCK_16X16, y_mode=cc.DC_PRED,
+                uv_mode=cc.DC_PRED, tx_type=cc.DCT_DCT,
+                qcoeff_y=qy_f[bid], qcoeff_u=qu_f[bid],
+                qcoeff_v=qv_f[bid], is_inter=True,
+                mv=(int(imv[bid, 0]), int(imv[bid, 1])),
+                ref=int(enums[iref_idx[bid]]),
+                use_warp=bool(iwarp[bid]),
+                ref2=(int(mv_pred.ALTREF_FRAME) if icomp[bid] else 0),
+                mv2=((int(imv2[bid, 0]), int(imv2[bid, 1]))
+                     if icomp[bid] else (0, 0)))
+        else:
+            decisions[(r4, c4)] = BlockDecision(
+                r4=r4, c4=c4, bsize=cc.BLOCK_16X16,
+                y_mode=int(ymode[bid]), uv_mode=int(umode[bid]),
+                tx_type=cc.DCT_DCT, qcoeff_y=qy_f[bid],
+                qcoeff_u=qu_f[bid], qcoeff_v=qv_f[bid])
+    header = dict(gm=gm, interp=int(interp),
+                  dlf_levels=tuple(int(x) for x in dlf_levels),
+                  cdef=cdef_info)
+    recon_dev = dict(y=rec_y, u=rec_u, v=rec_v)
+    return decisions, recon_dev, header

@@ -58,8 +58,10 @@ def _search_level(src_blocks, ref, base_y, base_x, blk: int, rad: int):
     return mv_y, mv_x
 
 
-@functools.lru_cache(maxsize=None)
-def _jit_hme(h, w, rad2, rad1, rad0):
+def hme_core(h, w, rad2, rad1, rad0):
+    """Traceable whole-frame HME: returns run(src, ref) -> (mv_y, mv_x,
+    ssd) over the (h//16, w//16) grid.  h/w must be multiples of 64.
+    Composable into larger fused programs (pipeline/gop_fast.py)."""
     def run(src, ref):
         # pyramid
         src4 = me_ops.downsample2(me_ops.downsample2(src))
@@ -109,7 +111,12 @@ def _jit_hme(h, w, rad2, rad1, rad0):
         ssd = jnp.sum((wins - blocks) ** 2, axis=(1, 2))
         return (mv_y.reshape(gh, gw), mv_x.reshape(gh, gw),
                 ssd.reshape(gh, gw))
-    return jax.jit(run)
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_hme(h, w, rad2, rad1, rad0):
+    return jax.jit(hme_core(h, w, rad2, rad1, rad0))
 
 
 def hierarchical_me(src: np.ndarray, ref: np.ndarray,

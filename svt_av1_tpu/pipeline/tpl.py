@@ -45,8 +45,9 @@ def _satd16(diff: jnp.ndarray) -> jnp.ndarray:
     return satd.satd(tiles).reshape(b, 4).sum(axis=1)
 
 
-@functools.lru_cache(maxsize=None)
-def _jit_tpl_costs(h: int, w: int):
+def tpl_costs_core(h: int, w: int):
+    """Traceable dispenser cost step (composable into the batched
+    mini-GoP TPL program, pipeline/gop_fast.py)."""
     gh, gw = h // BLK, w // BLK
     nb = gh * gw
     ys = (np.arange(nb) // gw * BLK).astype(np.int32)
@@ -73,6 +74,12 @@ def _jit_tpl_costs(h: int, w: int):
         inter_cost = _satd16(blocks - pred)
         return intra_cost, inter_cost
 
+    return run, ys, xs
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_tpl_costs(h: int, w: int):
+    run, ys, xs = tpl_costs_core(h, w)
     return jax.jit(run), ys, xs
 
 

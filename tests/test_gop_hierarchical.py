@@ -101,3 +101,35 @@ def test_hier_uses_backward_ref():
                       mv_pred.ALTREF_FRAME: fut}, 120)
     refs = {d.ref for d in decisions.values() if d.is_inter}
     assert mv_pred.ALTREF_FRAME in refs
+
+
+def test_hier_fast_filters_roundtrip():
+    """The fused fast-GOP path (pipeline/gop_fast.py) with the full
+    tool set the quality bench uses — TPL + DLF search + CDEF — must
+    stay bit-exact decoder vs recon across a keyframe boundary."""
+    n = 10
+    frames = _frames(n)
+    cfg = EncoderConfig(source_width=64, source_height=64, qp=35,
+                        intra_period_length=7, hierarchical_levels=2,
+                        enc_mode=6, enable_tpl_la=1,
+                        enable_dlf_flag=True, cdef_level=1)
+    enc = Encoder(cfg)
+    assert enc._fast
+    for i, (y, u, v) in enumerate(frames):
+        enc.send_picture(y, u, v, eos=(i == n - 1))
+    pkts = []
+    while True:
+        p = enc.get_packet()
+        if p is None:
+            break
+        pkts.append(p)
+    disp = [p for p in pkts if p.displayed]
+    assert [p.pts for p in disp] == list(range(n))
+    dec = Decoder()
+    decoded = []
+    for p in pkts:
+        decoded.extend(dec.decode_temporal_unit(p.data))
+    assert len(decoded) == n
+    for i, (p, rec) in enumerate(zip(disp, decoded)):
+        for pl in ("y", "u", "v"):
+            assert np.array_equal(rec[pl], p.recon[pl]), (i, pl)
