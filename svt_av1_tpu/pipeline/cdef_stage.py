@@ -165,6 +165,44 @@ def _sb_sse(src: Dict[str, np.ndarray], filt: Dict[str, np.ndarray]
     return out
 
 
+def coded_sb_map(skip16: np.ndarray) -> np.ndarray:
+    """(sb_rows, sb_cols) bool: SBs that code a cdef_idx (>= 1 non-skip
+    16x16 block)."""
+    gr, gc = (skip16.shape[0] + 3) // 4, (skip16.shape[1] + 3) // 4
+    pad = np.ones((gr * 4, gc * 4), bool)
+    pad[:skip16.shape[0], :skip16.shape[1]] = skip16
+    return ~pad.reshape(gr, 4, gc, 4).all(axis=(1, 3))
+
+
+def select_sb_sets(sse: np.ndarray, coded: np.ndarray, lam: float,
+                   cands, max_bits: int = 3):
+    """finish_cdef_search analog: given the per-SB/per-candidate SSE
+    matrix, pick cdef_bits (0..max_bits) and the strength subset
+    minimizing SSE + lambda * signaling bits.
+
+    Returns (cdef_bits, strength_list, sb_idx_map)."""
+    from itertools import combinations
+    ncoded = int(coded.sum())
+    best = None
+    for bits in range(max_bits + 1):
+        n_sets = 1 << bits
+        if n_sets > len(cands):
+            break
+        # exhaustive subset search (<= C(8,4)=70 subsets)
+        for sub in combinations(range(len(cands)), n_sets):
+            pick = sse[:, list(sub)]
+            total = float(pick.min(axis=1).sum())
+            hdr_bits = 12 * n_sets
+            cost = total + lam * (ncoded * bits + hdr_bits)
+            if best is None or cost < best[0]:
+                idx = pick.argmin(axis=1).astype(np.int32)
+                best = (cost, bits, sub, idx)
+    _, bits, sub, idx = best
+    idx_map = idx.reshape(coded.shape)
+    idx_map = np.where(coded, idx_map, -1).astype(np.int32)
+    return bits, tuple(cands[i] for i in sub), idx_map
+
+
 def cdef_search_sb(src: Dict[str, np.ndarray],
                    recon: Dict[str, np.ndarray], skip16: np.ndarray,
                    base_q_idx: int, bd: int = 8,
@@ -183,35 +221,10 @@ def cdef_search_sb(src: Dict[str, np.ndarray],
         filt = cdef_apply(recon, skip16, cand, damping, bd)
         sse.append(_sb_sse(src, filt).reshape(-1))
     sse = np.stack(sse, axis=1)                 # (nsb, ncand)
-    nsb = sse.shape[0]
-    # SBs that will actually code an idx (>= 1 non-skip block)
-    gr, gc = (skip16.shape[0] + 3) // 4, (skip16.shape[1] + 3) // 4
-    pad = np.ones((gr * 4, gc * 4), bool)
-    pad[:skip16.shape[0], :skip16.shape[1]] = skip16
-    coded = ~pad.reshape(gr, 4, gc, 4).all(axis=(1, 3))
-    ncoded = int(coded.sum())
+    coded = coded_sb_map(skip16)
     qstep = quant.dc_q(base_q_idx, bd=bd) / 8.0
     lam = 0.7 * qstep * qstep
-
-    from itertools import combinations
-    best = None
-    for bits in range(4):
-        n_sets = 1 << bits
-        if n_sets > len(cands):
-            break
-        # exhaustive subset search (<= C(8,4)=70 subsets)
-        for sub in combinations(range(len(cands)), n_sets):
-            pick = sse[:, list(sub)]
-            total = float(pick.min(axis=1).sum())
-            hdr_bits = 12 * n_sets
-            cost = total + lam * (ncoded * bits + hdr_bits)
-            if best is None or cost < best[0]:
-                idx = pick.argmin(axis=1).astype(np.int32)
-                best = (cost, bits, sub, idx)
-    _, bits, sub, idx = best
-    idx_map = idx.reshape(gr, gc)
-    idx_map = np.where(coded, idx_map, -1).astype(np.int32)
-    return bits, tuple(cands[i] for i in sub), idx_map
+    return select_sb_sets(sse, coded, lam, cands)
 
 
 def cdef_search(src: Dict[str, np.ndarray], recon: Dict[str, np.ndarray],

@@ -51,6 +51,132 @@ def _search_plane(src: np.ndarray, rec: np.ndarray, step: int,
     return best_lvl, best_out
 
 
+def maps_from_decisions(decisions, mi_rows: int, mi_cols: int):
+    """Per-mi tx/block extent + skip maps for the mask-aware deblocker
+    (set_lpf_parameters inputs, deblocking_filter.c:147-157).
+
+    Luma maps at the 4-px mi grid; chroma maps at the 4-chroma-px grid
+    (= 8 luma px).  Tx extents come from the coded coefficient shapes
+    (our leaf tx == the coded qcoeff array); a skip inter block's tx
+    extent is its block extent (get_transform_size with is_skip).
+
+    Returns dict(y=(txw, txh, bw, bh, skip), uv=(txw, txh, bw, bh,
+    skip)) of int32/bool arrays."""
+    ly = [np.ones((mi_rows, mi_cols), np.int32) for _ in range(4)]
+    lsk = np.zeros((mi_rows, mi_cols), bool)
+    cr, cc_ = mi_rows // 2, mi_cols // 2
+    luv = [np.ones((cr, cc_), np.int32) for _ in range(4)]
+    csk = np.zeros((cr, cc_), bool)
+    for (r4, c4), d in decisions.items():
+        n4 = d.qcoeff_y.shape  # luma tx (rows, cols) in px / 4
+        from svt_av1_tpu.codec import constants as cc
+        b4 = {cc.BLOCK_16X16: 4, cc.BLOCK_32X32: 8,
+              cc.BLOCK_64X64: 16}[d.bsize]
+        skip = bool(d.skip) and bool(d.is_inter)
+        tw4 = b4 if skip else max(1, n4[1] // 4)
+        th4 = b4 if skip else max(1, n4[0] // 4)
+        sl = (slice(r4, r4 + b4), slice(c4, c4 + b4))
+        ly[0][sl] = tw4
+        ly[1][sl] = th4
+        ly[2][sl] = b4
+        ly[3][sl] = b4
+        lsk[sl] = skip
+        # chroma: the block covers b4/2 chroma mi; tx from qcoeff_u
+        cb4 = b4 // 2
+        r2, c2 = r4 // 2, c4 // 2
+        slc = (slice(r2, r2 + cb4), slice(c2, c2 + cb4))
+        if d.qcoeff_u is not None:
+            ctw = cb4 if skip else max(1, d.qcoeff_u.shape[1] // 4)
+            cth = cb4 if skip else max(1, d.qcoeff_u.shape[0] // 4)
+        else:
+            ctw = cth = cb4
+        luv[0][slc] = ctw
+        luv[1][slc] = cth
+        luv[2][slc] = cb4
+        luv[3][slc] = cb4
+        csk[slc] = skip
+    return dict(y=(ly[0], ly[1], ly[2], ly[3], lsk),
+                uv=(luv[0], luv[1], luv[2], luv[3], csk))
+
+
+def flens_from_maps(maps):
+    """Vertical/horizontal per-mi filter-length maps for both plane
+    groups (edge_flens over the direction-appropriate extents)."""
+    txw, txh, bw, bh, sk = maps["y"]
+    y_v = np.asarray(dlf.edge_flens(txw, bw, sk, True))
+    y_h = np.asarray(dlf.edge_flens(txh.T, bh.T, sk.T, True)).T
+    ctxw, ctxh, cbw, cbh, csk = maps["uv"]
+    uv_v = np.asarray(dlf.edge_flens(ctxw, cbw, csk, False))
+    uv_h = np.asarray(dlf.edge_flens(ctxh.T, cbh.T, csk.T, False)).T
+    return dict(y_v=y_v, y_h=y_h, uv_v=uv_v, uv_h=uv_h)
+
+
+def apply_masked(recon: Dict[str, np.ndarray], fp, flens,
+                 bd: int = 8) -> Dict[str, np.ndarray]:
+    """Mask-aware deblock of all planes (encoder and verification
+    decoder share this; svt_av1_loop_filter_frame role)."""
+    out = dict(recon)
+    dt = recon["y"].dtype
+    ly = fp.filter_level[0]
+    if ly > 0:
+        y = dlf.loop_filter_plane_masked(
+            recon["y"].astype(np.int32), flens["y_v"], flens["y_h"],
+            ly, fp.sharpness, True, bd)
+        out["y"] = np.asarray(y).astype(dt)
+    lu, lv = fp.filter_level_uv
+    if lu > 0:
+        u = dlf.loop_filter_plane_masked(
+            recon["u"].astype(np.int32), flens["uv_v"], flens["uv_h"],
+            lu, fp.sharpness, False, bd)
+        out["u"] = np.asarray(u).astype(dt)
+    if lv > 0:
+        v = dlf.loop_filter_plane_masked(
+            recon["v"].astype(np.int32), flens["uv_v"], flens["uv_h"],
+            lv, fp.sharpness, False, bd)
+        out["v"] = np.asarray(v).astype(dt)
+    return out
+
+
+def search_and_apply_masked(src: Dict[str, np.ndarray],
+                            recon: Dict[str, np.ndarray], fp, flens,
+                            bd: int = 8) -> Dict[str, np.ndarray]:
+    """Per-plane level search with the mask-aware filter (mixed-size
+    frames; dlf_process.c:106-131 role)."""
+    qindex = fp.base_q_idx
+    d = default_filter_level(qindex)
+    out = dict(recon)
+    dt = recon["y"].dtype
+
+    def search(plane, vk, hk, levels, is_luma):
+        srcp = src[plane]
+        rec = recon[plane].astype(np.int32)
+        best_lvl, best_sse, best_out = 0, _sse(srcp, recon[plane]), None
+        for lvl in levels:
+            if lvl == 0:
+                continue
+            f = np.asarray(dlf.loop_filter_plane_masked(
+                rec, flens[vk], flens[hk], lvl, fp.sharpness, is_luma,
+                bd))
+            s = _sse(srcp, f.astype(dt))
+            if s < best_sse:
+                best_lvl, best_sse, best_out = lvl, s, f
+        return best_lvl, best_out
+
+    ly, fy = search("y", "y_v", "y_h", _ladder(d), True)
+    fp.filter_level = (ly, ly)
+    if fy is not None:
+        out["y"] = fy.astype(dt)
+    duv = max(0, d - 2)
+    lu, fu = search("u", "uv_v", "uv_h", _ladder(duv), False)
+    lv, fv = search("v", "uv_v", "uv_h", _ladder(duv), False)
+    fp.filter_level_uv = (lu, lv)
+    if fu is not None:
+        out["u"] = fu.astype(dt)
+    if fv is not None:
+        out["v"] = fv.astype(dt)
+    return out
+
+
 def search_and_apply(src: Dict[str, np.ndarray],
                      recon: Dict[str, np.ndarray], fp,
                      bd: int = 8) -> Dict[str, np.ndarray]:

@@ -18,13 +18,15 @@ The redesign (this module) runs each inter frame as:
                  wavefront (intra fallback) -> dense per-block decision
                  arrays + unfiltered recon.
   P2 "filters" — ONE program: DLF per-plane level search (whole ladder
-                 evaluated on device, argmin SSE) + CDEF direction search
-                 and per-SB, per-candidate SSE matrix.
+                 evaluated on device, argmin SSE) + CDEF direction search,
+                 per-SB/per-candidate SSE matrix, the frame-uniform
+                 strength pick (device argmin) AND the apply.  The final
+                 recon never touches the host: it is the DPB slot input
+                 of later frames, so a whole mini-GoP can be dispatched
+                 before any host pull (EC overlaps device work).
   host         — ONE bundled device_get (a single ~30 ms round trip for
-                 the per-block decision arrays + filter stats), CDEF
-                 strength-set subset selection, entropy coding.
-  P3 "cdef"    — apply the selected per-SB CDEF strengths; the output
-                 recon STAYS ON DEVICE as the DPB slot for future frames.
+                 the per-block decision arrays + filter picks), entropy
+                 coding.
 
 Behavioral reference for the stage contents is unchanged (pass A/B
 semantics: product_coding_loop.c MD funnel; DLF search dlf_process.c:
@@ -696,14 +698,20 @@ NLVL = 5  # DLF ladder size (padded to fixed shape)
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_p2(h, w, bd=8, ncand=8, dlf_on=True, cdef_on=True):
-    """DLF search+apply and CDEF per-SB/per-candidate SSE.
+def _jit_p2(h, w, bd=8, ncand=8, dlf_on=True, cdef_on=True,
+            uniform_apply=True):
+    """DLF search+apply, CDEF search, pick AND apply — one program.
 
     Inputs: src planes, recon planes (post pass B), skip16, DLF ladder
     params (NLVL, 4) per plane group [level, blimit, limit, thresh],
     CDEF candidate strengths (ncand, 4) + damping.
-    Outputs: filtered recon (post DLF), chosen levels (3,), per-SB CDEF
-    SSE matrix (nsb, ncand) and the per-8x8 directions/vars."""
+    Outputs: FINAL recon (post DLF + CDEF at the device-argmin
+    frame-uniform strength), chosen DLF levels (3,), per-SB CDEF SSE
+    matrix (nsb, ncand), and the chosen candidate index.
+
+    uniform_apply=False (key-frame search mode): the returned planes are
+    post-DLF only and the caller does per-SB subset selection on the SSE
+    matrix + a separate cdef_stage.cdef_apply dispatch (cdef_bits > 0)."""
     from svt_av1_tpu.ops import cdef as cdef_ops
     gh8, gw8 = h // 8, w // 8
     nb8 = gh8 * gw8
@@ -744,7 +752,8 @@ def _jit_p2(h, w, bd=8, ncand=8, dlf_on=True, cdef_on=True):
         if not cdef_on:
             return (fy.astype(jnp.uint8), fu.astype(jnp.uint8),
                     fv.astype(jnp.uint8), jnp.stack([ly, lu, lv]),
-                    jnp.zeros((sbr * sbc, ncand), jnp.float32))
+                    jnp.zeros((sbr * sbc, ncand), jnp.float32),
+                    jnp.zeros((), jnp.int32))
         ys8 = (jnp.arange(nb8) // gw8 * 8).astype(jnp.int32)
         xs8 = (jnp.arange(nb8) % gw8 * 8).astype(jnp.int32)
         r8 = ys8[:, None, None] + jnp.arange(8)[None, :, None]
@@ -800,8 +809,36 @@ def _jit_p2(h, w, bd=8, ncand=8, dlf_on=True, cdef_on=True):
             sses.append(jax.ops.segment_sum(per8, sb_of,
                                             num_segments=sbr * sbc))
         sse_sb = jnp.stack(sses, axis=1)         # (nsb, ncand)
-        return (fy.astype(jnp.uint8), fu.astype(jnp.uint8),
-                fv.astype(jnp.uint8), jnp.stack([ly, lu, lv]), sse_sb)
+        if not uniform_apply:
+            return (fy.astype(jnp.uint8), fu.astype(jnp.uint8),
+                    fv.astype(jnp.uint8), jnp.stack([ly, lu, lv]),
+                    sse_sb, jnp.zeros((), jnp.int32))
+        # frame-uniform pick (cdef_bits = 0) + apply, all on device —
+        # the recon the DPB keeps never leaves the chip
+        best = jnp.argmin(sse_sb.sum(axis=0)).astype(jnp.int32)
+        keep = skip8[:, None, None]
+        pri_b = _adjust_strength(cands[best, 0] << cs, var)
+        sec_b = jnp.broadcast_to(
+            (cands[best, 1] + (cands[best, 1] == 3)) << cs, (nb8,))
+        by = cdef_ops.cdef_filter_block(wy, pri_b, sec_b, dirs,
+                                        damping + cs, damping + cs,
+                                        cs, bd, n=8)
+        by = jnp.where(keep, blocks, by)
+        out_y = fy.at[r8, c8].set(by)
+        pri_bc = jnp.broadcast_to(cands[best, 2] << cs, (nb8,))
+        sec_bc = jnp.broadcast_to(
+            (cands[best, 3] + (cands[best, 3] == 3)) << cs, (nb8,))
+        bu = cdef_ops.cdef_filter_block(wu, pri_bc, sec_bc, dirs,
+                                        damping - 1 + cs,
+                                        damping - 1 + cs, cs, bd, n=4)
+        bv = cdef_ops.cdef_filter_block(wv, pri_bc, sec_bc, dirs,
+                                        damping - 1 + cs,
+                                        damping - 1 + cs, cs, bd, n=4)
+        out_u = fu.at[rc4, cc4].set(jnp.where(keep, cur_u, bu))
+        out_v = fv.at[rc4, cc4].set(jnp.where(keep, cur_v, bv))
+        return (out_y.astype(jnp.uint8), out_u.astype(jnp.uint8),
+                out_v.astype(jnp.uint8), jnp.stack([ly, lu, lv]),
+                sse_sb, best)
 
     return jax.jit(p2)
 
@@ -921,7 +958,11 @@ def tpl_group_stats(srcs, deps):
 # --------------------------------------------------------------------------
 
 class PendingInterFrame:
-    """Handle for one dispatched inter frame: device outputs + meta."""
+    """Handle for one dispatched inter frame: device outputs + meta.
+
+    ``recon`` (the post-filter DPB planes) is available as device
+    futures immediately after dispatch — later frames can reference it
+    before this frame's host pull happens (mini-GoP pipelining)."""
 
     def __init__(self, outs, p2_outs, ref_enums, h, w, qindex):
         self.outs = outs
@@ -929,6 +970,7 @@ class PendingInterFrame:
         self.ref_enums = ref_enums
         self.h, self.w = h, w
         self.qindex = qindex
+        self.recon = dict(y=p2_outs[0], u=p2_outs[1], v=p2_outs[2])
 
 
 def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
@@ -973,10 +1015,82 @@ def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
                  cands, np.int32(cdef_damping(qindex)))
     pend = PendingInterFrame(outs, p2_outs, ref_enums, h, w, qindex)
     pend.cdef_cands = cands
-    pend.skip16 = skip16
     pend.cdef_on = cdef_on
     pend.dlf_on = dlf_on
+    # start the device->host copy of every host-needed array NOW: the
+    # transfers stream back as the frame's programs finish, so the
+    # bundled pull in collect_inter_frame finds them already resident
+    for a in list(outs[3:]) + [p2_outs[3], p2_outs[5]]:
+        try:
+            a.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            break
     return pend
+
+
+def run_key_filters(src: Dict[str, np.ndarray],
+                    recon: Dict[str, np.ndarray], skip16: np.ndarray,
+                    qindex: int, bd: int = 8, cdef_cands=None,
+                    dlf_on: bool = True, cdef_on: bool = True,
+                    max_bits: int = 3):
+    """Key-frame filter stage, fused: ONE P2 program (DLF ladder search
+    + per-SB/per-candidate CDEF SSE), one small pull, host subset
+    selection (finish_cdef_search analog, cdef_stage.select_sb_sets),
+    one per-SB apply dispatch.  Replaces dlf_stage.search_and_apply
+    (per-level host pulls) + cdef_stage.cdef_search_sb (per-candidate
+    full-frame pulls) on the fast GOP path.
+
+    Returns (recon_out, deblocked_dev, fp_updates, cdef_idx_map):
+    recon_out = final filtered planes (np), deblocked_dev = post-DLF
+    pre-CDEF device planes (the LR boundary source), fp_updates = frame
+    header fields to set."""
+    from svt_av1_tpu.ops import quant as q_
+    from svt_av1_tpu.pipeline import cdef_stage
+    h, w = src["y"].shape
+    src_pack = np.concatenate(
+        [np.asarray(src["y"], np.uint8),
+         np.concatenate([np.asarray(src["u"], np.uint8),
+                         np.asarray(src["v"], np.uint8)], axis=1)],
+        axis=0)
+    cands = np.asarray(cdef_cands if cdef_cands is not None
+                       else cdef_stage.SEARCH_SET, np.int32)
+    damping = cdef_stage.cdef_damping(qindex)
+    p2 = _jit_p2(h, w, bd, len(cands), dlf_on, cdef_on,
+                 uniform_apply=False)
+    fy, fu, fv, levels, sse_sb, _ = p2(
+        src_pack, jnp.asarray(recon["y"]), jnp.asarray(recon["u"]),
+        jnp.asarray(recon["v"]), jnp.asarray(skip16),
+        dlf_ladder_params(qindex, False), dlf_ladder_params(qindex, True),
+        cands, np.int32(damping))
+    levels_h, sse_h = jax.device_get([levels, sse_sb])
+    fp_updates = {}
+    if dlf_on:
+        ly, lu, lv = (int(x) for x in levels_h)
+        fp_updates["filter_level"] = (ly, ly)
+        fp_updates["filter_level_uv"] = (lu, lv)
+    deblocked = dict(y=fy, u=fu, v=fv)
+    idx_map = None
+    if cdef_on:
+        coded = cdef_stage.coded_sb_map(np.asarray(skip16))
+        qstep = q_.dc_q(qindex, bd=bd) / 8.0
+        lam = 0.7 * qstep * qstep
+        cand_tuples = [tuple(int(x) for x in c) for c in cands]
+        bits, sets, idx_map = cdef_stage.select_sb_sets(
+            np.asarray(sse_h, np.float64), coded, lam, cand_tuples,
+            max_bits)
+        rec = cdef_stage.cdef_apply(
+            deblocked, np.asarray(skip16),
+            sets if bits else sets[0], damping, bd,
+            sb_idx=idx_map if bits else None)
+        fp_updates.update(cdef_bits=bits, cdef_strengths=sets[0],
+                          cdef_strength_list=sets if bits else None,
+                          cdef_damping=damping)
+        if not bits:
+            idx_map = None
+        out = {k: np.asarray(rec[k]) for k in ("y", "u", "v")}
+    else:
+        out = dict(y=np.asarray(fy), u=np.asarray(fu), v=np.asarray(fv))
+    return out, deblocked, fp_updates, idx_map
 
 
 def _UV_MODES():
@@ -985,57 +1099,27 @@ def _UV_MODES():
 
 
 def collect_inter_frame(pend: PendingInterFrame, bd: int = 8):
-    """ONE bundled device->host pull + host CDEF selection + final
-    device CDEF apply.  Returns (decisions, recon_device, header_info).
-
-    recon_device: dict of DEVICE arrays (the DPB slot content)."""
+    """ONE bundled device->host pull.  Returns (decisions,
+    recon_device, header_info); recon_device == pend.recon (the DPB
+    slot content, final after the device-side DLF+CDEF pick)."""
     from svt_av1_tpu.codec import mv_pred
     from svt_av1_tpu.codec.syntax import BlockDecision
     h, w = pend.h, pend.w
     gh, gw = h // BLK, w // BLK
     nb = gh * gw
     # the single round trip: every host-needed array in one device_get
-    small = list(pend.outs[3:]) + [pend.p2_outs[3], pend.p2_outs[4]]
+    small = list(pend.outs[3:]) + [pend.p2_outs[3], pend.p2_outs[5]]
     pulled = jax.device_get(small)
     (ymode, umode, choose, iskip, imv, imv2, iref_idx, icomp, iwarp,
      qy_f, qu_f, qv_f, gm_mats, gm_trans, gm_kinds, interp,
-     dlf_levels, sse_sb) = pulled
-    fy, fu, fv = pend.p2_outs[:3]
+     dlf_levels, best_ci) = pulled
+    rec_y, rec_u, rec_v = pend.recon["y"], pend.recon["u"], pend.recon["v"]
 
-    # ---- CDEF strength selection (host, small matrix) ----
     cdef_info = None
-    rec_y, rec_u, rec_v = fy, fu, fv
     if pend.cdef_on:
-        from svt_av1_tpu.ops import quant as q_
-        qstep = q_.dc_q(pend.qindex, bd=bd) / 8.0
-        lam = 0.7 * qstep * qstep
-        skip16 = np.asarray(jax.device_get(pend.skip16))
-        sbr, sbc = (h + 63) // 64, (w + 63) // 64
-        pad = np.ones((sbr * 4, sbc * 4), bool)
-        pad[:skip16.shape[0], :skip16.shape[1]] = skip16
-        coded = ~pad.reshape(sbr, 4, sbc, 4).all(axis=(1, 3))
-        ncoded = int(coded.sum())
-        # frame-uniform pick (cdef_bits = 0) for inter frames: min total
-        totals = sse_sb.sum(axis=0)
-        best_ci = int(np.argmin(totals))
-        strengths = tuple(int(x) for x in pend.cdef_cands[best_ci])
+        strengths = tuple(int(x) for x in pend.cdef_cands[int(best_ci)])
         cdef_info = dict(bits=0, sets=(strengths,), idx_map=None,
-                         best_ci=best_ci)
-        # device apply with the chosen strengths
-        from svt_av1_tpu.pipeline import cdef_stage
-        damping = cdef_stage.cdef_damping(pend.qindex)
-        fn = cdef_stage._jit_apply(h, w, damping, bd)
-        skip8 = np.repeat(np.repeat(skip16, 2, 0), 2, 1)
-        pri_y, sec_y, pri_uv, sec_uv = cdef_stage._block_strengths(
-            h, w, strengths, None)
-        rec_y, rec_u, rec_v = fn(
-            fy.astype(jnp.int32), fu.astype(jnp.int32),
-            fv.astype(jnp.int32), jnp.asarray(skip8),
-            jnp.asarray(pri_y), jnp.asarray(sec_y),
-            jnp.asarray(pri_uv), jnp.asarray(sec_uv))
-        rec_y = rec_y.astype(jnp.uint8)
-        rec_u = rec_u.astype(jnp.uint8)
-        rec_v = rec_v.astype(jnp.uint8)
+                         best_ci=int(best_ci))
 
     # ---- decisions ----
     gm = {}
@@ -1074,5 +1158,4 @@ def collect_inter_frame(pend: PendingInterFrame, bd: int = 8):
     header = dict(gm=gm, interp=int(interp),
                   dlf_levels=tuple(int(x) for x in dlf_levels),
                   cdef=cdef_info)
-    recon_dev = dict(y=rec_y, u=rec_u, v=rec_v)
-    return decisions, recon_dev, header
+    return decisions, pend.recon, header
