@@ -1054,10 +1054,9 @@ class Encoder:
             else:
                 qmap = _variance_qmap(y, qindex)
         if is_key:
-            if (self._feat.varpart and not self.cfg.enable_dlf_flag
-                    and qmap is None):
-                # 32/16 partition MD (quality presets; DLF must be off:
-                # interior 16-edges of a 32 transform are not deblocked)
+            if self._feat.varpart and qmap is None:
+                # 32/16 partition MD (quality presets); mixed tx sizes
+                # deblock via the mask-aware filter in _packetize
                 from svt_av1_tpu.pipeline import varpart
                 with stage("device_md_intra"):
                     decisions, recon = varpart.encode_intra_frame_varpart(
