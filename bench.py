@@ -5,12 +5,14 @@ plus all-intra throughput (secondary, in "extra").
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
 Primary metric — the north-star path (BASELINE.md config 3 shape):
-CIF 352x288, preset 6, keyint 15, 3-level hierarchical mini-GoPs, TPL,
-DLF level search, per-SB-capable CDEF, CRF 35.  Baseline: reference
-SVT-AV1 v3.0.2 (C-only single-core build of this container) on the same
-synthetic clip and matched settings:
+CIF 352x288, preset 6, keyint 16, 3-level hierarchical mini-GoPs, TPL,
+DLF level search, CDEF, CRF 35.  Baseline: reference SVT-AV1 v3.0.2
+(C-only single-core build of this container) on the same synthetic
+clip and matched tools:
   --preset 6 --keyint 16 --crf 35 --hierarchical-levels 3 --lp 1
-  => 14.31 fps (measured 2026-08-17 on this host, /tmp/svtapp build).
+  --enable-restoration 0   (LR off on both sides)
+  => 6.40 fps (best of 3, measured 2026-08-17 on this host,
+  /tmp/svtapp build; 5.44 fps with LR on).
 Secondary: all-intra CIF vs 15.94 fps reference (BENCH_r02 metric).
 """
 import json
@@ -25,7 +27,7 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-BASELINE_GOP_FPS = 14.31   # reference preset 6 GOP, this host, 1 core
+BASELINE_GOP_FPS = 6.40    # reference preset 6 GOP (no LR), 1 core
 BASELINE_INTRA_FPS = 15.94
 FRAMES = 64
 W, H = 352, 288

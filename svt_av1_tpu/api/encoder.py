@@ -199,6 +199,7 @@ class Encoder:
         # hierarchical (random access) prediction structure: explicit
         # hierarchical_levels with a GOP that has inter frames
         self._hier = 0
+        self._arf_q = None   # base-layer ratio qindex (crf_qindex_calc)
         if (config.hierarchical_levels > 0
                 and config.intra_period_length not in (-2, 0)
                 and config.pred_structure == 2):
@@ -367,8 +368,10 @@ class Encoder:
                     stats.append(tpl.tpl_frame_stats(chain[i],
                                                      chain[i - 1]))
             dep0 = tpl.synthesize(stats, deps)[0]
-            qindex = tpl.tpl_adjust_qindex(qindex, tpl.r0_of(stats[0],
-                                                             dep0), 0)
+            from svt_av1_tpu.pipeline import rate_control as rc_mod
+            qindex, self._arf_q = rc_mod.crf_qindex_calc(
+                qindex, tpl.r0_of(stats[0], dep0), 0, self._hier,
+                True, bd=self.cfg.encoder_bit_depth)
             qmap = tpl.beta_qmap(stats[0], dep0, qindex,
                                  bd=self.cfg.encoder_bit_depth)
             if np.all(qmap == qindex):
@@ -485,9 +488,19 @@ class Encoder:
             self._h_anchor_src = src_of[end_poc]
         def q_for(ev):
             if tpl_r0 is not None:
-                from svt_av1_tpu.pipeline import tpl
-                q = gop.layer_qindex(base_q, ev.layer, self._hier + 1)
-                return tpl.tpl_adjust_qindex(q, tpl_r0[ev.poc], ev.layer)
+                # reference CRF model (rc_process.c:781): base scales
+                # its qstep by sqrt(r0)*0.9, mids interpolate from the
+                # base's q toward cq, leaves code at cq
+                from svt_av1_tpu.pipeline import rate_control as rc_mod
+                q, arf = rc_mod.crf_qindex_calc(
+                    base_q, tpl_r0[ev.poc], ev.layer, self._hier,
+                    False, arf_q=self._arf_q,
+                    ref_layer=max(0, ev.layer - 1),
+                    is_leaf=ev.layer >= self._hier,
+                    bd=self.cfg.encoder_bit_depth)
+                if ev.layer == 0:
+                    self._arf_q = arf
+                return q
             return gop.layer_qindex(base_q, ev.layer, self._hier + 1)
 
         if self._fast:

@@ -424,6 +424,15 @@ def _eval_pair(src_y, src_u, src_v, p0, p1, mv0, mv1, ys, xs, qp, lam,
 @functools.lru_cache(maxsize=None)
 def _jit_p1(h, w, R, modes, bd=8, ring=True, compound=True,
             rad2=8, rad0=7):
+    return jax.jit(_build_p1(h, w, R, modes, bd, ring, compound,
+                             rad2, rad0))
+
+
+@functools.lru_cache(maxsize=None)
+def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
+              rad2=8, rad0=7):
+    """Unjitted P1 (17 inputs -> 20 outputs); pure traced JAX, so the
+    multi-stream path can vmap it over a stream axis before jitting."""
     gh, gw = h // BLK, w // BLK
     nb = gh * gw
     h64 = (h + 63) & ~63
@@ -645,15 +654,51 @@ def _jit_p1(h, w, R, modes, bd=8, ring=True, compound=True,
         gm_mats = jnp.stack([m[0] for m in per_ref_meta])
         gm_trans = jnp.stack([m[1] for m in per_ref_meta])
         gm_kinds = jnp.stack([m[2] for m in per_ref_meta])
+
+        # ---- 32x32 skip-merge (partition-level signaling merge) ----
+        # 2x2 groups of inter-skip winners sharing (ref, mv) — or the
+        # same compound (ref pair, mv pair) — no warp: recoded as ONE
+        # BLOCK_32X32 skip leaf by the packetizer.  The merged recon is
+        # bit-identical (an MC of a 32 block with one MV equals its
+        # four 16 tiles; compound averages positionally independently),
+        # so this is a pure rate win and pass-B intra neighbors are
+        # unaffected.  Behavioral reference: the PART_N vs split
+        # decision of product_coding_loop.c's MD funnel, restricted to
+        # the provably-lossless case.
+        gh2, gw2 = gh // 2, gw // 2
+        eligible = (choose & iskip & ~(iwarp & choose))
+
+        def grp(a):
+            a2 = a.reshape(gh, gw, -1)[:gh2 * 2, :gw2 * 2]
+            return a2.reshape(gh2, 2, gw2, 2, a2.shape[-1])
+
+        ok = grp(eligible[:, None].astype(jnp.int32))[..., 0] \
+            .all(axis=(1, 3))
+        refg = grp(iref_idx[:, None].astype(jnp.int32))[..., 0]
+        ok &= (refg == refg[:, :1, :, :1]).all(axis=(1, 3))
+        compg = grp(icomp[:, None].astype(jnp.int32))[..., 0]
+        ok &= (compg == compg[:, :1, :, :1]).all(axis=(1, 3))
+        ys32 = (jnp.arange(gh2 * gw2) // gw2 * 32).astype(jnp.int32)
+        xs32 = (jnp.arange(gh2 * gw2) % gw2 * 32).astype(jnp.int32)
+        for mva in (imv, imv2):
+            mvg = grp(mva)
+            ok &= (mvg == mvg[:, :1, :, :1]).all(axis=(1, 3, 4))
+            mv32 = mvg[:, 0, :, 0].reshape(-1, 2)
+            cl32 = _clamp_cands(mv32[:, None], ys32, xs32, 2 * BLK, h,
+                                w)[:, 0]
+            ok &= (cl32 == mv32).all(axis=-1).reshape(gh2, gw2)
+        merge32 = ok.reshape(-1)
+
         return (ry.astype(jnp.uint8), ru.astype(jnp.uint8),
                 rv.astype(jnp.uint8),
                 ymode.astype(jnp.uint8), umode.astype(jnp.uint8),
                 choose, iskip & choose,
                 imv.astype(jnp.int16), imv2.astype(jnp.int16),
                 iref_idx.astype(jnp.uint8), icomp, iwarp & choose,
-                qy_f, qu_f, qv_f, gm_mats, gm_trans, gm_kinds, interp)
+                qy_f, qu_f, qv_f, gm_mats, gm_trans, gm_kinds, interp,
+                merge32)
 
-    return jax.jit(p1)
+    return p1
 
 
 # --------------------------------------------------------------------------
@@ -673,24 +718,40 @@ def _sse_plane(a, b):
     return tot
 
 
-def _dlf_plane_traced(x, step, blimit, limit, thresh, flen, bd):
-    """loop_filter_plane_uniform with traced thresholds."""
+def _dlf_plane_traced(x, step, blimit, limit, thresh, flen, bd,
+                      on_v=None, on_h=None):
+    """loop_filter_plane_uniform with traced thresholds.
+
+    on_v (h, E) / on_h (E, w): optional per-line edge enables (the
+    mask-aware case: 32x32-merged and skip-pair edges switch off;
+    filter lengths stay uniform because min tx extent >= 16px luma /
+    8px chroma on this grid)."""
     from svt_av1_tpu.ops import dlf
     h, w = x.shape
+    # scatter-ADD of deltas, not window .set: window gathers are 14 wide
+    # while chroma edges sit 8 apart, so a window overlaps its
+    # neighbor's modified span — a masked-off (or unmodified) line must
+    # not write stale gathered values over a filtered neighbor.  The
+    # spec's flen <= min tx extent rule keeps modified spans disjoint,
+    # so at most one edge contributes a nonzero delta per pixel.
     edges = np.arange(step, w, step)
     if len(edges):
         cols = edges[:, None] + np.arange(-7, 7)[None]
         lines = x[:, cols].transpose(1, 0, 2).reshape(-1, 14)
         f = dlf.filter_lines(lines, blimit, limit, thresh, flen, bd)
-        f = f.reshape(len(edges), h, 14).transpose(1, 0, 2)
-        x = x.at[:, cols].set(f)
+        if on_v is not None:
+            f = jnp.where(on_v.T.reshape(-1, 1), f, lines)
+        d = (f - lines).reshape(len(edges), h, 14).transpose(1, 0, 2)
+        x = x.at[:, cols].add(d)
     redges = np.arange(step, h, step)
     if len(redges):
         rows = redges[:, None] + np.arange(-7, 7)[None]
         lines = x[rows, :].transpose(0, 2, 1).reshape(-1, 14)
         f = dlf.filter_lines(lines, blimit, limit, thresh, flen, bd)
-        f = f.reshape(len(redges), w, 14).transpose(0, 2, 1)
-        x = x.at[rows, :].set(f)
+        if on_h is not None:
+            f = jnp.where(on_h.reshape(-1, 1), f, lines)
+        d = (f - lines).reshape(len(redges), w, 14).transpose(0, 2, 1)
+        x = x.at[rows, :].add(d)
     return x
 
 
@@ -699,7 +760,14 @@ NLVL = 5  # DLF ladder size (padded to fixed shape)
 
 @functools.lru_cache(maxsize=None)
 def _jit_p2(h, w, bd=8, ncand=8, dlf_on=True, cdef_on=True,
-            uniform_apply=True):
+            uniform_apply=True, masked=False):
+    return jax.jit(_build_p2(h, w, bd, ncand, dlf_on, cdef_on,
+                             uniform_apply, masked))
+
+
+@functools.lru_cache(maxsize=None)
+def _build_p2(h, w, bd=8, ncand=8, dlf_on=True, cdef_on=True,
+              uniform_apply=True, masked=False):
     """DLF search+apply, CDEF search, pick AND apply — one program.
 
     Inputs: src planes, recon planes (post pass B), skip16, DLF ladder
@@ -711,27 +779,60 @@ def _jit_p2(h, w, bd=8, ncand=8, dlf_on=True, cdef_on=True,
 
     uniform_apply=False (key-frame search mode): the returned planes are
     post-DLF only and the caller does per-SB subset selection on the SSE
-    matrix + a separate cdef_stage.cdef_apply dispatch (cdef_bits > 0)."""
+    matrix + a separate cdef_stage.cdef_apply dispatch (cdef_bits > 0).
+
+    masked=True (inter frames with 32x32 skip-merges): two extra inputs
+    (merge32 (gh2*gw2,) bool, inter16 (gh, gw) bool) derive per-edge
+    DLF enables on device (interior edges of merged transforms and
+    both-skip non-PU edges switch off, spec 7.14 derivation)."""
     from svt_av1_tpu.ops import cdef as cdef_ops
+    from svt_av1_tpu.ops import dlf as dlf_ops
     gh8, gw8 = h // 8, w // 8
     nb8 = gh8 * gw8
     sbr, sbc = (h + 63) // 64, (w + 63) // 64
+    gh, gw = h // BLK, w // BLK
+    gh2, gw2 = gh // 2, gw // 2
 
     def p2(src_pack, rec_y, rec_u, rec_v, skip16, dlf_y, dlf_uv,
-           cands, damping):
+           cands, damping, merge32=None, inter16=None):
         src_y = src_pack[:h].astype(jnp.int32)
         src_u = src_pack[h:, :w // 2].astype(jnp.int32)
         src_v = src_pack[h:, w // 2:].astype(jnp.int32)
+        ons = dict(y=(None, None), c=(None, None))
+        if masked:
+            merged16 = jnp.zeros((gh, gw), bool)
+            if gh2 and gw2:
+                m2 = merge32.reshape(gh2, gw2)
+                merged16 = merged16.at[:gh2 * 2, :gw2 * 2].set(
+                    jnp.repeat(jnp.repeat(m2, 2, 0), 2, 1))
+            skdlf = skip16 & inter16
+            tx16 = jnp.where(merged16, 8, 4).astype(jnp.int32)
+            txmi = jnp.repeat(jnp.repeat(tx16, 4, 0), 4, 1)
+            skmi = jnp.repeat(jnp.repeat(skdlf, 4, 0), 4, 1)
+            flv = dlf_ops.edge_flens(txmi, txmi, skmi, True)
+            flh = dlf_ops.edge_flens(txmi.T, txmi.T, skmi.T, True).T
+            ons["y"] = (jnp.repeat(flv[:, 4::4] > 0, 4, axis=0),
+                        jnp.repeat(flh[4::4, :] > 0, 4, axis=1))
+            ctx16 = jnp.where(merged16, 4, 2).astype(jnp.int32)
+            ctxmi = jnp.repeat(jnp.repeat(ctx16, 2, 0), 2, 1)
+            cskmi = jnp.repeat(jnp.repeat(skdlf, 2, 0), 2, 1)
+            cflv = dlf_ops.edge_flens(ctxmi, ctxmi, cskmi, False)
+            cflh = dlf_ops.edge_flens(ctxmi.T, ctxmi.T, cskmi.T,
+                                      False).T
+            ons["c"] = (jnp.repeat(cflv[:, 2::2] > 0, 4, axis=0),
+                        jnp.repeat(cflh[2::2, :] > 0, 4, axis=1))
+
         # ---- DLF: evaluate the ladder per plane, pick min SSE ----
-        def search_plane(src, rec, step, flen, params):
+        def search_plane(src, rec, step, flen, params, onk):
             if not dlf_on:
                 return rec, jnp.zeros((), jnp.int32)
+            on_v, on_h = ons[onk]
             outs = [rec]
             sses = [_sse_plane(src, rec)]
             for li in range(1, NLVL):
                 f = _dlf_plane_traced(rec, step, params[li, 1],
                                       params[li, 2], params[li, 3],
-                                      flen, bd)
+                                      flen, bd, on_v, on_h)
                 outs.append(f)
                 sses.append(_sse_plane(src, f))
             sse = jnp.stack(sses)
@@ -742,11 +843,11 @@ def _jit_p2(h, w, bd=8, ncand=8, dlf_on=True, cdef_on=True,
             return out, params[best, 0]
 
         fy, ly = search_plane(src_y, rec_y.astype(jnp.int32), BLK, 14,
-                              dlf_y)
+                              dlf_y, "y")
         fu, lu = search_plane(src_u, rec_u.astype(jnp.int32), CBLK, 6,
-                              dlf_uv)
+                              dlf_uv, "c")
         fv, lv = search_plane(src_v, rec_v.astype(jnp.int32), CBLK, 6,
-                              dlf_uv)
+                              dlf_uv, "c")
 
         # ---- CDEF: dirs once, per-candidate SSE per SB ----
         if not cdef_on:
@@ -840,7 +941,7 @@ def _jit_p2(h, w, bd=8, ncand=8, dlf_on=True, cdef_on=True,
                 out_v.astype(jnp.uint8), jnp.stack([ly, lu, lv]),
                 sse_sb, best)
 
-    return jax.jit(p2)
+    return p2
 
 
 def dlf_ladder_params(qindex: int, chroma: bool) -> np.ndarray:
@@ -1002,17 +1103,19 @@ def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
     (ry, ru, rv) = outs[:3]
     cands = np.asarray(cdef_cands if cdef_cands is not None
                        else SEARCH_SET, np.int32)
-    p2 = _jit_p2(h, w, bd, len(cands), dlf_on, cdef_on)
+    p2 = _jit_p2(h, w, bd, len(cands), dlf_on, cdef_on, masked=True)
     # skip16 from the final coeff arrays (device)
     qy_f, qu_f, qv_f = outs[12], outs[13], outs[14]
     skip16 = ((jnp.abs(qy_f).max(axis=1) == 0)
               & (jnp.abs(qu_f).max(axis=1) == 0)
               & (jnp.abs(qv_f).max(axis=1) == 0)).reshape(h // BLK,
                                                           w // BLK)
+    inter16 = outs[5].reshape(h // BLK, w // BLK)
     p2_outs = p2(src_pack_u8, ry, ru, rv, skip16,
                  dlf_ladder_params(qindex, False),
                  dlf_ladder_params(qindex, True),
-                 cands, np.int32(cdef_damping(qindex)))
+                 cands, np.int32(cdef_damping(qindex)),
+                 outs[19], inter16)
     pend = PendingInterFrame(outs, p2_outs, ref_enums, h, w, qindex)
     pend.cdef_cands = cands
     pend.cdef_on = cdef_on
@@ -1111,7 +1214,7 @@ def collect_inter_frame(pend: PendingInterFrame, bd: int = 8):
     small = list(pend.outs[3:]) + [pend.p2_outs[3], pend.p2_outs[5]]
     pulled = jax.device_get(small)
     (ymode, umode, choose, iskip, imv, imv2, iref_idx, icomp, iwarp,
-     qy_f, qu_f, qv_f, gm_mats, gm_trans, gm_kinds, interp,
+     qy_f, qu_f, qv_f, gm_mats, gm_trans, gm_kinds, interp, merge32,
      dlf_levels, best_ci) = pulled
     rec_y, rec_u, rec_v = pend.recon["y"], pend.recon["u"], pend.recon["v"]
 
@@ -1134,9 +1237,31 @@ def collect_inter_frame(pend: PendingInterFrame, bd: int = 8):
     qv_f = qv_f.astype(np.int32).reshape(nb, CBLK, CBLK)
     decisions = {}
     enums = pend.ref_enums
+    gh2, gw2 = gh // 2, gw // 2
+    merged16 = np.zeros((gh, gw), bool)
+    if gh2 and gw2:
+        merged16[:gh2 * 2, :gw2 * 2] = np.repeat(
+            np.repeat(np.asarray(merge32).reshape(gh2, gw2), 2, 0),
+            2, 1)
+    z32 = np.zeros((2 * BLK, 2 * BLK), np.int32)
+    z16 = np.zeros((2 * CBLK, 2 * CBLK), np.int32)
     for bid in range(nb):
         by, bx = bid // gw, bid % gw
         r4, c4 = by * 4, bx * 4
+        if merged16[by, bx]:
+            if by % 2 or bx % 2:
+                continue          # covered by the 32x32 leaf
+            decisions[(r4, c4)] = BlockDecision(
+                r4=r4, c4=c4, bsize=cc.BLOCK_32X32, y_mode=cc.DC_PRED,
+                uv_mode=cc.DC_PRED, tx_type=cc.DCT_DCT,
+                qcoeff_y=z32, qcoeff_u=z16, qcoeff_v=z16,
+                is_inter=True,
+                mv=(int(imv[bid, 0]), int(imv[bid, 1])),
+                ref=int(enums[iref_idx[bid]]),
+                ref2=(int(mv_pred.ALTREF_FRAME) if icomp[bid] else 0),
+                mv2=((int(imv2[bid, 0]), int(imv2[bid, 1]))
+                     if icomp[bid] else (0, 0)))
+            continue
         if choose[bid]:
             decisions[(r4, c4)] = BlockDecision(
                 r4=r4, c4=c4, bsize=cc.BLOCK_16X16, y_mode=cc.DC_PRED,

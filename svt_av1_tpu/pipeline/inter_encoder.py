@@ -649,6 +649,27 @@ def reconstruct_inter_from_decisions(decisions: Dict, ref,
     recon_u = jnp.zeros((height // 2, width // 2), jnp.int32)
     recon_v = jnp.zeros_like(recon_u)
 
+    # 32x32 skip leaves (partition merge) reconstruct as four 16 MC
+    # tiles with the shared MV — identical pixels, since the MV passed
+    # the 32-block pad clamp at encode time and subpel filtering is a
+    # sliding window over the padded reference
+    import dataclasses as _dc
+    work = {}
+    for k, d in decisions.items():
+        if d.is_inter and d.bsize == cc.BLOCK_32X32:
+            assert d.skip, "non-skip 32x32 inter needs TX_32X32 recon"
+            for dr in (0, 4):
+                for dc2 in (0, 4):
+                    nk = (k[0] + dr, k[1] + dc2)
+                    work[nk] = _dc.replace(
+                        d, r4=nk[0], c4=nk[1], bsize=cc.BLOCK_16X16,
+                        qcoeff_y=np.zeros((BLK, BLK), np.int32),
+                        qcoeff_u=np.zeros((CBLK, CBLK), np.int32),
+                        qcoeff_v=np.zeros((CBLK, CBLK), np.int32))
+        else:
+            work[k] = d
+    decisions = work
+
     for renum, refp in refs.items():
         recon_y, recon_u, recon_v = _recon_inter_blocks_for_ref(
             decisions, renum, refp, recon_y, recon_u, recon_v, qp_j, bd,

@@ -65,6 +65,132 @@ class RateControlState:
 
 
 # ---------------------------------------------------------------------------
+# CRF qindex model (rc_process.c:781 crf_qindex_calc port)
+# ---------------------------------------------------------------------------
+
+# tpl_hl_islice_div_factor / tpl_hl_base_frame_div_factor
+# (rc_process.c:47-48), indexed by hierarchical levels
+ISLICE_DIV = (1, 2, 2, 1, 1, 0.7)
+BASE_DIV = (1, 3, 3, 2, 1, 1)
+# non_base_qindex_weight_{ref,wq} (rc_process.c:44-46)
+NON_BASE_W_REF = (100, 100, 100, 100, 100, 100)
+NON_BASE_W_WQ = (100, 100, 300, 100, 100, 100)
+
+
+def qindex_from_qstep_ratio(leaf_qindex: int, qstep_ratio: float,
+                            bd: int = 8) -> int:
+    """svt_av1_get_q_index_from_qstep_ratio (rc_process.c:750-774):
+    walk the dc quantizer table from leaf_qindex to the qindex whose
+    step crosses leaf_step * ratio."""
+    from svt_av1_tpu.ops.quant import dc_q
+    target = dc_q(leaf_qindex, bd=bd) * qstep_ratio
+    q = leaf_qindex
+    if qstep_ratio < 1.0:
+        while q > 0 and dc_q(q, bd=bd) > target:
+            q -= 1
+    else:
+        while q < 255 and dc_q(q, bd=bd) < target:
+            q += 1
+    return q
+
+
+def crf_qindex_calc(cq: int, r0: float, layer: int, hier: int,
+                    is_intra: bool, arf_q=None, ref_layer: int = 0,
+                    is_leaf: bool = False, bd: int = 8):
+    """CRF qindex per frame from TPL r0 (crf_qindex_calc,
+    rc_process.c:781-897, qstep-ratio path).
+
+    cq: the configured CRF qindex (active_worst).  Key and base-layer
+    frames scale their quantizer step by sqrt(adjusted r0) * weight
+    (0.75 intra / 0.9 base); non-base non-leaf frames interpolate
+    between the base frame's ratio qindex (arf_q) and cq, one step per
+    temporal-layer delta from their deepest reference; leaves code at
+    cq.  Returns (qindex, arf_q_out)."""
+    hl = min(hier, 5)
+    if is_intra:
+        r0a = r0 / ISLICE_DIV[hl] if ISLICE_DIV[hl] else r0
+        qfr = qindex_from_qstep_ratio(cq, float(np.sqrt(r0a) * 0.75),
+                                      bd)
+        return int(np.clip(qfr, 1, cq)), qfr
+    if layer == 0:
+        r0a = r0 / BASE_DIV[hl]
+        qfr = qindex_from_qstep_ratio(cq, float(np.sqrt(r0a) * 0.9),
+                                      bd)
+        return int(np.clip(qfr, 1, cq)), qfr
+    arf = int(arf_q) if arf_q is not None else int(cq)
+    if is_leaf:
+        # INTER_NORMAL leaves: active_best = cq_level
+        return int(np.clip(max(cq, arf), 1, 255)), arf
+    w1 = NON_BASE_W_REF[hl]
+    w2 = NON_BASE_W_WQ[hl]
+    ab = arf
+    for _ in range(max(1, layer - ref_layer)):
+        ab = (w1 * ab + w2 * cq + (w1 + w2) // 2) // (w1 + w2)
+    return int(np.clip(max(ab, arf), 1, cq)), arf
+
+
+def kf_boost_qindex(cq: int, r0: float, frames_to_key: int = -1,
+                    is_720p_or_less: bool = True, bd: int = 8) -> int:
+    """Key-frame q without TPL-ratio path: kf_boost from r0
+    (get_cqp_kf_boost_from_r0, rc_process.c:537) mapped through the
+    boost->qdelta model (svt_av1_compute_qdelta via rate ratio)."""
+    if frames_to_key == -1:
+        factor = (10.0 + 4.0) / 2
+    else:
+        factor = float(np.clip(np.sqrt(frames_to_key), 4.0, 10.0))
+    mult = 3 if is_720p_or_less else 4
+    boost = mult * (75.0 + 17.0 * factor) / max(r0, 1e-6)
+    # boost -> rate ratio -> qdelta (the reference routes this through
+    # bits-per-mb; the dominant term is the rate ratio boost/100)
+    ratio = min(max(boost / 100.0, 1.0), 25.0)
+    return compute_qindex_by_rate_ratio(cq, ratio, True, bd)
+
+
+MIN_BPB_FACTOR = 0.005
+MAX_BPB_FACTOR = 50.0
+
+
+def bits_per_mb(frame_type_key: bool, qindex: int,
+                correction: float = 1.0, bd: int = 8,
+                cbr: bool = False) -> float:
+    """svt_av1_rc_bits_per_mb (rc_process.c:602): projected bits per
+    16x16 block at qindex under the R = enum * corr / q model."""
+    from svt_av1_tpu.ops.quant import ac_q
+    # svt_av1_convert_qindex_to_q: ac step / 4 (8-bit scale)
+    q = ac_q(qindex, bd=bd) / (4.0 * (1 << (2 * (bd - 8))))
+    if cbr:
+        enumerator = 1500000 if frame_type_key else 1300000
+    else:
+        enumerator = 1400000 if frame_type_key else 1000000
+    return enumerator * correction / max(q, 1e-6)
+
+
+def find_qindex_by_rate(desired_bpm: float, frame_type_key: bool,
+                        best_q: int = 1, worst_q: int = 255,
+                        bd: int = 8, cbr: bool = False) -> int:
+    """find_qindex_by_rate (rc_process.c:617): binary search the
+    monotone bits-per-mb model."""
+    lo, hi = best_q, worst_q
+    while lo < hi:
+        mid = (lo + hi) >> 1
+        if bits_per_mb(frame_type_key, mid, 1.0, bd, cbr) > desired_bpm:
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo
+
+
+def compute_qindex_by_rate_ratio(qindex: int, rate_ratio: float,
+                                 frame_type_key: bool,
+                                 bd: int = 8) -> int:
+    """svt_av1_compute_qdelta_by_rate (rc_process.c:640) applied:
+    qindex whose projected rate is rate_ratio x the base qindex's."""
+    base = bits_per_mb(frame_type_key, qindex, 1.0, bd)
+    return find_qindex_by_rate(rate_ratio * base, frame_type_key,
+                               1, 255, bd)
+
+
+# ---------------------------------------------------------------------------
 # 2-pass VBR (reference: firstpass.c stats + pass2_strategy.c allocation)
 # ---------------------------------------------------------------------------
 

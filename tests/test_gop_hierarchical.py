@@ -103,6 +103,50 @@ def test_hier_uses_backward_ref():
     assert mv_pred.ALTREF_FRAME in refs
 
 
+def test_hier_fast_merge32_roundtrip():
+    """Pure-translation content: inter blocks go skip with one shared
+    MV, the fast path merges 2x2 groups into BLOCK_32X32 skip leaves
+    (partition-level rate win), and the bitstream must still decode
+    bit-exactly with mask-aware DLF on both sides."""
+    rng = np.random.default_rng(9)
+    h = w = 64
+    base = rng.integers(30, 220, (h, w + 32)).astype(np.uint8)
+    u0 = rng.integers(60, 190, (h // 2, w // 2)).astype(np.uint8)
+    n = 6
+    frames = [(base[:, t:t + w].copy(), u0.copy(), u0.copy())
+              for t in range(n)]
+    cfg = EncoderConfig(source_width=w, source_height=h, qp=40,
+                        intra_period_length=31, hierarchical_levels=2,
+                        enc_mode=6, enable_dlf_flag=True, cdef_level=1)
+    enc = Encoder(cfg)
+    assert enc._fast
+    for i, (y, u, v) in enumerate(frames):
+        enc.send_picture(y, u, v, eos=(i == n - 1))
+    pkts = []
+    while True:
+        p = enc.get_packet()
+        if p is None:
+            break
+        pkts.append(p)
+    disp = [p for p in pkts if p.displayed]
+    dec = Decoder()
+    decoded = []
+    merged = 0
+    for p in pkts:
+        for rec in dec.decode_temporal_unit(p.data):
+            decoded.append(rec)
+            from svt_av1_tpu.codec import constants as cc
+            if "decisions" in rec:
+                merged += sum(1 for d in rec["decisions"].values()
+                              if d.bsize == cc.BLOCK_32X32
+                              and d.is_inter)
+    assert len(decoded) == n
+    for i, (p, rec) in enumerate(zip(disp, decoded)):
+        for pl in ("y", "u", "v"):
+            assert np.array_equal(rec[pl], p.recon[pl]), (i, pl)
+    assert merged > 0, "expected 32x32 skip-merge leaves"
+
+
 def test_hier_fast_filters_roundtrip():
     """The fused fast-GOP path (pipeline/gop_fast.py) with the full
     tool set the quality bench uses — TPL + DLF search + CDEF — must

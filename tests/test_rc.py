@@ -49,3 +49,63 @@ def test_recode_loop_on_overshoot():
     small = run(20_000)
     big = run(5_000_000)
     assert len(small.data) < len(big.data)
+
+
+def test_qindex_from_qstep_ratio():
+    from svt_av1_tpu.pipeline.rate_control import qindex_from_qstep_ratio
+    from svt_av1_tpu.ops.quant import dc_q
+    cq = 140
+    assert qindex_from_qstep_ratio(cq, 1.0) == cq
+    qlo = qindex_from_qstep_ratio(cq, 0.5)
+    assert qlo < cq
+    # the returned step sits at (or just past) the target
+    assert dc_q(qlo) <= dc_q(cq) * 0.5 or qlo == 0
+    assert qindex_from_qstep_ratio(cq, 2.0) > cq
+
+
+def test_crf_qindex_calc_shape():
+    """Reference semantics (rc_process.c:781): keys/bases scale with
+    sqrt(r0); leaves code at cq; non-base layers land between."""
+    from svt_av1_tpu.pipeline.rate_control import crf_qindex_calc
+    cq = 160
+    qk, arf = crf_qindex_calc(cq, 0.2, 0, 3, True)
+    assert 1 <= qk < cq
+    qb, arf_b = crf_qindex_calc(cq, 0.2, 0, 3, False)
+    assert 1 <= qb < cq
+    # heavier referencing (smaller r0) -> lower q
+    qb2, _ = crf_qindex_calc(cq, 0.05, 0, 3, False)
+    assert qb2 <= qb
+    # non-base interpolates toward cq, one notch per layer
+    q1, _ = crf_qindex_calc(cq, 0.2, 1, 3, False, arf_q=arf_b,
+                            ref_layer=0)
+    q2, _ = crf_qindex_calc(cq, 0.2, 2, 3, False, arf_q=arf_b,
+                            ref_layer=1)
+    assert arf_b <= q1 <= q2 <= cq
+    # leaves code at active_worst
+    ql, _ = crf_qindex_calc(cq, 0.2, 3, 3, False, arf_q=arf_b,
+                            is_leaf=True)
+    assert ql == cq
+
+
+def test_bits_per_mb_inversion():
+    """find_qindex_by_rate inverts the monotone R(q) model
+    (rc_process.c:602-676)."""
+    from svt_av1_tpu.pipeline.rate_control import (bits_per_mb,
+                                                   find_qindex_by_rate)
+    r100 = bits_per_mb(False, 100)
+    r200 = bits_per_mb(False, 200)
+    assert r200 < r100            # higher q -> fewer bits
+    q = find_qindex_by_rate(r100, False)
+    assert abs(q - 100) <= 1
+    # desired rate below the curve's min -> worst q
+    assert find_qindex_by_rate(1e-9, False) == 255
+
+
+def test_compute_qindex_by_rate_ratio():
+    from svt_av1_tpu.pipeline.rate_control import (
+        bits_per_mb, compute_qindex_by_rate_ratio)
+    base = 120
+    # 2x the rate -> lower qindex; projected rate ~= 2x
+    q = compute_qindex_by_rate_ratio(base, 2.0, False)
+    assert q < base
+    assert bits_per_mb(False, q) >= 1.9 * bits_per_mb(False, base)
