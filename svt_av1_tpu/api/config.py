@@ -40,7 +40,8 @@ class EncoderConfig:
     enable_dlf_flag: bool = False
     cdef_level: int = 0
     enable_restoration_filtering: int = 0
-    enable_tf: int = 0
+    enable_tf: int = 1      # MCTF keys + mini-GoP bases (reference
+                            # default, enc_settings.c)
     enable_overlays: bool = False
     tune: int = 1
     film_grain_denoise_strength: int = 0

@@ -158,6 +158,7 @@ class Encoder:
         self._la: Deque = deque()      # lookahead source frames
         self._tf_hist = []             # last raw frame (TF backward ref)
         self._prev_hist = None         # luma histogram (scene-cut det)
+        self._ahd_running = None       # per-region AHD running average
         self._scene_cut = False
         # 2-pass: collect stats in pass 1; apply the plan in pass 2
         self._fp_stats = [] if config.pass_ == 1 else None
@@ -200,6 +201,7 @@ class Encoder:
         # hierarchical_levels with a GOP that has inter frames
         self._hier = 0
         self._arf_q = None   # base-layer ratio qindex (crf_qindex_calc)
+        self._chain_cdfs = None  # newest adapted FrameCDFs (rate refresh)
         if (config.hierarchical_levels > 0
                 and config.intra_period_length not in (-2, 0)
                 and config.pred_structure == 2):
@@ -253,6 +255,25 @@ class Encoder:
             # picture in AVIF (single-picture) mode
             raise ValueError(
                 "AVIF mode supports exactly one input picture")
+        y, u, v = np.asarray(y), np.asarray(u), np.asarray(v)
+        # plane-geometry validation (the reference contains wrong-size
+        # input by copying what fits and zero-filling the remainder,
+        # enc_handle.c:5434-5446; a library API is better served by a
+        # clear error than silent padding)
+        eh, ew = self.cfg.source_height, self.cfg.source_width
+        ch, cw = (eh + 1) // 2, (ew + 1) // 2
+        if y.shape != (eh, ew) or u.shape != (ch, cw) \
+                or v.shape != (ch, cw):
+            raise ValueError(
+                f"picture plane shapes {y.shape}/{u.shape}/{v.shape} "
+                f"do not match the configured {ew}x{eh} 4:2:0 geometry "
+                f"(expected {(eh, ew)}/{(ch, cw)}/{(ch, cw)})")
+        want = np.uint16 if self.cfg.encoder_bit_depth > 8 else np.uint8
+        if y.dtype != want or u.dtype != want or v.dtype != want:
+            raise ValueError(
+                f"picture dtype {y.dtype}/{u.dtype}/{v.dtype} does not "
+                f"match encoder_bit_depth={self.cfg.encoder_bit_depth} "
+                f"(expected {np.dtype(want).name})")
         if self._hier:
             self._detect_scene_cut(y)
             if self._scene_cut:
@@ -407,17 +428,25 @@ class Encoder:
         self._slot_free = set(range(1, 8))
         self._slot_recon = {0: full}
         self._slot_state = {0: (tenc.cdfs, tenc.nmv)}
+        self._chain_cdfs = tenc.cdfs
         self._h_anchor = poc
         self._finish_packet(pkt, qindex)
 
     def _base_q_for(self, poc: int) -> int:
         if self._q_plan is not None and poc < len(self._q_plan):
             return int(self._q_plan[poc])
+        if self._rc.onepass is not None:
+            return self._rc.pick_q(self._is_key_poc(poc) if self._hier
+                                   else False, 0, poc)
         return self._rc.frame_qindex()
 
-    def _finish_packet(self, pkt: Packet, qindex: int):
+    def _finish_packet(self, pkt: Packet, qindex: int, layer: int = 0):
         self._packets.append(pkt)
-        self._rc.update(len(pkt.data) * 8)
+        # every coded frame takes the per-frame bandwidth credit in the
+        # buffer model; no-show bases are displayed later through
+        # show_existing packets (a few bytes, not routed through RC)
+        self._rc.feedback(len(pkt.data) * 8, qindex,
+                          pkt.frame_type == obu.KEY_FRAME, layer)
         if self._fp_stats is not None:
             self._fp_stats.append(
                 (len(pkt.data) * 8, qindex,
@@ -429,6 +458,21 @@ class Encoder:
         assert anchor == p0 - 1
         events = gop.minigop_schedule(anchor, n)
         end_poc = anchor + n
+        if self._tf_active() and n >= 2:
+            # MCTF the mini-GoP base (alt-ref role): the reference's
+            # main temporal-filter customer (pd_process.c:3345-3385,
+            # temporal_filtering.c:4106) — every other frame in the
+            # pyramid predicts from it, so denoising it pays across
+            # the whole mini-GoP.  Neighbors: the adjacent sources on
+            # both sides that are still in the lookahead window.
+            from svt_av1_tpu.pipeline import tf_stage
+            neigh = [self._h_frames[p]
+                     for p in (end_poc - 1, end_poc + 1, end_poc - 2,
+                               end_poc + 2)
+                     if p in self._h_frames and not self._is_key_poc(p)]
+            if neigh:
+                self._h_frames[end_poc] = tf_stage.mctf_filter_frame(
+                    self._h_frames[end_poc], neigh[:3])
         last_use: Dict[int, int] = {}
         for i, ev in enumerate(events):
             if isinstance(ev, gop.CodeEvent):
@@ -487,6 +531,10 @@ class Encoder:
                       for i, p in enumerate(order)}
             self._h_anchor_src = src_of[end_poc]
         def q_for(ev):
+            if self._rc.onepass is not None and self._q_plan is None:
+                # 1-pass VBR/CBR: per-frame regulate_q from the buffer
+                # model (rc_process.c:1931), not the CRF qstep path
+                return self._rc.pick_q(False, ev.layer, ev.poc)
             if tpl_r0 is not None:
                 # reference CRF model (rc_process.c:781): base scales
                 # its qstep by sqrt(r0)*0.9, mids interpolate from the
@@ -593,10 +641,11 @@ class Encoder:
             self._dpb[ev.poc] = slot
             self._slot_recon[slot] = full
             self._slot_state[slot] = (tenc.cdfs, tenc.nmv)
+            self._chain_cdfs = tenc.cdfs
         pkt.displayed = ev.shown
         if not ev.shown:
             pkt.recon = None
-        self._finish_packet(pkt, qindex)
+        self._finish_packet(pkt, qindex, ev.layer)
 
     def _dispatch_inter_fast(self, ev, qindex: int):
         """Phase 1 of a fast inter frame: dispatch the two fused device
@@ -619,6 +668,12 @@ class Encoder:
             [np.asarray(y, np.uint8),
              np.concatenate([np.asarray(u, np.uint8),
                              np.asarray(v, np.uint8)], axis=1)], axis=0)
+        # newest adapted CDF state available at dispatch time (the
+        # pipelined loop collects after dispatching the mini-GoP, so
+        # this lags by one stage — still content-matched, unlike the
+        # default-CDF static tables)
+        cdf_state = (self._chain_cdfs
+                     if self._feat.adapted_rates else None)
         pend = gop_fast.run_inter_frame(
             src_pack, refs, qindex, h, w,
             modes=self._feat.intra_modes,
@@ -626,7 +681,8 @@ class Encoder:
             rad2=self._feat.hme_rad2, rad0=self._feat.hme_rad0,
             cdef_cands=SEARCH_SET[:self._feat.cdef_candidates],
             dlf_on=bool(self.cfg.enable_dlf_flag),
-            cdef_on=self.sp.enable_cdef)
+            cdef_on=self.sp.enable_cdef, cdf_state=cdf_state,
+            hp=self._feat.hp_mv)
         slot = min(self._slot_free) if ev.store else None
         if ev.store:
             self._slot_free.remove(slot)
@@ -647,6 +703,7 @@ class Encoder:
                                          last_slot, bwd_slot, slot)
         if ev.store:
             self._slot_state[slot] = (tenc.cdfs, tenc.nmv)
+            self._chain_cdfs = tenc.cdfs
         pkt.displayed = ev.shown
         if ev.shown and (self.recon_enabled or self.cfg.stat_report):
             y, u, v = src
@@ -662,7 +719,7 @@ class Encoder:
                 pkt.stats = metrics.frame_stats(
                     dict(y=y, u=u, v=v), pkt.recon,
                     self.cfg.encoder_bit_depth)
-        self._finish_packet(pkt, qindex)
+        self._finish_packet(pkt, qindex, ev.layer)
 
     def _emit_show_existing_fast(self, poc: int, slot: int, recon_dev):
         data = obu.temporal_delimiter() + obu.write_show_existing(slot)
@@ -712,6 +769,7 @@ class Encoder:
             fp.cdef_strengths = header["cdef"]["sets"][0]
         fp.reference_select = any(
             d.ref2 for d in decisions.values() if d.is_inter)
+        fp.allow_high_precision_mv = self._feat.hp_mv
         tenc = TileEncoder(self.sr_w, self.sp.height, qindex,
                            reduced_tx_set=fp.reduced_tx_set,
                            update_cdfs=not fp.disable_cdf_update,
@@ -719,7 +777,11 @@ class Encoder:
                            init_cdfs=self._slot_state[last_slot][0],
                            init_nmv=self._slot_state[last_slot][1])
         tenc.enable_filter_intra = self.sp.enable_filter_intra
+        tenc.enable_masked_compound = self.sp.enable_masked_compound
         tenc.reference_select = fp.reference_select
+        if fp.allow_high_precision_mv:
+            from svt_av1_tpu.codec import mv as mv_mod
+            tenc.mv_precision = mv_mod.MV_SUBPEL_HIGH
         tenc.set_gm(fp.gm_trans)
         with stage("host_ec"):
             tile_data = tenc.encode(decisions)
@@ -762,7 +824,9 @@ class Encoder:
             if eos:
                 self._eos_sent = True
             return
-        qindex = self._rc.frame_qindex()
+        qindex = (self._rc.pick_q(True, 0, self._pts)
+                  if self._rc.onepass is not None
+                  else self._rc.frame_qindex())
         from svt_av1_tpu.codec import fast_ec
         arrays_ok = (fast_ec.available() and qindex > 0
                      and self.cfg.encoder_bit_depth == 8
@@ -787,7 +851,7 @@ class Encoder:
                         dict(y=src[0], u=src[1], v=src[2]), pkt.recon,
                         self.cfg.encoder_bit_depth)
                 self._packets.append(pkt)
-                self._rc.update(len(pkt.data) * 8)
+                self._rc.feedback(len(pkt.data) * 8, q, True)
                 if self._fp_stats is not None:
                     self._fp_stats.append((len(pkt.data) * 8, q, 1.0))
                 self._pts += 1
@@ -798,7 +862,9 @@ class Encoder:
         padded = [self._pad(y, u, v) for (y, u, v) in frames]
         pending = None
         for i in range(0, len(padded), CH):
-            q = self._rc.frame_qindex() if i else qindex
+            q = ((self._rc.pick_q(True, 0, self._pts)
+                  if self._rc.onepass is not None
+                  else self._rc.frame_qindex()) if i else qindex)
             chunk = padded[i:i + CH]
             with stage("device_dispatch"):
                 launched = intra_encoder.encode_intra_frames_launch(
@@ -855,6 +921,16 @@ class Encoder:
                    / max(self.cfg.frame_rate_denominator, 1))
             self._rc.target_bits_per_frame = \
                 max(target_bit_rate, 1) / max(fps, 1e-6)
+            if self._rc.onepass is not None:
+                # retarget the buffer model, keep the learned
+                # correction factors (svt_av1_resize_reset_rc posture)
+                op = self._rc.onepass
+                bw = max(float(target_bit_rate), 1.0)
+                op.avg_frame_bandwidth = bw / max(fps, 1e-6)
+                op.optimal_buffer_level = 0.600 * bw
+                op.maximum_buffer_size = 1.000 * bw
+                op.buffer_level = min(op.buffer_level,
+                                      op.maximum_buffer_size)
         if qp is not None:
             if not (0 <= qp <= 63):
                 raise ConfigError(f"bad qp {qp}")
@@ -999,18 +1075,54 @@ class Encoder:
             return pts == 0
         return pts % (period + 1) == 0
 
+    # region-vote scene change (pd_process.c:274-365 scene_change
+    # detector): per-region 256-bin histogram AHD against a running
+    # average, abrupt when the AHD error exceeds SCENE_TH-per-64x64
+    # (expressed here as a pixel fraction so it is resolution-exact
+    # rather than >>12-truncated), fade suppression via region mean
+    # intensity, cut when >= 50% of regions vote.  The reference also
+    # consults the FUTURE frame to reject single-frame flashes; this
+    # detector is causal (no lookahead frame at detection time), so
+    # flashes cost one spurious key rather than a missed cut.
+    _SCENE_TH = 3000.0 / 4096.0   # SCENE_TH * NUM64x64INPIC, normalized
+    _FADE_TH = 3                  # mean-intensity delta on 8-bit scale
+
     def _detect_scene_cut(self, y: np.ndarray) -> None:
-        shift = 3 + self.cfg.encoder_bit_depth - 8
-        hist = np.bincount(
-            (np.asarray(y).astype(np.int64) >> shift).reshape(-1),
-            minlength=32).astype(np.float64)
-        hist /= hist.sum()
+        bd_shift = self.cfg.encoder_bit_depth - 8
+        yy = (np.asarray(y).astype(np.int64) >> bd_shift)
+        h, w = yy.shape
+        R = 4 if h >= 64 else 1
+        C = 4 if w >= 64 else 1
+        rid = (np.minimum(np.arange(h) * R // h, R - 1)[:, None] * C
+               + np.minimum(np.arange(w) * C // w, C - 1)[None, :])
+        flat_id = rid.reshape(-1)
+        hist = np.bincount(flat_id * 256 + yy.reshape(-1),
+                           minlength=R * C * 256) \
+            .reshape(R * C, 256).astype(np.float64)
+        npix = hist.sum(axis=1)
+        hist /= npix[:, None]
+        means = (np.bincount(flat_id, weights=yy.reshape(-1),
+                             minlength=R * C) / npix)
         if self._prev_hist is None:
             self._scene_cut = False
+            self._ahd_running = None
         else:
-            sad = float(np.abs(hist - self._prev_hist).sum())
-            self._scene_cut = sad > 0.55
-        self._prev_hist = hist
+            prev_hist, prev_means = self._prev_hist
+            ahd = np.abs(hist - prev_hist).sum(axis=1)
+            if self._ahd_running is None:
+                self._ahd_running = ahd.copy()
+            ahd_err = np.abs(self._ahd_running - ahd)
+            abrupt = (ahd_err > self._SCENE_TH) & (ahd >= ahd_err)
+            aid = np.abs(means - prev_means)
+            scene = abrupt & (aid >= self._FADE_TH)
+            self._ahd_running = np.where(
+                abrupt, self._ahd_running,
+                (3.0 * self._ahd_running + ahd) / 4.0)
+            vote_th = (R * C + 1) // 2
+            self._scene_cut = int(scene.sum()) >= vote_th
+            if int(abrupt.sum()) >= vote_th:
+                self._ahd_running = ahd.copy()
+        self._prev_hist = (hist, means)
 
     def get_stats(self) -> bytes:
         """First-pass stats blob for pass 2 (svt_av1_enc_get... analog;
@@ -1027,10 +1139,13 @@ class Encoder:
 
     def _encode_frame(self, y, u, v, pts, qindex_override=None,
                       _depth=0) -> Packet:
+        will_be_key = self._frame_is_key(pts) or self._ref is None
         if qindex_override is not None:
             qindex = int(qindex_override)
         elif self._q_plan is not None and pts < len(self._q_plan):
             qindex = int(self._q_plan[pts])
+        elif self._rc.onepass is not None:
+            qindex = self._rc.pick_q(will_be_key, 0, pts)
         else:
             qindex = self._rc.frame_qindex()
         # recode loop (rc_process.c:2708 recode_loop_test analog): the
@@ -1051,7 +1166,8 @@ class Encoder:
         is_key = self._frame_is_key(pts) or self._ref is None
         gop_has_inter = self.cfg.intra_period_length not in (-2, 0)
         if (is_key and gop_has_inter and self._q_plan is None
-                and qindex_override is None):
+                and qindex_override is None
+                and self._rc.onepass is None):
             # key-frame boost: keys are referenced by the whole GOP, so
             # spend more bits on them (rc_process.c kf boost analog);
             # recode retries keep their raised qindex
@@ -1132,7 +1248,7 @@ class Encoder:
             ss = src_full or dict(y=y, u=u, v=v)
             pkt.stats = metrics.frame_stats(
                 ss, pkt.recon, self.cfg.encoder_bit_depth)
-        self._rc.update(len(pkt.data) * 8)
+        self._rc.feedback(len(pkt.data) * 8, qindex, is_key)
         if self._fp_stats is not None:
             self._fp_stats.append((len(pkt.data) * 8, qindex,
                                    float(is_key)))
@@ -1301,6 +1417,7 @@ class Encoder:
         if lr_info is not None:
             tenc.set_lr(lr_info)
         tenc.enable_filter_intra = self.sp.enable_filter_intra
+        tenc.enable_masked_compound = self.sp.enable_masked_compound
         if not is_key:
             fp.reference_select = any(
                 d.ref2 for d in decisions.values() if d.is_inter)

@@ -67,6 +67,9 @@ class FrameCDFs:
         self.comp_ref = d["comp_ref_cdf"].copy()
         self.comp_bwdref = d["comp_bwdref_cdf"].copy()
         self.inter_compound_mode = d["inter_compound_mode_cdf"].copy()
+        self.comp_group_idx = d["comp_group_idx_cdfs"].copy()
+        self.compound_type = d["compound_type_cdf"].copy()
+        self.wedge_idx = d["wedge_idx_cdf"].copy()
         self.seg_tree = d["seg_tree_cdf"].copy()
         self.segment_pred = d["segment_pred_cdf"].copy()
         self.spatial_pred_seg = d["spatial_pred_seg_tree_cdf"].copy()

@@ -89,7 +89,11 @@ class Decoder:
                            init_nmv=init_nmv)
         if not is_intra:
             tdec.set_gm(fp.gm_trans)
+            if fp.allow_high_precision_mv:
+                from svt_av1_tpu.codec import mv as mv_mod
+                tdec.mv_precision = mv_mod.MV_SUBPEL_HIGH
         tdec.enable_filter_intra = self.sp.enable_filter_intra
+        tdec.enable_masked_compound = self.sp.enable_masked_compound
         tdec.reference_select = fp.reference_select
         if fp.segmentation is not None:
             tdec.set_segmentation(fp.segmentation)

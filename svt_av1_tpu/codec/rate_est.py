@@ -94,9 +94,7 @@ def rdoq_tables_for_qindex(qindex: int) -> Dict[str, np.ndarray]:
                 rq_uv=np.concatenate([cu, eu]).astype(np.float32))
 
 
-def _analytic_eob_table(c: FrameCDFs, ncoeffs: int) -> np.ndarray:
-    npt = int(np.log2(ncoeffs)) + 1
-    cls = _avg_bits(c.eob_flag[ncoeffs], npt)
+def _eob_table_from_cls(cls: np.ndarray, ncoeffs: int) -> np.ndarray:
     out = np.zeros(ncoeffs + 1, np.float32)
     for eob in range(1, ncoeffs + 1):
         pt = (1 if eob == 1 else 2 if eob == 2
@@ -108,12 +106,15 @@ def _analytic_eob_table(c: FrameCDFs, ncoeffs: int) -> np.ndarray:
     return out
 
 
-@functools.lru_cache(maxsize=32)
-def true_tables_for_qindex(qindex: int) -> Dict[str, np.ndarray]:
-    """Accurate per-level / eob / mode bit costs (rate PREDICTION)."""
-    c = FrameCDFs(qindex)
-    base = _avg_bits(c.coeff_base, 4)
-    br = _avg_bits(c.coeff_br, 4)
+def _analytic_eob_table(c: FrameCDFs, ncoeffs: int) -> np.ndarray:
+    npt = int(np.log2(ncoeffs)) + 1
+    return _eob_table_from_cls(_avg_bits(c.eob_flag[ncoeffs], npt),
+                               ncoeffs)
+
+
+def _level_curve(base: np.ndarray, br: np.ndarray) -> np.ndarray:
+    """|level| -> bits from base/br per-symbol costs (the coeff coding
+    ladder: base symbol, up to 4 br rounds, exp-golomb tail, sign)."""
     lv = np.zeros(MAX_LEVEL + 1, np.float32)
     for level in range(MAX_LEVEL + 1):
         b = base[min(level, 3)]
@@ -133,6 +134,14 @@ def true_tables_for_qindex(qindex: int) -> Dict[str, np.ndarray]:
         if level > 0:
             b += 1.0  # sign
         lv[level] = b
+    return lv
+
+
+@functools.lru_cache(maxsize=32)
+def true_tables_for_qindex(qindex: int) -> Dict[str, np.ndarray]:
+    """Accurate per-level / eob / mode bit costs (rate PREDICTION)."""
+    c = FrameCDFs(qindex)
+    lv = _level_curve(_avg_bits(c.coeff_base, 4), _avg_bits(c.coeff_br, 4))
     txb = float(_avg_bits(c.txb_skip, 2)[0])
     out = dict(coef_y=lv, coef_uv=lv,
                txb_base=np.array([txb, txb], np.float32),
@@ -173,14 +182,68 @@ def tables_for_qindex(qindex: int) -> Dict[str, np.ndarray]:
                 uv_mode_bits_true=uv.astype(np.float32))
 
 
-def md_rate_args(qindex: int, modes, uv_modes) -> tuple:
+def _avg_bits_vec(rows: np.ndarray, nsyms: int) -> np.ndarray:
+    """Vectorized _avg_bits (per-frame refresh path: hundreds of context
+    rows, host time must stay negligible)."""
+    flat = rows.reshape(-1, rows.shape[-1])[:, :nsyms].astype(np.int64)
+    v = np.concatenate(
+        [np.full((len(flat), 1), 32768, np.int64), flat], axis=1)
+    p = (v[:, :-1] - v[:, 1:]) / 32768.0
+    return (-np.log2(np.maximum(p, 1.0 / 32768.0))).mean(axis=0) \
+        .astype(np.float32)
+
+
+# get_txsize_entropy_ctx(TX_16X16) / (TX_8X8)
+_TXS_CTX_16, _TXS_CTX_8 = 2, 1
+
+
+def adapted_decision_tables(c) -> Dict[str, np.ndarray]:
+    """MD rate tables re-derived from an ADAPTED CDF state (the
+    primary-ref chain) — per-frame analog of the reference's rolling-CDF
+    rate refresh (enc_dec_process.c:3304-3318 av1_estimate_coef_rate /
+    md_rate_estimation.c).
+
+    MEASURED (round 3, preset-6 GOP pan clip, 4 CRFs): ~-2 dB at equal
+    bits versus the sparsity/fitted tables — SHIPS DISABLED
+    (presets.adapted_rates=False).  Root cause: _txb_bits evaluates
+    nonzero levels with the analytic VPU formula (no per-coefficient
+    table gather on the TPU), so only the zero-symbol cost, eob table
+    and txb flag from this derivation actually flow into decisions, and
+    pricing those "accurately" re-opens the same skip-bias trap the
+    round-2 static-accurate experiment hit.  The real counterpart of
+    the reference's rate refresh needs context-exact per-coefficient
+    pricing inside the device program — a rate-model redesign, not a
+    table swap."""
+    base_y = _avg_bits_vec(c.coeff_base[_TXS_CTX_16, 0], 4)
+    br_y = _avg_bits_vec(c.coeff_br[_TXS_CTX_16, 0], 4)
+    base_uv = _avg_bits_vec(c.coeff_base[_TXS_CTX_8, 1], 4)
+    br_uv = _avg_bits_vec(c.coeff_br[_TXS_CTX_8, 1], 4)
+    eob_y = _eob_table_from_cls(_avg_bits_vec(c.eob_flag[256][0], 9),
+                                256)
+    eob_uv = _eob_table_from_cls(_avg_bits_vec(c.eob_flag[64][1], 7),
+                                 64)
+    txb_y = float(_avg_bits_vec(c.txb_skip[_TXS_CTX_16], 2)[0])
+    txb_uv = float(_avg_bits_vec(c.txb_skip[_TXS_CTX_8], 2)[0])
+    return dict(coef_y=_level_curve(base_y, br_y),
+                coef_uv=_level_curve(base_uv, br_uv),
+                eob_y=eob_y, eob_uv=eob_uv,
+                txb_base=np.array([txb_y, txb_uv], np.float32))
+
+
+def md_rate_args(qindex: int, modes, uv_modes, cdf_state=None) -> tuple:
     """(coef_y (64,), coef_uv (64,), txb_base (2,),
     mode_bits (len(modes),), uv_bits (len(uv_modes),), eob_y (257,),
     eob_uv (65,), true_coef_y (64,), true_coef_uv (64,)) ready to feed
     the MD device programs.  The last two are the calibrated TRUE level
     cost curves (RDOQ prices bits-vs-distortion with these; the decision
-    curves stay sparsity-biased for mode ranking, see module doc)."""
+    curves stay sparsity-biased for mode ranking, see module doc).
+
+    cdf_state: optional adapted FrameCDFs (the primary-ref chain) —
+    replaces the static decision curves with content-adapted ones."""
     t = tables_for_qindex(int(qindex))
+    if cdf_state is not None:
+        t = dict(t)
+        t.update(adapted_decision_tables(cdf_state))
     # filter-intra pseudo-modes (>= FI_MODE_BASE) signal as DC
     mode_bits = np.array(
         [t["y_mode_bits"][m if m < cc.INTRA_MODES else cc.DC_PRED]

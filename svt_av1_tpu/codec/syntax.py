@@ -138,6 +138,11 @@ class BlockDecision:
     # compound: second reference (0 = NONE) and its MV
     ref2: int = 0
     mv2: tuple = (0, 0)
+    # masked compound: 0 = COMPOUND_AVERAGE, 1 = COMPOUND_WEDGE,
+    # 2 = COMPOUND_DIFFWTD (wedge_sign doubles as the mask_type)
+    comp_type: int = 0
+    wedge_idx: int = 0
+    wedge_sign: int = 0
     # per-SB adaptive quantization (0 = frame base_q_idx)
     qindex: int = 0
     # recursive filter-intra (y_mode == DC_PRED carrier); -1 = off
@@ -399,12 +404,20 @@ class TileCoderBase:
         self.lr_ref = None
         # global motion: {ref_enum: (row, col) 1/8-pel}; absent = identity
         self.gm = {}
+        # MV coding precision (frame allow_high_precision_mv)
+        self.mv_precision = mv_mod.MV_SUBPEL_LOW
         # per-SB delta_q (None = disabled)
         self.delta_q_res = None
         self.current_qindex = base_q_idx
         self._read_deltas = False
         self.ctx = ContextState(self.mi_rows, self.mi_cols)
         self.migrid = mv_pred.MiGrid(self.mi_rows, self.mi_cols)
+        # masked compound (wedge): sequence gate + per-mi neighbor
+        # contribution for the comp_group_idx context
+        # (svt_aom_get_comp_group_idx_context_enc: comp_group_idx of a
+        # compound neighbor, 3 for a single-ref ALTREF neighbor, else 0)
+        self.enable_masked_compound = False
+        self.cgi_map = np.zeros((self.mi_rows, self.mi_cols), np.int8)
         self.sb_cols = (self.mi_cols + 15) >> 4
         self.sb_rows = (self.mi_rows + 15) >> 4
         # per-SB CDEF strength index (cdef_bits > 0); -1 = not coded
@@ -539,6 +552,65 @@ class TileCoderBase:
                 assert d0 == 0, "drl > 0 unsupported in compound"
         return cmode
 
+    def _masked_compound_allowed(self, bsize) -> bool:
+        """is_any_masked_compound_used: wedge codebooks exist for
+        8x8..32x32 (wedge_params_lookup)."""
+        bw = int(cc.block_size_wide[bsize])
+        bh = int(cc.block_size_high[bsize])
+        return (self.enable_masked_compound
+                and min(bw, bh) >= 8 and max(bw, bh) <= 32)
+
+    def _code_compound_type(self, r4, c4, bsize, comp_type=0,
+                            wedge_idx=0, wedge_sign=0, dec=None):
+        """comp_group_idx + compound_type + wedge/diffwtd syntax for a
+        compound block (spec read_compound_type; write side
+        entropy_coding.c:5146-5200).  comp_type: 0 COMPOUND_AVERAGE,
+        1 COMPOUND_WEDGE, 2 COMPOUND_DIFFWTD (wedge_sign doubles as the
+        DIFFWTD_38_INV mask_type).  With enable_jnt_comp = 0 (our
+        sequence), comp_group_idx == 0 implies compound_idx = 1 (plain
+        average), so no compound_idx symbol is coded.  Returns the
+        coded (comp_type, wedge_idx, wedge_sign/mask_type)."""
+        if not self._masked_compound_allowed(bsize):
+            return 0, 0, 0
+        above = int(self.cgi_map[r4 - 1, c4]) if r4 > 0 else 0
+        left = int(self.cgi_map[r4, c4 - 1]) if c4 > 0 else 0
+        gcdf = self.cdfs.comp_group_idx[min(5, above + left)]
+        gi = int(comp_type > 0)
+        if dec is None:
+            self.enc.encode_symbol(gi, gcdf, 2)
+        else:
+            gi = dec.read_symbol(gcdf, 2)
+        if self.update:
+            update_cdf(gcdf, gi, 2)
+        if not gi:
+            return 0, 0, 0
+        tcdf = self.cdfs.compound_type[bsize]
+        if dec is None:
+            t = comp_type - 1      # 0 WEDGE, 1 DIFFWTD
+            self.enc.encode_symbol(t, tcdf, 2)
+        else:
+            t = dec.read_symbol(tcdf, 2)
+        if self.update:
+            update_cdf(tcdf, t, 2)
+        if t == 1:                 # DIFFWTD: mask_type literal
+            if dec is None:
+                self.enc.encode_literal(wedge_sign, 1)
+                mt = wedge_sign
+            else:
+                mt = dec.read_literal(1)
+            return 2, 0, mt
+        wcdf = self.cdfs.wedge_idx[bsize]
+        if dec is None:
+            self.enc.encode_symbol(wedge_idx, wcdf, 16)
+            self.enc.encode_literal(wedge_sign, 1)
+            wi, ws = wedge_idx, wedge_sign
+        else:
+            wi = dec.read_symbol(wcdf, 16)
+            ws = dec.read_literal(1)
+        if self.update:
+            update_cdf(wcdf, wi, 16)
+        return 1, wi, ws
+
     def _filter_intra_allowed(self, bsize, is_inter, y_mode) -> bool:
         """Spec FilterIntraAllowed (palette is never coded here)."""
         return (self.enable_filter_intra and not is_inter
@@ -633,9 +705,13 @@ class TileCoderBase:
             self.migrid.set_block(r4, c4, w4, h4, d.ref, inter_mode,
                                   d.mv[0], d.mv[1], ref2=d.ref2,
                                   mv2=d.mv2)
+            cgi = (int(d.comp_type > 0) if d.ref2
+                   else 3 if d.ref == mv_pred.ALTREF_FRAME else 0)
         else:
             self.migrid.set_block(r4, c4, w4, h4, mv_pred.INTRA_FRAME,
                                   0, 0, 0, ref2=0, mv2=(0, 0))
+            cgi = 0
+        self.cgi_map[r4:r4 + h4, c4:c4 + w4] = cgi
 
 
 class TileEncoder(TileCoderBase):
@@ -786,16 +862,23 @@ class TileEncoder(TileCoderBase):
                     self._code_comp_mode_and_drl(cmode, stackc)
                     if cmode == 7:
                         mv_mod.encode_mv(enc, d.mv, stackc.pairs[0][0],
-                                         self.nmv, update=self.update)
+                                         self.nmv, self.mv_precision,
+                                         update=self.update)
                         mv_mod.encode_mv(enc, d.mv2,
                                          stackc.pairs[0][1],
-                                         self.nmv, update=self.update)
+                                         self.nmv, self.mv_precision,
+                                         update=self.update)
                     inter_mode = (mv_pred.NEWMV if cmode == 7
                                   else mv_pred.NEARESTMV)
+                    self._code_compound_type(
+                        r4, c4, bsize, d.comp_type, d.wedge_idx,
+                        d.wedge_sign)
                 else:
                     self._encode_single_ref(r4, c4, d.ref)
                     gm_model = self.gm.get(d.ref)
-                    gm_mv = mv_pred.gm_block_mv(gm_model, r4, c4, bsize)
+                    gm_mv = mv_pred.gm_block_mv(
+                        gm_model, r4, c4, bsize,
+                        allow_hp=self.mv_precision >= mv_mod.MV_SUBPEL_HIGH)
                     stack = mv_pred.find_mv_stack(
                         self.migrid, r4, c4,
                         int(cc.block_size_wide[bsize]) >> 2,
@@ -808,7 +891,8 @@ class TileEncoder(TileCoderBase):
                     self._encode_inter_mode(inter_mode, stack)
                     if inter_mode == mv_pred.NEWMV:
                         mv_mod.encode_mv(enc, d.mv, stack.mvs[0],
-                                         self.nmv, update=self.update)
+                                         self.nmv, self.mv_precision,
+                                         update=self.update)
             else:
                 grp = int(SIZE_GROUP[bsize])
                 cdf = cdfs.y_mode[grp]
@@ -1089,6 +1173,7 @@ class TileDecoder(TileCoderBase):
         mv = (0, 0)
         mv2 = (0, 0)
         ref2 = 0
+        comp_type = wedge_idx = wedge_sign = 0
         use_warp = False
         ref = mv_pred.LAST_FRAME
         y_mode = cc.DC_PRED
@@ -1128,9 +1213,11 @@ class TileDecoder(TileCoderBase):
                     if cmode == 7:
                         mv = mv_mod.decode_mv(dec, stackc.pairs[0][0],
                                               self.nmv,
+                                              self.mv_precision,
                                               update=self.update)
                         mv2 = mv_mod.decode_mv(dec, stackc.pairs[0][1],
                                                self.nmv,
+                                               self.mv_precision,
                                                update=self.update)
                     elif cmode == 0:
                         mv, mv2 = stackc.pairs[0]
@@ -1139,10 +1226,14 @@ class TileDecoder(TileCoderBase):
                             f"compound mode {cmode}")
                     inter_mode = (mv_pred.NEWMV if cmode == 7
                                   else mv_pred.NEARESTMV)
+                    comp_type, wedge_idx, wedge_sign = \
+                        self._code_compound_type(r4, c4, bsize, dec=dec)
                 else:
                     ref = self._read_single_ref(r4, c4)
                     gm_model = self.gm.get(ref)
-                    gm_mv = mv_pred.gm_block_mv(gm_model, r4, c4, bsize)
+                    gm_mv = mv_pred.gm_block_mv(
+                        gm_model, r4, c4, bsize,
+                        allow_hp=self.mv_precision >= mv_mod.MV_SUBPEL_HIGH)
                     stack = mv_pred.find_mv_stack(
                         self.migrid, r4, c4,
                         int(cc.block_size_wide[bsize]) >> 2,
@@ -1152,6 +1243,7 @@ class TileDecoder(TileCoderBase):
                     if inter_mode == mv_pred.NEWMV:
                         mv = mv_mod.decode_mv(dec, stack.mvs[drl],
                                               self.nmv,
+                                              self.mv_precision,
                                               update=self.update)
                     elif inter_mode == mv_pred.NEARESTMV:
                         mv = tuple(stack.mvs[0])
@@ -1202,7 +1294,7 @@ class TileDecoder(TileCoderBase):
             r4=r4, c4=c4, bsize=bsize, y_mode=y_mode, uv_mode=uv_mode,
             tx_type=cc.DCT_DCT, qcoeff_y=np.zeros((1, 1), np.int32),
             qcoeff_u=None, qcoeff_v=None, is_inter=is_inter, mv=mv,
-            ref=ref, ref2=ref2, mv2=mv2)
+            ref=ref, ref2=ref2, mv2=mv2, comp_type=comp_type)
         self._set_migrid(r4, c4, bsize, d_for_grid, is_inter, inter_mode)
 
         tx_size = MAX_TX[bsize]
@@ -1257,7 +1349,8 @@ class TileDecoder(TileCoderBase):
             r4=r4, c4=c4, bsize=bsize, y_mode=y_mode, uv_mode=uv_mode,
             tx_type=tx_type, qcoeff_y=qy, qcoeff_u=qu, qcoeff_v=qv,
             is_inter=is_inter, mv=mv, ref=ref, use_warp=use_warp,
-            ref2=ref2, mv2=mv2,
+            ref2=ref2, mv2=mv2, comp_type=comp_type,
+            wedge_idx=wedge_idx, wedge_sign=wedge_sign,
             angle_delta_y=angle_y, angle_delta_uv=angle_uv,
             cfl_alpha_u=cfl_au, cfl_alpha_v=cfl_av,
             qindex=(self.current_qindex

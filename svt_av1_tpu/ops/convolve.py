@@ -109,6 +109,28 @@ def convolve_2d_sr(windows: jnp.ndarray, subpel_x: jnp.ndarray,
     return jnp.clip(out, 0, (1 << bd) - 1)
 
 
+ROUND1_COMP = 7   # COMPOUND_ROUND1_BITS
+
+
+def _conv_buf(windows, spx, spy, w, h, tab, bd):
+    """Dual-prediction intermediate (CONV_BUF domain): 2D convolve
+    rounded by ROUND0 then ROUND1_COMP, offsets kept in."""
+    fx = tab[spx]
+    fy = tab[spy]
+    im_h = h + 7
+    x = windows.astype(jnp.int32)
+    acc = jnp.full((x.shape[0], im_h, w),
+                   1 << (bd + FILTER_BITS - 1), jnp.int32)
+    for k in range(8):
+        acc = acc + fx[:, k][:, None, None] * x[:, :, k:k + w]
+    im = _round_pow2(acc, ROUND0)
+    offset_bits = bd + 2 * FILTER_BITS - ROUND0
+    acc2 = jnp.full((x.shape[0], h, w), 1 << offset_bits, jnp.int32)
+    for k in range(8):
+        acc2 = acc2 + fy[:, k][:, None, None] * im[:, k:k + h, :]
+    return _round_pow2(acc2, ROUND1_COMP)
+
+
 def convolve_2d_compound_avg(win0: jnp.ndarray, win1: jnp.ndarray,
                              spx0, spy0, spx1, spy1, w: int, h: int,
                              kind: int = EIGHTTAP_REGULAR,
@@ -117,27 +139,9 @@ def convolve_2d_compound_avg(win0: jnp.ndarray, win1: jnp.ndarray,
     jnt convolve path with use_jnt_comp_avg = 0 (jnt_convolve_2d:
     round_1 = COMPOUND_ROUND1_BITS, CONV_BUF intermediate, average,
     offset removal, final rounding)."""
-    ROUND1_COMP = 7
     tab = _tab_of(kind)
-
-    def one(windows, spx, spy):
-        fx = tab[spx]
-        fy = tab[spy]
-        im_h = h + 7
-        x = windows.astype(jnp.int32)
-        acc = jnp.full((x.shape[0], im_h, w),
-                       1 << (bd + FILTER_BITS - 1), jnp.int32)
-        for k in range(8):
-            acc = acc + fx[:, k][:, None, None] * x[:, :, k:k + w]
-        im = _round_pow2(acc, ROUND0)
-        offset_bits = bd + 2 * FILTER_BITS - ROUND0
-        acc2 = jnp.full((x.shape[0], h, w), 1 << offset_bits, jnp.int32)
-        for k in range(8):
-            acc2 = acc2 + fy[:, k][:, None, None] * im[:, k:k + h, :]
-        return _round_pow2(acc2, ROUND1_COMP)   # CONV_BUF domain
-
-    t0 = one(win0, spx0, spy0)
-    t1 = one(win1, spx1, spy1)
+    t0 = _conv_buf(win0, spx0, spy0, w, h, tab, bd)
+    t1 = _conv_buf(win1, spx1, spy1, w, h, tab, bd)
     avg = (t0 + t1) >> 1
     offset_bits = bd + 2 * FILTER_BITS - ROUND0
     res = avg - ((1 << (offset_bits - ROUND1_COMP))
@@ -145,4 +149,59 @@ def convolve_2d_compound_avg(win0: jnp.ndarray, win1: jnp.ndarray,
     round_bits = 2 * FILTER_BITS - ROUND0 - ROUND1_COMP
     mag = (jnp.abs(res) + (1 << (round_bits - 1))) >> round_bits
     out = jnp.where(res < 0, -mag, mag)
+    return jnp.clip(out, 0, (1 << bd) - 1)
+
+
+DIFF_FACTOR = 16
+
+
+def convolve_2d_compound_diffwtd(win0: jnp.ndarray, win1: jnp.ndarray,
+                                 spx0, spy0, spx1, spy1, w: int, h: int,
+                                 inverse, kind: int = EIGHTTAP_REGULAR,
+                                 bd: int = 8):
+    """COMPOUND_DIFFWTD dual prediction: derive the 0..64 mask from the
+    CONV_BUF difference (svt_av1_build_compound_diffwtd_mask_d16_c:
+    m = clamp(38 + ROUND_POWER_OF_TWO(|t0-t1|, round) / DIFF_FACTOR)),
+    then the same d16 masked blend as wedge.  inverse: (B,) bool/int —
+    DIFFWTD_38_INV flips the mask.  Returns (pred, mask) — the mask is
+    reused (2x2-subsampled) for the chroma planes."""
+    tab = _tab_of(kind)
+    t0 = _conv_buf(win0, spx0, spy0, w, h, tab, bd)
+    t1 = _conv_buf(win1, spx1, spy1, w, h, tab, bd)
+    rnd = 2 * FILTER_BITS - ROUND0 - ROUND1_COMP + (bd - 8)
+    diff = (jnp.abs(t0 - t1) + (1 << (rnd - 1))) >> rnd
+    m = jnp.clip(38 + diff // DIFF_FACTOR, 0, 64)
+    inv = jnp.asarray(inverse).astype(jnp.int32)[:, None, None]
+    m = jnp.where(inv > 0, 64 - m, m)
+    res = (m * t0 + (64 - m) * t1) >> 6
+    offset_bits = bd + 2 * FILTER_BITS - ROUND0
+    res = res - ((1 << (offset_bits - ROUND1_COMP))
+                 + (1 << (offset_bits - ROUND1_COMP - 1)))
+    round_bits = 2 * FILTER_BITS - ROUND0 - ROUND1_COMP
+    out = (res + (1 << (round_bits - 1))) >> round_bits
+    return jnp.clip(out, 0, (1 << bd) - 1), m
+
+
+def convolve_2d_compound_masked(win0: jnp.ndarray, win1: jnp.ndarray,
+                                spx0, spy0, spx1, spy1, w: int, h: int,
+                                mask: jnp.ndarray,
+                                kind: int = EIGHTTAP_REGULAR,
+                                bd: int = 8) -> jnp.ndarray:
+    """Masked (wedge) dual prediction, bit-exact vs
+    svt_aom_lowbd_blend_a64_d16_mask_c: blend the two CONV_BUF
+    intermediates with the 0..64 mask, remove the compound offset,
+    final ROUND_POWER_OF_TWO (arithmetic, signed).
+
+    mask: (B, h, w) int32 weights for src0 (already plane-subsampled
+    for chroma)."""
+    tab = _tab_of(kind)
+    t0 = _conv_buf(win0, spx0, spy0, w, h, tab, bd)
+    t1 = _conv_buf(win1, spx1, spy1, w, h, tab, bd)
+    m = mask.astype(jnp.int32)
+    res = (m * t0 + (64 - m) * t1) >> 6   # AOM_BLEND_A64_ROUND_BITS
+    offset_bits = bd + 2 * FILTER_BITS - ROUND0
+    res = res - ((1 << (offset_bits - ROUND1_COMP))
+                 + (1 << (offset_bits - ROUND1_COMP - 1)))
+    round_bits = 2 * FILTER_BITS - ROUND0 - ROUND1_COMP
+    out = (res + (1 << (round_bits - 1))) >> round_bits
     return jnp.clip(out, 0, (1 << bd) - 1)

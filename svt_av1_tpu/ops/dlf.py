@@ -183,14 +183,20 @@ def loop_filter_plane_uniform(plane: jnp.ndarray, step: int, level: int,
     h, w = plane.shape
     x = jnp.asarray(plane).astype(jnp.int32)
 
-    # vertical edges at columns step, 2*step, ...
+    # vertical edges at columns step, 2*step, ...  Writes are a
+    # scatter-ADD of deltas, not a window .set: gather windows are 14
+    # wide while chroma edges sit 8 apart, so a window overlaps its
+    # neighbor's modified span and a .set would write stale gathered
+    # values over the neighbor's filtered pixels.  The spec's
+    # flen <= spacing rule keeps MODIFIED spans disjoint, so at most
+    # one edge contributes a nonzero delta per pixel (exact).
     edges = np.arange(step, w, step)
     if len(edges):
         cols = edges[:, None] + np.arange(-7, 7)[None]  # (E, 14)
         lines = x[:, cols].transpose(1, 0, 2).reshape(-1, 14)
         f = filter_lines(lines, blimit, limit, thresh, filter_len, bd)
-        f = f.reshape(len(edges), h, 14).transpose(1, 0, 2)
-        x = x.at[:, cols].set(f)
+        d = (f - lines).reshape(len(edges), h, 14).transpose(1, 0, 2)
+        x = x.at[:, cols].add(d)
 
     # horizontal edges at rows step, 2*step, ...
     redges = np.arange(step, h, step)
@@ -198,8 +204,8 @@ def loop_filter_plane_uniform(plane: jnp.ndarray, step: int, level: int,
         rows = redges[:, None] + np.arange(-7, 7)[None]
         lines = x[rows, :].transpose(0, 2, 1).reshape(-1, 14)
         f = filter_lines(lines, blimit, limit, thresh, filter_len, bd)
-        f = f.reshape(len(redges), w, 14).transpose(0, 2, 1)
-        x = x.at[rows, :].set(f)
+        d = (f - lines).reshape(len(redges), w, 14).transpose(0, 2, 1)
+        x = x.at[rows, :].add(d)
     return x
 
 

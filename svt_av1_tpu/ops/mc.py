@@ -99,8 +99,10 @@ def mc_block_np(ref_plane: np.ndarray, y: int, x: int, mv, blk: int,
 def mc_blocks_compound(refp0: jnp.ndarray, refp1: jnp.ndarray, ys, xs,
                        mvs0, mvs1, blk: int, pad: int,
                        subsampling: int = 0, bd: int = 8,
-                       kind: int = 0) -> jnp.ndarray:
-    """Batched COMPOUND_AVERAGE MC from two references."""
+                       kind: int = 0, mask=None) -> jnp.ndarray:
+    """Batched compound MC from two references: COMPOUND_AVERAGE, or
+    masked (wedge) blending when ``mask`` ((B, blk, blk) 0..64 weights
+    for ref0, already plane-subsampled) is given."""
     ys = jnp.asarray(ys, jnp.int32)
     xs = jnp.asarray(xs, jnp.int32)
     pad_p = pad >> subsampling
@@ -119,5 +121,40 @@ def mc_blocks_compound(refp0: jnp.ndarray, refp1: jnp.ndarray, ys, xs,
 
     w0, px0, py0 = gather(refp0, mvs0)
     w1, px1, py1 = gather(refp1, mvs1)
+    if mask is not None:
+        from svt_av1_tpu.ops.convolve import convolve_2d_compound_masked
+        return convolve_2d_compound_masked(w0, w1, px0, py0, px1, py1,
+                                           blk, blk, mask, kind=kind,
+                                           bd=bd)
     return convolve_2d_compound_avg(w0, w1, px0, py0, px1, py1,
                                     blk, blk, kind=kind, bd=bd)
+
+
+def mc_blocks_compound_diffwtd(refp0, refp1, ys, xs, mvs0, mvs1,
+                               blk: int, pad: int, inverse, bd: int = 8,
+                               kind: int = 0):
+    """COMPOUND_DIFFWTD luma MC: returns (pred, mask); the mask is
+    derived from the luma CONV_BUF difference (normative) and must be
+    2x2-subsampled and passed as ``mask`` to mc_blocks_compound for the
+    chroma planes."""
+    from svt_av1_tpu.ops.convolve import convolve_2d_compound_diffwtd
+    ys = jnp.asarray(ys, jnp.int32)
+    xs = jnp.asarray(xs, jnp.int32)
+    win = blk + 7
+    offs = jnp.arange(win)
+
+    def gather(refp, mvs):
+        mvs = jnp.asarray(mvs, jnp.int32)
+        mvq_r = mvs[:, 0] * 2
+        mvq_c = mvs[:, 1] * 2
+        start_r = ys + (mvq_r >> 4) - 3 + pad
+        start_c = xs + (mvq_c >> 4) - 3 + pad
+        rows = start_r[:, None, None] + offs[None, :, None]
+        cols = start_c[:, None, None] + offs[None, None, :]
+        return refp[rows, cols], mvq_c & 15, mvq_r & 15
+
+    w0, px0, py0 = gather(refp0, mvs0)
+    w1, px1, py1 = gather(refp1, mvs1)
+    return convolve_2d_compound_diffwtd(w0, w1, px0, py0, px1, py1,
+                                        blk, blk, inverse, kind=kind,
+                                        bd=bd)

@@ -166,6 +166,11 @@ def search_and_apply_masked(src: Dict[str, np.ndarray],
     fp.filter_level = (ly, ly)
     if fy is not None:
         out["y"] = fy.astype(dt)
+    if ly == 0:
+        # chroma levels are only coded when a luma level is nonzero
+        # (uncompressed-header syntax) — the decoder would read 0
+        fp.filter_level_uv = (0, 0)
+        return out
     duv = max(0, d - 2)
     lu, fu = search("u", "uv_v", "uv_h", _ladder(duv), False)
     lv, fv = search("v", "uv_v", "uv_h", _ladder(duv), False)
@@ -193,6 +198,11 @@ def search_and_apply(src: Dict[str, np.ndarray],
     if fy is not None:
         out["y"] = fy.astype(dt)
 
+    if ly == 0:
+        # chroma levels are only coded when a luma level is nonzero
+        # (uncompressed-header syntax) — the decoder would read 0
+        fp.filter_level_uv = (0, 0)
+        return out
     duv = max(0, d - 2)
     luv_levels = _ladder(duv)
     lu, fu = _search_plane(src["u"], recon["u"], CBLK, luv_levels,

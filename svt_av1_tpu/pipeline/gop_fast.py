@@ -200,14 +200,19 @@ def _gm_fit(mv_y, mv_x, gh, gw):
     return mat, trans, kind
 
 
-def _gm_block_mvs(mat, gh, gw):
+def _gm_block_mvs(mat, gh, gw, hp=False):
     """Vectorized gm_block_mv for the 16x16 grid (codec/mv_pred.py:319):
-    (nb, 2) int32 1/8-pel vectors from the block-center projection."""
+    (nb, 2) int32 1/8-pel vectors from the block-center projection
+    (convert_to_trans_prec: shift 13 under allow_high_precision_mv,
+    else shift 14 doubled)."""
     nb = gh * gw
     x = (np.arange(nb) % gw * BLK + BLK // 2 - 1).astype(np.int32)
     y = (np.arange(nb) // gw * BLK + BLK // 2 - 1).astype(np.int32)
     xc = (mat[2] - WM) * x + mat[3] * y + mat[0]
     yc = mat[4] * x + (mat[5] - WM) * y + mat[1]
+    if hp:
+        return jnp.stack([_rpot_signed_t(yc, 13),
+                          _rpot_signed_t(xc, 13)], axis=-1)
     return jnp.stack([_rpot_signed_t(yc, 14) * 2,
                       _rpot_signed_t(xc, 14) * 2], axis=-1)
 
@@ -243,80 +248,120 @@ def _warp_plane_traced(ref, mat, shear, p_w, p_h, bd, ss):
 # pass A (device, multi-ref merged)
 # --------------------------------------------------------------------------
 
-def _clamp_cands(cand, ys, xs, blk, h, w, pad=mc.PAD):
-    """jnp clamp_mvs_for_pad over (nb, K, 2) candidates."""
+def _clamp_cands(cand, ys, xs, blk, h, w, pad=mc.PAD, hp=False):
+    """jnp clamp_mvs_for_pad over (nb, K, 2) candidates.
+
+    hp: keep 1/8-pel precision (allow_high_precision_mv); otherwise
+    clear the low bit (quarter-pel MVs)."""
     r = jnp.clip(cand[..., 0], (-(ys + pad - 4) * 8)[:, None],
                  ((h + pad - 4 - (ys + blk)) * 8)[:, None])
     c = jnp.clip(cand[..., 1], (-(xs + pad - 4) * 8)[:, None],
                  ((w + pad - 4 - (xs + blk)) * 8)[:, None])
+    if hp:
+        return jnp.stack([r, c], axis=-1)
     return jnp.stack([r & ~1, c & ~1], axis=-1)
 
 
 def _eval_ref(src_y, src_u, src_v, refp_y, refp_u, refp_v,
               wref_y, wref_u, wref_v, cand, is_warp0,
-              ys, xs, qp, lam, rt, bd, interp, nb, K):
+              ys, xs, qp, lam, rt, bd, interp, nb, K, hp=False,
+              h=None, w=None):
     """Pass-A candidate evaluation vs ONE reference (skip-aware).
 
     cand: (nb, K, 2) clamped MVs (slot 0 = global-motion candidate,
-    signaling-only when is_warp0).  Returns the per-block winner:
+    signaling-only when is_warp0).  hp: refine the per-block winner
+    with a 1/8-pel 8-neighbor ring (the iterative-subpel role of
+    mcomp.c, one fixed stage).  Returns the per-block winner:
     (cost_y, mv, skip, qy, rec_y, pred_y_sse, qu, rec_u, qv, rec_v,
     warp_flag, coded_cost_tot, skip_cost_tot)."""
     coef_y, coef_uv, txbb, eob_y, eob_uv = rt
     qpp = quant.QuantParams(*qp)
-    ysK = jnp.tile(ys, K)
-    xsK = jnp.tile(xs, K)
-    mvsK = cand.transpose(1, 0, 2).reshape(nb * K, 2)
-    pred = mc.mc_blocks(refp_y, ysK, xsK, mvsK, BLK, mc.PAD, 0, bd,
-                        kind=interp)
     offs = jnp.arange(BLK)
-    rows0 = ys[:, None, None] + offs[None, :, None]
-    cols0 = xs[:, None, None] + offs[None, None, :]
-    wslice = wref_y[rows0, cols0]
-    pred = jnp.concatenate(
-        [jnp.where(is_warp0, wslice, pred[:nb]), pred[nb:]], axis=0)
-    rows = ysK[:, None, None] + offs[None, :, None]
-    cols = xsK[:, None, None] + offs[None, None, :]
-    resid = src_y[rows, cols] - pred
-    coeffs = tf.fwd_txfm2d(resid, cc.DCT_DCT, cc.TX_16X16)
-    qc, dq = quant.quantize(coeffs, qpp, cc.TX_16X16)
-    s2 = np.float32(tf.coeff_sse_scale(cc.TX_16X16, cc.DCT_DCT))
-    dist = s2 * jnp.sum((coeffs - dq.astype(jnp.float32)) ** 2,
-                        axis=(1, 2))
     pos16 = jnp.asarray(_scan_pos(cc.TX_16X16))
-    mvb = _mv_bits(mvsK)
-    bits = _txb_bits(jnp.abs(qc), coef_y, txbb[0], eob_y, pos16) + mvb
-    cost_coded = dist + lam * bits
-    dist_skip = jnp.sum(resid.astype(jnp.float32) ** 2, axis=(1, 2))
-    cost_skip = dist_skip + lam * (mvb + 2.0)
-    skip_k = cost_skip < cost_coded
-    cost = jnp.where(skip_k, cost_skip, cost_coded).reshape(K, nb)
-    kbest = jnp.argmin(cost, axis=0)
-    # winner select (where-chains)
-    qk = qc.reshape(K, nb, BLK, BLK)
-    dqk = dq.reshape(K, nb, BLK, BLK)
-    pk = pred.reshape(K, nb, BLK, BLK)
-    mvk = mvsK.reshape(K, nb, 2)
-    sk = skip_k.reshape(K, nb)
-    ck = cost_coded.reshape(K, nb)
-    sck = cost_skip.reshape(K, nb)
-    best = [cost[0], mvk[0], qk[0], dqk[0], pk[0], sk[0], ck[0], sck[0]]
-    for k in range(1, K):
-        take = kbest == k
-        t3 = take[:, None, None]
-        best[0] = jnp.where(take, cost[k], best[0])
-        best[1] = jnp.where(take[:, None], mvk[k], best[1])
-        best[2] = jnp.where(t3, qk[k], best[2])
-        best[3] = jnp.where(t3, dqk[k], best[3])
-        best[4] = jnp.where(t3, pk[k], best[4])
-        best[5] = jnp.where(take, sk[k], best[5])
-        best[6] = jnp.where(take, ck[k], best[6])
-        best[7] = jnp.where(take, sck[k], best[7])
+    s2 = np.float32(tf.coeff_sse_scale(cc.TX_16X16, cc.DCT_DCT))
+
+    def luma_all(mvsK, Kn, warp_first):
+        """Luma RD of Kn candidates per block: (Kn, nb, ...) arrays
+        (cost, mv, q, dq, pred, skip_k, coded, skipc)."""
+        ysK = jnp.tile(ys, Kn)
+        xsK = jnp.tile(xs, Kn)
+        pred = mc.mc_blocks(refp_y, ysK, xsK, mvsK, BLK, mc.PAD, 0, bd,
+                            kind=interp)
+        if warp_first:
+            rows0 = ys[:, None, None] + offs[None, :, None]
+            cols0 = xs[:, None, None] + offs[None, None, :]
+            wslice = wref_y[rows0, cols0]
+            pred = jnp.concatenate(
+                [jnp.where(is_warp0, wslice, pred[:nb]), pred[nb:]],
+                axis=0)
+        rows = ysK[:, None, None] + offs[None, :, None]
+        cols = xsK[:, None, None] + offs[None, None, :]
+        resid = src_y[rows, cols] - pred
+        coeffs = tf.fwd_txfm2d(resid, cc.DCT_DCT, cc.TX_16X16)
+        qc, dq = quant.quantize(coeffs, qpp, cc.TX_16X16)
+        dist = s2 * jnp.sum((coeffs - dq.astype(jnp.float32)) ** 2,
+                            axis=(1, 2))
+        mvb = _mv_bits(mvsK)
+        bits = _txb_bits(jnp.abs(qc), coef_y, txbb[0], eob_y,
+                         pos16) + mvb
+        cost_coded = dist + lam * bits
+        dist_skip = jnp.sum(resid.astype(jnp.float32) ** 2,
+                            axis=(1, 2))
+        cost_skip = dist_skip + lam * (mvb + 2.0)
+        skip_k = cost_skip < cost_coded
+        cost = jnp.where(skip_k, cost_skip, cost_coded)
+        return (cost.reshape(Kn, nb), mvsK.reshape(Kn, nb, 2),
+                qc.reshape(Kn, nb, BLK, BLK),
+                dq.reshape(Kn, nb, BLK, BLK),
+                pred.reshape(Kn, nb, BLK, BLK),
+                skip_k.reshape(Kn, nb), cost_coded.reshape(Kn, nb),
+                cost_skip.reshape(Kn, nb))
+
+    def select(arrays, Kn):
+        (cost, mvk, qk, dqk, pk, sk, ck, sck) = arrays
+        kbest = jnp.argmin(cost, axis=0)
+        best = [cost[0], mvk[0], qk[0], dqk[0], pk[0], sk[0], ck[0],
+                sck[0]]
+        for k in range(1, Kn):
+            take = kbest == k
+            t3 = take[:, None, None]
+            best[0] = jnp.where(take, cost[k], best[0])
+            best[1] = jnp.where(take[:, None], mvk[k], best[1])
+            best[2] = jnp.where(t3, qk[k], best[2])
+            best[3] = jnp.where(t3, dqk[k], best[3])
+            best[4] = jnp.where(t3, pk[k], best[4])
+            best[5] = jnp.where(take, sk[k], best[5])
+            best[6] = jnp.where(take, ck[k], best[6])
+            best[7] = jnp.where(take, sck[k], best[7])
+        return best, kbest
+
+    mvsK = cand.transpose(1, 0, 2).reshape(nb * K, 2)
+    best, kbest = select(luma_all(mvsK, K, True), K)
     (bcost, bmv, bq, bdq, bpred, bskip, bcoded, bskipc) = best
+    warp_flag = (kbest == 0) & is_warp0
+    if hp:
+        # 1/8-pel refinement ring around the fullpel/quarter winner
+        ring8 = jnp.asarray([(0, 1), (0, -1), (1, 0), (-1, 0),
+                             (1, 1), (1, -1), (-1, 1), (-1, -1)],
+                            jnp.int32)
+        cand2 = _clamp_cands(bmv[:, None] + ring8[None], ys, xs, BLK,
+                             h, w, hp=True)
+        mvs2 = cand2.transpose(1, 0, 2).reshape(nb * 8, 2)
+        best2, _ = select(luma_all(mvs2, 8, False), 8)
+        improved = (best2[0] < bcost) & ~warp_flag
+        t3 = improved[:, None, None]
+        bcost = jnp.where(improved, best2[0], bcost)
+        bmv = jnp.where(improved[:, None], best2[1], bmv)
+        bq = jnp.where(t3, best2[2], bq)
+        bdq = jnp.where(t3, best2[3], bdq)
+        bpred = jnp.where(t3, best2[4], bpred)
+        bskip = jnp.where(improved, best2[5], bskip)
+        bcoded = jnp.where(improved, best2[6], bcoded)
+        bskipc = jnp.where(improved, best2[7], bskipc)
     rec_coded = tf.inv_txfm2d_add(bdq, bpred, cc.DCT_DCT, cc.TX_16X16,
                                   bd=bd)
     # chroma at the winner MV (gm candidate 0 under warp uses the
     # warped chroma planes)
-    warp_flag = (kbest == 0) & is_warp0
     cys, cxs = ys // 2, xs // 2
     offc = jnp.arange(CBLK)
     crows = cys[:, None, None] + offc[None, :, None]
@@ -359,62 +404,154 @@ def _eval_ref(src_y, src_u, src_v, refp_y, refp_u, refp_v,
             rec_v, warp_flag)
 
 
+# masked-compound syntax overhead versus plain average (comp_group_idx
+# + compound_type [+ wedge_idx 16-ary + sign | mask_type], minus the
+# avg's comp_group_idx=0 symbol) — static estimates from default CDFs
+_WEDGE_EXTRA_BITS = 6.0
+_DIFFWTD_EXTRA_BITS = 3.0
+
+
 def _eval_pair(src_y, src_u, src_v, p0, p1, mv0, mv1, ys, xs, qp, lam,
-               rt, bd, interp, nb):
-    """COMPOUND_AVERAGE (mv0, mv1) pair evaluation with joint skip."""
+               rt, bd, interp, nb, wedge=True):
+    """Compound (mv0, mv1) pair evaluation with joint skip:
+    COMPOUND_AVERAGE always; optionally a COMPOUND_WEDGE search (mask
+    picked per block by prediction-SSE algebra over all 32 sign/index
+    options, then one exact masked-blend RD for the winner — the
+    pick_wedge / pick_interinter_mask role of the reference MD,
+    compound_type.c).  Returns (..., wedge_on (nb,), widx (nb,)) where
+    widx = sign * 16 + wedge_index."""
     coef_y, coef_uv, txbb, eob_y, eob_uv = rt
     qpp = quant.QuantParams(*qp)
-    pred = mc.mc_blocks_compound(p0[0], p1[0], ys, xs, mv0, mv1, BLK,
-                                 mc.PAD, 0, bd, kind=interp)
     offs = jnp.arange(BLK)
     rows = ys[:, None, None] + offs[None, :, None]
     cols = xs[:, None, None] + offs[None, None, :]
-    resid = src_y[rows, cols] - pred
-    coeffs = tf.fwd_txfm2d(resid, cc.DCT_DCT, cc.TX_16X16)
-    qc, dq = quant.quantize(coeffs, qpp, cc.TX_16X16)
-    s2 = np.float32(tf.coeff_sse_scale(cc.TX_16X16, cc.DCT_DCT))
-    dist = s2 * jnp.sum((coeffs - dq.astype(jnp.float32)) ** 2,
-                        axis=(1, 2))
-    pos16 = jnp.asarray(_scan_pos(cc.TX_16X16))
-    mvb = _mv_bits(mv0) + _mv_bits(mv1) + 2.0
-    bits = _txb_bits(jnp.abs(qc), coef_y, txbb[0], eob_y, pos16) + mvb
-    coded_y = dist + lam * bits
-    skip_y = jnp.sum(resid.astype(jnp.float32) ** 2, axis=(1, 2)) \
-        + lam * (mvb + 2.0)
-    rec_coded = tf.inv_txfm2d_add(dq, pred, cc.DCT_DCT, cc.TX_16X16,
-                                  bd=bd)
+    srcb = src_y[rows, cols]
     cys, cxs = ys // 2, xs // 2
     offc = jnp.arange(CBLK)
     crows = cys[:, None, None] + offc[None, :, None]
     ccols = cxs[:, None, None] + offc[None, None, :]
+    pos16 = jnp.asarray(_scan_pos(cc.TX_16X16))
     pos8 = jnp.asarray(_scan_pos(cc.TX_8X8))
-    ch = []
-    for pc0, pc1, src_c in ((p0[1], p1[1], src_u), (p0[2], p1[2], src_v)):
-        pred_c = mc.mc_blocks_compound(pc0, pc1, cys, cxs, mv0, mv1,
-                                       CBLK, mc.PAD, 1, bd, kind=interp)
-        resid_c = src_c[crows, ccols] - pred_c
-        cf = tf.fwd_txfm2d(resid_c, cc.DCT_DCT, cc.TX_8X8)
-        qcc, dqc = quant.quantize(cf, qpp, cc.TX_8X8)
-        s2c = np.float32(tf.coeff_sse_scale(cc.TX_8X8, cc.DCT_DCT))
-        dist_c = s2c * jnp.sum((cf - dqc.astype(jnp.float32)) ** 2,
-                               axis=(1, 2))
-        bits_c = _txb_bits(jnp.abs(qcc), coef_uv, txbb[1], eob_uv, pos8)
-        rec_c = tf.inv_txfm2d_add(dqc, pred_c, cc.DCT_DCT, cc.TX_8X8,
-                                  bd=bd)
-        dskip_c = jnp.sum(resid_c.astype(jnp.float32) ** 2, axis=(1, 2))
-        ch.append((qcc, rec_c, pred_c, dist_c + lam * bits_c, dskip_c))
-    (qu, rec_u, pu, cu, su), (qv_, rec_v, pv, cvq, sv) = ch
-    coded_tot = coded_y + cu + cvq
-    skip_tot = skip_y + su + sv
-    skip = skip_tot < coded_tot
-    s3 = skip[:, None, None]
-    return (jnp.where(skip, skip_tot, coded_tot),
-            jnp.where(skip, skip_y, jnp.minimum(coded_y, skip_y)),
-            skip,
-            jnp.where(s3, 0, qc),
-            jnp.where(s3, pred, rec_coded),
-            jnp.where(s3, 0, qu), jnp.where(s3, pu, rec_u),
-            jnp.where(s3, 0, qv_), jnp.where(s3, pv, rec_v))
+    s2 = np.float32(tf.coeff_sse_scale(cc.TX_16X16, cc.DCT_DCT))
+    s2c = np.float32(tf.coeff_sse_scale(cc.TX_8X8, cc.DCT_DCT))
+    mvb = _mv_bits(mv0) + _mv_bits(mv1) + 2.0
+
+    def rd(pred, pred_u, pred_v, extra_bits):
+        resid = srcb - pred
+        coeffs = tf.fwd_txfm2d(resid, cc.DCT_DCT, cc.TX_16X16)
+        qc, dq = quant.quantize(coeffs, qpp, cc.TX_16X16)
+        dist = s2 * jnp.sum((coeffs - dq.astype(jnp.float32)) ** 2,
+                            axis=(1, 2))
+        bits = _txb_bits(jnp.abs(qc), coef_y, txbb[0], eob_y, pos16) \
+            + mvb + extra_bits
+        coded_y = dist + lam * bits
+        skip_y = jnp.sum(resid.astype(jnp.float32) ** 2, axis=(1, 2)) \
+            + lam * (mvb + extra_bits + 2.0)
+        rec_coded = tf.inv_txfm2d_add(dq, pred, cc.DCT_DCT,
+                                      cc.TX_16X16, bd=bd)
+        ch = []
+        for pred_c, src_c in ((pred_u, src_u), (pred_v, src_v)):
+            resid_c = src_c[crows, ccols] - pred_c
+            cf = tf.fwd_txfm2d(resid_c, cc.DCT_DCT, cc.TX_8X8)
+            qcc, dqc = quant.quantize(cf, qpp, cc.TX_8X8)
+            dist_c = s2c * jnp.sum((cf - dqc.astype(jnp.float32)) ** 2,
+                                   axis=(1, 2))
+            bits_c = _txb_bits(jnp.abs(qcc), coef_uv, txbb[1], eob_uv,
+                               pos8)
+            rec_c = tf.inv_txfm2d_add(dqc, pred_c, cc.DCT_DCT,
+                                      cc.TX_8X8, bd=bd)
+            dskip_c = jnp.sum(resid_c.astype(jnp.float32) ** 2,
+                              axis=(1, 2))
+            ch.append((qcc, rec_c, pred_c, dist_c + lam * bits_c,
+                       dskip_c))
+        (qu, rec_u, pu, cu, su), (qv_, rec_v, pv, cvq, sv) = ch
+        coded_tot = coded_y + cu + cvq
+        skip_tot = skip_y + su + sv
+        skip = skip_tot < coded_tot
+        s3 = skip[:, None, None]
+        return (jnp.where(skip, skip_tot, coded_tot),
+                jnp.where(skip, skip_y, jnp.minimum(coded_y, skip_y)),
+                skip,
+                jnp.where(s3, 0, qc),
+                jnp.where(s3, pred, rec_coded),
+                jnp.where(s3, 0, qu), jnp.where(s3, pu, rec_u),
+                jnp.where(s3, 0, qv_), jnp.where(s3, pv, rec_v))
+
+    pred = mc.mc_blocks_compound(p0[0], p1[0], ys, xs, mv0, mv1, BLK,
+                                 mc.PAD, 0, bd, kind=interp)
+    pred_u = mc.mc_blocks_compound(p0[1], p1[1], cys, cxs, mv0, mv1,
+                                   CBLK, mc.PAD, 1, bd, kind=interp)
+    pred_v = mc.mc_blocks_compound(p0[2], p1[2], cys, cxs, mv0, mv1,
+                                   CBLK, mc.PAD, 1, bd, kind=interp)
+    avg = list(rd(pred, pred_u, pred_v, 0.0))
+    n = srcb.shape[0]
+    # packed masked-compound code: -1 average, 0..31 wedge
+    # (sign*16 + index), 64 + mask_type diffwtd
+    code = jnp.full((n,), -1, jnp.int32)
+    if wedge:
+        from svt_av1_tpu.ops import wedge as wedge_ops
+        # mask pick by prediction-SSE algebra: with single-ref preds
+        # pA/pB and m in [0,1], sse(m) = sum((src-pB) - m*(pA-pB))^2
+        # = c0 - 2*(d*e)@m + (e*e)@m^2 — three matmuls over all 32
+        # sign/index options at once (MXU)
+        pA = mc.mc_blocks(p0[0], ys, xs, mv0, BLK, mc.PAD, 0, bd,
+                          kind=interp)
+        pB = mc.mc_blocks(p1[0], ys, xs, mv1, BLK, mc.PAD, 0, bd,
+                          kind=interp)
+        d1 = (srcb - pB).astype(jnp.float32).reshape(n, -1)
+        e = (pA - pB).astype(jnp.float32).reshape(n, -1)
+        m_all_np = np.concatenate([wedge_ops.masks_16[0],
+                                   wedge_ops.masks_16[1]])
+        M = jnp.asarray(m_all_np.reshape(32, -1).astype(np.float32)
+                        / 64.0)
+        sse = (jnp.sum(d1 * d1, axis=1, keepdims=True)
+               - 2.0 * (d1 * e) @ M.T + (e * e) @ (M * M).T)
+        widx = jnp.argmin(sse, axis=1).astype(jnp.int32)
+        m_y = jnp.asarray(m_all_np.astype(np.int32))[widx]
+        muv_np = np.concatenate([wedge_ops.masks_16_uv[0],
+                                 wedge_ops.masks_16_uv[1]])
+        m_uv = jnp.asarray(muv_np.astype(np.int32))[widx]
+        pred_w = mc.mc_blocks_compound(p0[0], p1[0], ys, xs, mv0, mv1,
+                                       BLK, mc.PAD, 0, bd, kind=interp,
+                                       mask=m_y)
+        pu_w = mc.mc_blocks_compound(p0[1], p1[1], cys, cxs, mv0, mv1,
+                                     CBLK, mc.PAD, 1, bd, kind=interp,
+                                     mask=m_uv)
+        pv_w = mc.mc_blocks_compound(p0[2], p1[2], cys, cxs, mv0, mv1,
+                                     CBLK, mc.PAD, 1, bd, kind=interp,
+                                     mask=m_uv)
+        wrd = rd(pred_w, pu_w, pv_w, _WEDGE_EXTRA_BITS)
+        won = wrd[0] < avg[0]
+        code = jnp.where(won, widx, code)
+        for fi in range(len(avg)):
+            sh = (n,) + (1,) * (avg[fi].ndim - 1)
+            avg[fi] = jnp.where(won.reshape(sh), wrd[fi], avg[fi])
+        # diffwtd: pick the mask_type by the same SSE algebra on the
+        # estimated mask (final-domain |pA-pB|, the d16 round folds to
+        # ~1:1), then one exact d16-mask RD
+        m_est = jnp.clip(38 + jnp.abs(pA - pB).reshape(n, -1) // 16,
+                         0, 64).astype(jnp.float32) / 64.0
+        sse_d0 = jnp.sum((d1 - m_est * e) ** 2, axis=1)
+        sse_d1 = jnp.sum((d1 - (1.0 - m_est) * e) ** 2, axis=1)
+        inv = (sse_d1 < sse_d0).astype(jnp.int32)
+        pred_dw, m16 = mc.mc_blocks_compound_diffwtd(
+            p0[0], p1[0], ys, xs, mv0, mv1, BLK, mc.PAD, inv, bd,
+            kind=interp)
+        m_uv_d = (m16[:, ::2, ::2] + m16[:, 1::2, ::2]
+                  + m16[:, ::2, 1::2] + m16[:, 1::2, 1::2] + 2) >> 2
+        pu_d = mc.mc_blocks_compound(p0[1], p1[1], cys, cxs, mv0, mv1,
+                                     CBLK, mc.PAD, 1, bd, kind=interp,
+                                     mask=m_uv_d)
+        pv_d = mc.mc_blocks_compound(p0[2], p1[2], cys, cxs, mv0, mv1,
+                                     CBLK, mc.PAD, 1, bd, kind=interp,
+                                     mask=m_uv_d)
+        drd = rd(pred_dw, pu_d, pv_d, _DIFFWTD_EXTRA_BITS)
+        dwin = drd[0] < avg[0]
+        code = jnp.where(dwin, 64 + inv, code)
+        for fi in range(len(avg)):
+            sh = (n,) + (1,) * (avg[fi].ndim - 1)
+            avg[fi] = jnp.where(dwin.reshape(sh), drd[fi], avg[fi])
+    return tuple(avg) + (code,)
 
 
 # --------------------------------------------------------------------------
@@ -423,14 +560,14 @@ def _eval_pair(src_y, src_u, src_v, p0, p1, mv0, mv1, ys, xs, qp, lam,
 
 @functools.lru_cache(maxsize=None)
 def _jit_p1(h, w, R, modes, bd=8, ring=True, compound=True,
-            rad2=8, rad0=7):
+            rad2=8, rad0=7, hp=False):
     return jax.jit(_build_p1(h, w, R, modes, bd, ring, compound,
-                             rad2, rad0))
+                             rad2, rad0, hp))
 
 
 @functools.lru_cache(maxsize=None)
 def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
-              rad2=8, rad0=7):
+              rad2=8, rad0=7, hp=False):
     """Unjitted P1 (17 inputs -> 20 outputs); pure traced JAX, so the
     multi-stream path can vmap it over a stream axis before jitting."""
     gh, gw = h // BLK, w // BLK
@@ -506,7 +643,8 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
                                     shear, w // 2, h // 2, bd, 1)
             wv = _warp_plane_traced(refs_v[r].astype(jnp.int32), mat,
                                     shear, w // 2, h // 2, bd, 1)
-            gm_mv = jnp.where(is_warp0, _gm_block_mvs(mat, gh, gw),
+            gm_mv = jnp.where(is_warp0,
+                              _gm_block_mvs(mat, gh, gw, hp),
                               jnp.where(kind == 1,
                                         jnp.broadcast_to(trans, (nb, 2)),
                                         jnp.zeros((nb, 2), jnp.int32)))
@@ -536,7 +674,8 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
                              mode="edge")
             out = _eval_ref(src_y, src_u, src_v, refp_y, refp_u, refp_v,
                             wy, wu, wv, cand, is_warp0, ys, xs,
-                            qp, lam, rt, bd, interp, nb, K)
+                            qp, lam, rt, bd, interp, nb, K, hp=hp,
+                            h=h, w=w)
             if best is None:
                 best = list(out)
             else:
@@ -550,6 +689,7 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
 
         icomp = jnp.zeros((nb,), bool)
         imv2 = jnp.zeros((nb, 2), jnp.int32)
+        iwedge = jnp.full((nb,), -1, jnp.int32)
         if compound and R == 2:
             pads0 = (refp0_y,
                      jnp.pad(refs_u[0].astype(jnp.int32), mc.PAD // 2,
@@ -579,9 +719,10 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
                         merged[fi] = jnp.where(tk.reshape(sh_), outc[fi],
                                                merged[fi])
             (ccost, ccost_y, cskip, cqy, crec_y, cqu, crec_u, cqv,
-             crec_v, m0, m1) = merged
+             crec_v, ccode, m0, m1) = merged
             take = ccost < cost_tot
             icomp = take
+            iwedge = jnp.where(take, ccode, -1)
             t3 = take[:, None, None]
             cost_y = jnp.where(take, ccost_y, cost_y)
             imv = jnp.where(take[:, None], m0, imv)
@@ -666,7 +807,9 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
         # decision of product_coding_loop.c's MD funnel, restricted to
         # the provably-lossless case.
         gh2, gw2 = gh // 2, gw // 2
-        eligible = (choose & iskip & ~(iwarp & choose))
+        # wedge blocks keep their 16x16 leaf (no 32x32 wedge masks)
+        eligible = (choose & iskip & ~(iwarp & choose)
+                    & (iwedge < 0))
 
         def grp(a):
             a2 = a.reshape(gh, gw, -1)[:gh2 * 2, :gw2 * 2]
@@ -685,7 +828,7 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
             ok &= (mvg == mvg[:, :1, :, :1]).all(axis=(1, 3, 4))
             mv32 = mvg[:, 0, :, 0].reshape(-1, 2)
             cl32 = _clamp_cands(mv32[:, None], ys32, xs32, 2 * BLK, h,
-                                w)[:, 0]
+                                w, hp=hp)[:, 0]
             ok &= (cl32 == mv32).all(axis=-1).reshape(gh2, gw2)
         merge32 = ok.reshape(-1)
 
@@ -695,6 +838,7 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
                 choose, iskip & choose,
                 imv.astype(jnp.int16), imv2.astype(jnp.int16),
                 iref_idx.astype(jnp.uint8), icomp, iwarp & choose,
+                iwedge.astype(jnp.int8),
                 qy_f, qu_f, qv_f, gm_mats, gm_trans, gm_kinds, interp,
                 merge32)
 
@@ -848,6 +992,15 @@ def _build_p2(h, w, bd=8, ncand=8, dlf_on=True, cdef_on=True,
                               dlf_uv, "c")
         fv, lv = search_plane(src_v, rec_v.astype(jnp.int32), CBLK, 6,
                               dlf_uv, "c")
+        # AV1 codes chroma filter levels only when a luma level is
+        # nonzero (uncompressed header: if filter_level[0] ||
+        # filter_level[1]); with ly == 0 the decoder reads chroma 0,
+        # so the applied filter must be off too or recon != decode
+        coff = ly == 0
+        fu = jnp.where(coff, rec_u.astype(jnp.int32), fu)
+        fv = jnp.where(coff, rec_v.astype(jnp.int32), fv)
+        lu = jnp.where(coff, 0, lu)
+        lv = jnp.where(coff, 0, lv)
 
         # ---- CDEF: dirs once, per-candidate SSE per SB ----
         if not cdef_on:
@@ -1078,10 +1231,14 @@ def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
                     qindex: int, h: int, w: int, modes, bd: int = 8,
                     ring: bool = True, rad2: int = 8, rad0: int = 7,
                     cdef_cands=None, dlf_on: bool = True,
-                    cdef_on: bool = True):
+                    cdef_on: bool = True, cdf_state=None,
+                    hp: bool = False):
     """Dispatch P1+P2 for one inter frame.  refs: {ref_enum: device
     plane dict} in MD priority order (LAST first).  Returns
-    PendingInterFrame; finish with collect_inter_frame."""
+    PendingInterFrame; finish with collect_inter_frame.
+
+    cdf_state: optional adapted FrameCDFs for content-matched MD rate
+    tables (rate_est.adapted_decision_tables)."""
     from svt_av1_tpu.codec.rate_est import md_rate_args
     from svt_av1_tpu.pipeline.cdef_stage import SEARCH_SET, cdef_damping
     ref_enums = sorted(refs)
@@ -1095,8 +1252,9 @@ def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
     qp = quant.make_quant_params(qindex, bd=bd)
     qstep = quant.dc_q(qindex, bd=bd) / 8.0
     lam = np.float32(0.7 * qstep * qstep)
-    rt = md_rate_args(qindex, tuple(modes), _UV_MODES())
-    p1 = _jit_p1(h, w, R, tuple(modes), bd, ring, R == 2, rad2, rad0)
+    rt = md_rate_args(qindex, tuple(modes), _UV_MODES(), cdf_state)
+    p1 = _jit_p1(h, w, R, tuple(modes), bd, ring, R == 2, rad2, rad0,
+                 hp)
     outs = p1(src_pack_u8, refs_y, refs_u, refs_v,
               *(np.asarray(a) for a in qp), lam,
               rt[0], rt[1], rt[2], rt[3], rt[4], rt[5], rt[6])
@@ -1105,7 +1263,7 @@ def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
                        else SEARCH_SET, np.int32)
     p2 = _jit_p2(h, w, bd, len(cands), dlf_on, cdef_on, masked=True)
     # skip16 from the final coeff arrays (device)
-    qy_f, qu_f, qv_f = outs[12], outs[13], outs[14]
+    qy_f, qu_f, qv_f = outs[13], outs[14], outs[15]
     skip16 = ((jnp.abs(qy_f).max(axis=1) == 0)
               & (jnp.abs(qu_f).max(axis=1) == 0)
               & (jnp.abs(qv_f).max(axis=1) == 0)).reshape(h // BLK,
@@ -1115,7 +1273,7 @@ def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
                  dlf_ladder_params(qindex, False),
                  dlf_ladder_params(qindex, True),
                  cands, np.int32(cdef_damping(qindex)),
-                 outs[19], inter16)
+                 outs[20], inter16)
     pend = PendingInterFrame(outs, p2_outs, ref_enums, h, w, qindex)
     pend.cdef_cands = cands
     pend.cdef_on = cdef_on
@@ -1214,8 +1372,8 @@ def collect_inter_frame(pend: PendingInterFrame, bd: int = 8):
     small = list(pend.outs[3:]) + [pend.p2_outs[3], pend.p2_outs[5]]
     pulled = jax.device_get(small)
     (ymode, umode, choose, iskip, imv, imv2, iref_idx, icomp, iwarp,
-     qy_f, qu_f, qv_f, gm_mats, gm_trans, gm_kinds, interp, merge32,
-     dlf_levels, best_ci) = pulled
+     iwedge, qy_f, qu_f, qv_f, gm_mats, gm_trans, gm_kinds, interp,
+     merge32, dlf_levels, best_ci) = pulled
     rec_y, rec_u, rec_v = pend.recon["y"], pend.recon["u"], pend.recon["v"]
 
     cdef_info = None
@@ -1263,6 +1421,13 @@ def collect_inter_frame(pend: PendingInterFrame, bd: int = 8):
                      if icomp[bid] else (0, 0)))
             continue
         if choose[bid]:
+            mcode = int(iwedge[bid]) if icomp[bid] else -1
+            if mcode >= 64:      # DIFFWTD (mask_type in the low bit)
+                ctyp, widx_, wsgn = 2, 0, mcode - 64
+            elif mcode >= 0:     # WEDGE (sign*16 + index)
+                ctyp, widx_, wsgn = 1, mcode & 15, mcode >> 4
+            else:
+                ctyp = widx_ = wsgn = 0
             decisions[(r4, c4)] = BlockDecision(
                 r4=r4, c4=c4, bsize=cc.BLOCK_16X16, y_mode=cc.DC_PRED,
                 uv_mode=cc.DC_PRED, tx_type=cc.DCT_DCT,
@@ -1273,7 +1438,8 @@ def collect_inter_frame(pend: PendingInterFrame, bd: int = 8):
                 use_warp=bool(iwarp[bid]),
                 ref2=(int(mv_pred.ALTREF_FRAME) if icomp[bid] else 0),
                 mv2=((int(imv2[bid, 0]), int(imv2[bid, 1]))
-                     if icomp[bid] else (0, 0)))
+                     if icomp[bid] else (0, 0)),
+                comp_type=ctyp, wedge_idx=widx_, wedge_sign=wsgn)
         else:
             decisions[(r4, c4)] = BlockDecision(
                 r4=r4, c4=c4, bsize=cc.BLOCK_16X16,

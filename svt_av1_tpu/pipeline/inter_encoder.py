@@ -707,6 +707,7 @@ def _recon_compound_blocks(decisions, refs, recon_y, recon_u, recon_v,
         return recon_y, recon_u, recon_v
     pairs = sorted({(decisions[k].ref, decisions[k].ref2)
                     for k in keys})
+    from svt_av1_tpu.ops import wedge as wedge_ops
     for (r0, r1) in pairs:
         pk = [k for k in keys if (decisions[k].ref,
                                   decisions[k].ref2) == (r0, r1)]
@@ -714,12 +715,45 @@ def _recon_compound_blocks(decisions, refs, recon_y, recon_u, recon_v,
         xs = np.array([k[1] * 4 for k in pk], np.int32)
         mv0 = np.array([decisions[k].mv for k in pk], np.int32)
         mv1 = np.array([decisions[k].mv2 for k in pk], np.int32)
+        # per-block blend mask: 64 everywhere is NOT average (different
+        # rounding) so masked and average blocks take separate kernels;
+        # wedge masks exist for 16x16 (the only size MD codes them at)
+        wsel = np.array([decisions[k].comp_type == 1 for k in pk])
+        dsel = np.array([decisions[k].comp_type == 2 for k in pk])
+        mask_y = mask_uv = None
+        if wsel.any():
+            assert all(decisions[k].bsize == cc.BLOCK_16X16
+                       for k in pk if decisions[k].comp_type == 1), \
+                "wedge masks only built for 16x16"
+            idx = np.array([decisions[k].wedge_idx for k in pk])
+            sgn = np.array([decisions[k].wedge_sign for k in pk])
+            mask_y = wedge_ops.masks_16[sgn, idx].astype(np.int32)
+            mask_uv = wedge_ops.masks_16_uv[sgn, idx].astype(np.int32)
         p0y = jnp.asarray(mc.pad_plane(
             refs[r0]["y"].astype(np.int32), mc.PAD))
         p1y = jnp.asarray(mc.pad_plane(
             refs[r1]["y"].astype(np.int32), mc.PAD))
         pred_y = mc.mc_blocks_compound(p0y, p1y, ys, xs, mv0, mv1,
                                        BLK, mc.PAD, 0, bd, kind=interp)
+        if wsel.any():
+            pred_w = mc.mc_blocks_compound(p0y, p1y, ys, xs, mv0, mv1,
+                                           BLK, mc.PAD, 0, bd,
+                                           kind=interp,
+                                           mask=jnp.asarray(mask_y))
+            pred_y = jnp.where(jnp.asarray(wsel)[:, None, None],
+                               pred_w, pred_y)
+        mask_uv_d = None
+        if dsel.any():
+            inv = np.array([decisions[k].wedge_sign for k in pk],
+                           np.int32)
+            pred_d, m16 = mc.mc_blocks_compound_diffwtd(
+                p0y, p1y, ys, xs, mv0, mv1, BLK, mc.PAD, inv, bd,
+                kind=interp)
+            pred_y = jnp.where(jnp.asarray(dsel)[:, None, None],
+                               pred_d, pred_y)
+            mask_uv_d = (m16[:, ::2, ::2] + m16[:, 1::2, ::2]
+                         + m16[:, ::2, 1::2] + m16[:, 1::2, 1::2]
+                         + 2) >> 2
         qy = jnp.asarray(np.stack([decisions[k].qcoeff_y for k in pk]))
         dq = quant.dequantize(qy, quant.QuantParams(*qp_j), cc.TX_16X16)
         rec_y = tf.inv_txfm2d_add(dq, pred_y, cc.DCT_DCT, cc.TX_16X16,
@@ -736,6 +770,19 @@ def _recon_compound_blocks(decisions, refs, recon_y, recon_u, recon_v,
             pred_c = mc.mc_blocks_compound(p0c, p1c, ys // 2, xs // 2,
                                            mv0, mv1, CBLK, mc.PAD, 1,
                                            bd, kind=interp)
+            if wsel.any():
+                pred_cw = mc.mc_blocks_compound(
+                    p0c, p1c, ys // 2, xs // 2, mv0, mv1, CBLK,
+                    mc.PAD, 1, bd, kind=interp,
+                    mask=jnp.asarray(mask_uv))
+                pred_c = jnp.where(jnp.asarray(wsel)[:, None, None],
+                                   pred_cw, pred_c)
+            if dsel.any():
+                pred_cd = mc.mc_blocks_compound(
+                    p0c, p1c, ys // 2, xs // 2, mv0, mv1, CBLK,
+                    mc.PAD, 1, bd, kind=interp, mask=mask_uv_d)
+                pred_c = jnp.where(jnp.asarray(dsel)[:, None, None],
+                                   pred_cd, pred_c)
             qc = jnp.asarray(np.stack(
                 [getattr(decisions[k], f"qcoeff_{plane}")
                  for k in pk]))

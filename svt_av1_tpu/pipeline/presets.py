@@ -35,6 +35,10 @@ class PresetFeatures:
     dlf_search: bool = False  # per-plane DLF level search (vs heuristic)
     cdef_sb: bool = False     # per-SB CDEF strengths (cdef_bits > 0)
     filter_intra: bool = False  # recursive filter-intra candidates
+    adapted_rates: bool = False  # per-frame MD rate tables from the
+                                 # primary-ref adapted CDFs
+    hp_mv: bool = False      # 1/8-pel MVs + subpel refinement ring
+                             # (allow_high_precision_mv)
 
 
 def features_for(enc_mode: int) -> PresetFeatures:

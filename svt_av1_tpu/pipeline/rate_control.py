@@ -27,21 +27,52 @@ class RateControlState:
     buffer_bits: float = 0.0   # accumulated (actual - target)
     # CBR reacts faster and bounds the buffer harder
     gain: float = 0.04
+    onepass: object = None     # rc_onepass.OnePassRC for modes 1/2
 
     @classmethod
     def create(cls, cfg, fps: float):
         qindex = qp_to_qindex(cfg.qp)
         tbr = max(cfg.target_bit_rate, 1)
         mode = cfg.rate_control_mode
-        return cls(mode=mode,
-                   target_bits_per_frame=tbr / max(fps, 1e-6),
-                   qindex=qindex,
-                   min_qindex=max(4, cfg.min_qp_allowed * 4),
-                   max_qindex=min(255, cfg.max_qp_allowed * 4),
-                   gain=0.08 if mode == 2 else 0.03)
+        rc = cls(mode=mode,
+                 target_bits_per_frame=tbr / max(fps, 1e-6),
+                 qindex=qindex,
+                 min_qindex=max(4, cfg.min_qp_allowed * 4),
+                 max_qindex=min(255, cfg.max_qp_allowed * 4),
+                 gain=0.08 if mode == 2 else 0.03)
+        if mode in (1, 2):
+            from svt_av1_tpu.pipeline.rc_onepass import OnePassRC
+            rc.onepass = OnePassRC.create(cfg, fps, cfg.source_width,
+                                          cfg.source_height)
+        return rc
 
     def frame_qindex(self) -> int:
         return int(np.clip(self.qindex, self.min_qindex, self.max_qindex))
+
+    def pick_q(self, is_key: bool = False, layer: int = 0,
+               frame_offset: int = 1) -> int:
+        """Per-frame qindex: the reference regulate_q pipeline (target
+        size -> active range -> bits-per-mb inversion) for 1-pass
+        VBR/CBR; CQP/CRF and pass-2 keep their planned q."""
+        if (self.mode == 0 or self.onepass is None
+                or getattr(self, "two_pass_q", None) is not None):
+            return self.frame_qindex()
+        q = self.onepass.pick_q(is_key, layer, frame_offset)
+        return int(np.clip(q, self.min_qindex, self.max_qindex))
+
+    def feedback(self, frame_bits: int, qindex: int, is_key: bool,
+                 layer: int = 0, showable: bool = True):
+        """Post-encode update (RC_PACKETIZATION_FEEDBACK role)."""
+        if self.mode == 0:
+            return
+        if getattr(self, "two_pass_q", None) is not None:
+            return
+        if self.onepass is not None:
+            self.onepass.postencode(qindex, frame_bits, is_key, layer,
+                                    showable)
+            self.qindex = self.onepass.q_1_frame
+            return
+        self.update(frame_bits)
 
     def update(self, frame_bits: int):
         """Feedback after packetization (the reference's
@@ -146,7 +177,13 @@ def kf_boost_qindex(cq: int, r0: float, frames_to_key: int = -1,
     return compute_qindex_by_rate_ratio(cq, ratio, True, bd)
 
 
-MIN_BPB_FACTOR = 0.005
+# the reference floors the correction factor at 0.005 (rc_process.c
+# MIN_BPB_FACTOR), tuned for real content at real resolutions; highly
+# compressible content (or tiny frames) needs the model to project far
+# fewer bits per MB than the floored model allows, which otherwise
+# pins q conservative and locks the controller into undershoot — use a
+# lower floor so regulate_q can track the full dynamic range
+MIN_BPB_FACTOR = 0.0001
 MAX_BPB_FACTOR = 50.0
 
 

@@ -70,10 +70,21 @@ def test_scene_cut_inserts_key_frame():
                         intra_period_length=-1, enc_mode=10)
     enc = Encoder(cfg)
     dec = Decoder()
-    types = []
+    pkts = []
     for i, y in enumerate([s1, s1, s1, s2, s2]):
+        # TF lookahead (enable_tf default) adds latency: packets may
+        # lag sends, so collect as they become ready + drain at EOS
         enc.send_picture(y, u, v, eos=(i == 4))
         p = enc.get_packet()
+        if p is not None:
+            pkts.append(p)
+    while True:
+        p = enc.get_packet()
+        if p is None:
+            break
+        pkts.append(p)
+    types = []
+    for i, p in enumerate(pkts):
         types.append(p.frame_type)
         rec = dec.decode_temporal_unit(p.data)[0]
         for pl in ("y", "u", "v"):
@@ -151,3 +162,26 @@ def test_get_stream_info():
     import pytest
     with pytest.raises(ValueError):
         enc.get_stream_info(3)
+
+
+def test_send_picture_validates_plane_geometry():
+    """Wrong-size or wrong-dtype input raises a clear error instead of
+    a cryptic device shape failure (the reference contains it by
+    zero-filling, enc_handle.c:5434-5446; we surface it)."""
+    from svt_av1_tpu.api.config import EncoderConfig
+    from svt_av1_tpu.api.encoder import Encoder
+    import numpy as np
+    import pytest
+    cfg = EncoderConfig(source_width=64, source_height=64, qp=40)
+    enc = Encoder(cfg)
+    y = np.full((64, 64), 128, np.uint8)
+    u = np.full((32, 32), 100, np.uint8)
+    v = np.full((32, 32), 150, np.uint8)
+    with pytest.raises(ValueError, match="geometry"):
+        enc.send_picture(y[:48], u, v)
+    with pytest.raises(ValueError, match="geometry"):
+        enc.send_picture(y, u[:, :16], v)
+    with pytest.raises(ValueError, match="dtype"):
+        enc.send_picture(y.astype(np.uint16), u, v)
+    enc.send_picture(y, u, v, eos=True)   # correct input still works
+    assert enc.get_packet() is not None

@@ -58,12 +58,24 @@ def test_cdef_gop_decode():
     enc = Encoder(cfg)
     dec = Decoder()
     base = rng.integers(0, 256, (64, 80)).astype(np.uint8)
+    pkts = []
     for i in range(3):
         y = base[:, 2 * i:2 * i + 64].copy()
         u = np.full((32, 32), 100, np.uint8)
         v = np.full((32, 32), 120, np.uint8)
+        # TF lookahead (enable_tf default) adds latency: collect
+        # packets as they become ready, drain after EOS
         enc.send_picture(y, u, v, eos=(i == 2))
-        pkt = enc.get_packet()
+        p = enc.get_packet()
+        if p is not None:
+            pkts.append(p)
+    while True:
+        p = enc.get_packet()
+        if p is None:
+            break
+        pkts.append(p)
+    assert len(pkts) == 3
+    for i, pkt in enumerate(pkts):
         rec = dec.decode_temporal_unit(pkt.data)[0]
         for p in ("y", "u", "v"):
             assert np.array_equal(rec[p], pkt.recon[p]), (i, p)

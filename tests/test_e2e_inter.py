@@ -34,8 +34,17 @@ def gop_run():
     enc = Encoder(cfg)
     pkts = []
     for i, (y, u, v) in enumerate(frames):
+        # TF lookahead (enable_tf default) adds latency: collect as
+        # ready + drain at EOS
         enc.send_picture(y, u, v, eos=(i == len(frames) - 1))
-        pkts.append(enc.get_packet())
+        p = enc.get_packet()
+        if p is not None:
+            pkts.append(p)
+    while True:
+        p = enc.get_packet()
+        if p is None:
+            break
+        pkts.append(p)
     return frames, pkts
 
 
@@ -113,9 +122,19 @@ def test_gop_with_dlf_and_cdef():
                         cdef_level=1)
     enc = Encoder(cfg)
     dec = Decoder()
+    pkts = []
     for i, (y, u, v) in enumerate(frames):
         enc.send_picture(y, u, v, eos=(i == 2))
         p = enc.get_packet()
+        if p is not None:
+            pkts.append(p)
+    while True:
+        p = enc.get_packet()
+        if p is None:
+            break
+        pkts.append(p)
+    assert len(pkts) == 3
+    for i, p in enumerate(pkts):
         rec = dec.decode_temporal_unit(p.data)[0]
         for pl in ("y", "u", "v"):
             assert np.array_equal(rec[pl], p.recon[pl]), (i, pl)

@@ -177,3 +177,54 @@ def test_hier_fast_filters_roundtrip():
     for i, (p, rec) in enumerate(zip(disp, decoded)):
         for pl in ("y", "u", "v"):
             assert np.array_equal(rec[pl], p.recon[pl]), (i, pl)
+
+
+def test_hier_fast_hp_mv_roundtrip(monkeypatch):
+    """1/8-pel MVs (allow_high_precision_mv): the pass-A refinement
+    ring finds odd MVs on subpel motion, the NMV hp bits code them,
+    and the stream decodes bit-exactly."""
+    import dataclasses
+    import svt_av1_tpu.pipeline.presets as presets
+    orig = presets.features_for
+    monkeypatch.setattr(
+        presets, "features_for",
+        lambda m: dataclasses.replace(orig(m), hp_mv=True))
+
+    h = w = 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    n = 5
+    frames = []
+    for t in range(n):
+        # smooth sinusoid panning 0.6 px/frame: true motion is subpel
+        y = np.clip(110 + 70 * np.sin((xx + 0.6 * t) / 5.0)
+                    + 40 * np.cos(yy / 7.0), 0, 255).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 120, np.uint8)
+        frames.append((y, u.copy(), u.copy()))
+    cfg = EncoderConfig(source_width=w, source_height=h, qp=30,
+                        intra_period_length=31, hierarchical_levels=2,
+                        enc_mode=6, enable_tf=0)
+    enc = Encoder(cfg)
+    assert enc._fast and enc._feat.hp_mv
+    for i, (y, u, v) in enumerate(frames):
+        enc.send_picture(y, u, v, eos=(i == n - 1))
+    pkts = []
+    while True:
+        p = enc.get_packet()
+        if p is None:
+            break
+        pkts.append(p)
+    disp = [p for p in pkts if p.displayed]
+    dec = Decoder()
+    decoded = []
+    odd = 0
+    for p in pkts:
+        for rec in dec.decode_temporal_unit(p.data):
+            decoded.append(rec)
+            for d in rec.get("decisions", {}).values():
+                if d.is_inter and ((d.mv[0] | d.mv[1]) & 1):
+                    odd += 1
+    assert len(decoded) == n
+    for i, (p, rec) in enumerate(zip(disp, decoded)):
+        for pl in ("y", "u", "v"):
+            assert np.array_equal(rec[pl], p.recon[pl]), (i, pl)
+    assert odd > 0, "expected odd (1/8-pel) MVs on subpel motion"

@@ -76,3 +76,52 @@ def test_mctf_filters_chroma():
     assert not np.array_equal(fu, frames[1][1]), "chroma must filter"
     assert (np.std(fu.astype(float) - clean_u)
             < np.std(frames[1][1].astype(float) - clean_u))
+
+
+def test_mctf_altref_minigop_saves_bits():
+    """MCTF on the mini-GoP base frame (the reference's alt-ref TF,
+    pd_process.c:3345-3385): on noisy static content the filtered base
+    predicts the pyramid better, so the GOP spends fewer bits; the
+    stream must still decode cleanly."""
+    import numpy as np
+    from svt_av1_tpu.api.config import EncoderConfig
+    from svt_av1_tpu.api.encoder import Encoder
+    from svt_av1_tpu.codec.decoder import Decoder
+    rng = np.random.default_rng(11)
+    h = w = 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    still = np.clip(110 + 60 * np.sin(xx / 9.0) * np.cos(yy / 11.0),
+                    0, 255)
+    frames = []
+    for t in range(9):
+        y = np.clip(still + rng.integers(-9, 10, (h, w)), 0,
+                    255).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 120, np.uint8)
+        frames.append((y, u.copy(), u.copy()))
+
+    def run(tf):
+        cfg = EncoderConfig(source_width=w, source_height=h, qp=35,
+                            intra_period_length=31,
+                            hierarchical_levels=2, enc_mode=6,
+                            enable_tf=tf)
+        enc = Encoder(cfg)
+        for i, (y, u, v) in enumerate(frames):
+            enc.send_picture(y, u, v, eos=(i == len(frames) - 1))
+        bits = 0
+        pkts = []
+        while True:
+            p = enc.get_packet()
+            if p is None:
+                break
+            bits += len(p.data) * 8
+            pkts.append(p)
+        dec = Decoder()
+        n = 0
+        for p in pkts:
+            n += len(dec.decode_temporal_unit(p.data))
+        assert n == len(frames)
+        return bits
+
+    b_off = run(0)
+    b_on = run(1)
+    assert b_on < b_off, (b_on, b_off)

