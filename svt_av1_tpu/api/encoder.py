@@ -682,7 +682,7 @@ class Encoder:
             cdef_cands=SEARCH_SET[:self._feat.cdef_candidates],
             dlf_on=bool(self.cfg.enable_dlf_flag),
             cdef_on=self.sp.enable_cdef, cdf_state=cdf_state,
-            hp=self._feat.hp_mv)
+            hp=self._feat.hp_mv, obmc=self._feat.obmc)
         slot = min(self._slot_free) if ev.store else None
         if ev.store:
             self._slot_free.remove(slot)
@@ -770,6 +770,7 @@ class Encoder:
         fp.reference_select = any(
             d.ref2 for d in decisions.values() if d.is_inter)
         fp.allow_high_precision_mv = self._feat.hp_mv
+        fp.is_motion_mode_switchable = self._feat.obmc
         tenc = TileEncoder(self.sr_w, self.sp.height, qindex,
                            reduced_tx_set=fp.reduced_tx_set,
                            update_cdfs=not fp.disable_cdf_update,
@@ -778,6 +779,7 @@ class Encoder:
                            init_nmv=self._slot_state[last_slot][1])
         tenc.enable_filter_intra = self.sp.enable_filter_intra
         tenc.enable_masked_compound = self.sp.enable_masked_compound
+        tenc.is_motion_mode_switchable = fp.is_motion_mode_switchable
         tenc.reference_select = fp.reference_select
         if fp.allow_high_precision_mv:
             from svt_av1_tpu.codec import mv as mv_mod

@@ -70,6 +70,7 @@ class FrameCDFs:
         self.comp_group_idx = d["comp_group_idx_cdfs"].copy()
         self.compound_type = d["compound_type_cdf"].copy()
         self.wedge_idx = d["wedge_idx_cdf"].copy()
+        self.obmc = d["obmc_cdf"].copy()
         self.seg_tree = d["seg_tree_cdf"].copy()
         self.segment_pred = d["segment_pred_cdf"].copy()
         self.spatial_pred_seg = d["spatial_pred_seg_tree_cdf"].copy()

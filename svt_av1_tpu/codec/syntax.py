@@ -143,6 +143,8 @@ class BlockDecision:
     comp_type: int = 0
     wedge_idx: int = 0
     wedge_sign: int = 0
+    # motion mode: 0 = SIMPLE_TRANSLATION, 1 = OBMC_CAUSAL
+    motion_mode: int = 0
     # per-SB adaptive quantization (0 = frame base_q_idx)
     qindex: int = 0
     # recursive filter-intra (y_mode == DC_PRED carrier); -1 = off
@@ -412,6 +414,8 @@ class TileCoderBase:
         self._read_deltas = False
         self.ctx = ContextState(self.mi_rows, self.mi_cols)
         self.migrid = mv_pred.MiGrid(self.mi_rows, self.mi_cols)
+        # motion-mode switching (frame header bit; OBMC flag coding)
+        self.is_motion_mode_switchable = False
         # masked compound (wedge): sequence gate + per-mi neighbor
         # contribution for the comp_group_idx context
         # (svt_aom_get_comp_group_idx_context_enc: comp_group_idx of a
@@ -551,6 +555,45 @@ class TileCoderBase:
                     update_cdf(dcdf, d0, 2)
                 assert d0 == 0, "drl > 0 unsupported in compound"
         return cmode
+
+    def _motion_mode_allowed(self, r4, c4, bsize, use_warp) -> bool:
+        """motion_mode_allowed (single-ref callers only): block >= 8x8,
+        not a global-warp block, and at least one overlappable (inter)
+        neighbor above or left (check_num_overlappable_neighbors)."""
+        if not self.is_motion_mode_switchable or use_warp:
+            return False
+        bw = int(cc.block_size_wide[bsize])
+        bh = int(cc.block_size_high[bsize])
+        if min(bw, bh) < 8:
+            return False
+        w4 = bw >> 2
+        h4 = bh >> 2
+        rf = self.migrid.ref_frame
+        if r4 > 0 and (rf[r4 - 1, c4:min(c4 + w4, self.mi_cols)]
+                       > mv_pred.INTRA_FRAME).any():
+            return True
+        if c4 > 0 and (rf[r4:min(r4 + h4, self.mi_rows), c4 - 1]
+                       > mv_pred.INTRA_FRAME).any():
+            return True
+        return False
+
+    def _code_motion_mode(self, r4, c4, bsize, use_warp,
+                          motion_mode=0, dec=None) -> int:
+        """OBMC flag (obmc_cdf) for eligible single-ref blocks — the
+        seq has enable_warped_motion = 0, so the motion-mode choice is
+        binary SIMPLE vs OBMC_CAUSAL (read_motion_mode; write side
+        entropy_coding.c write_motion_mode)."""
+        if not self._motion_mode_allowed(r4, c4, bsize, use_warp):
+            return 0
+        cdf = self.cdfs.obmc[bsize]
+        if dec is None:
+            self.enc.encode_symbol(motion_mode, cdf, 2)
+            mm = motion_mode
+        else:
+            mm = dec.read_symbol(cdf, 2)
+        if self.update:
+            update_cdf(cdf, mm, 2)
+        return mm
 
     def _masked_compound_allowed(self, bsize) -> bool:
         """is_any_masked_compound_used: wedge codebooks exist for
@@ -893,6 +936,8 @@ class TileEncoder(TileCoderBase):
                         mv_mod.encode_mv(enc, d.mv, stack.mvs[0],
                                          self.nmv, self.mv_precision,
                                          update=self.update)
+                    self._code_motion_mode(r4, c4, bsize, d.use_warp,
+                                           d.motion_mode)
             else:
                 grp = int(SIZE_GROUP[bsize])
                 cdf = cdfs.y_mode[grp]
@@ -1174,6 +1219,7 @@ class TileDecoder(TileCoderBase):
         mv2 = (0, 0)
         ref2 = 0
         comp_type = wedge_idx = wedge_sign = 0
+        motion_mode = 0
         use_warp = False
         ref = mv_pred.LAST_FRAME
         y_mode = cc.DC_PRED
@@ -1255,6 +1301,8 @@ class TileDecoder(TileCoderBase):
                         # (spec 7.11.3: >= 8x8 with a valid shear)
                         if gm_model is not None and len(gm_model) == 6:
                             use_warp = True
+                    motion_mode = self._code_motion_mode(
+                        r4, c4, bsize, use_warp, dec=dec)
             else:
                 grp = int(SIZE_GROUP[bsize])
                 cdf = cdfs.y_mode[grp]
@@ -1351,6 +1399,7 @@ class TileDecoder(TileCoderBase):
             is_inter=is_inter, mv=mv, ref=ref, use_warp=use_warp,
             ref2=ref2, mv2=mv2, comp_type=comp_type,
             wedge_idx=wedge_idx, wedge_sign=wedge_sign,
+            motion_mode=motion_mode,
             angle_delta_y=angle_y, angle_delta_uv=angle_uv,
             cfl_alpha_u=cfl_au, cfl_alpha_v=cfl_av,
             qindex=(self.current_qindex

@@ -409,6 +409,9 @@ def _eval_ref(src_y, src_u, src_v, refp_y, refp_u, refp_v,
 # avg's comp_group_idx=0 symbol) — static estimates from default CDFs
 _WEDGE_EXTRA_BITS = 6.0
 _DIFFWTD_EXTRA_BITS = 3.0
+# OBMC motion-mode flag cost (obmc_cdf leans to SIMPLE, so the OBMC
+# branch pays ~1 extra bit over the flag-0 side)
+_OBMC_FLAG_BITS = 1.2
 
 
 def _eval_pair(src_y, src_u, src_v, p0, p1, mv0, mv1, ys, xs, qp, lam,
@@ -560,14 +563,14 @@ def _eval_pair(src_y, src_u, src_v, p0, p1, mv0, mv1, ys, xs, qp, lam,
 
 @functools.lru_cache(maxsize=None)
 def _jit_p1(h, w, R, modes, bd=8, ring=True, compound=True,
-            rad2=8, rad0=7, hp=False):
+            rad2=8, rad0=7, hp=False, obmc=False):
     return jax.jit(_build_p1(h, w, R, modes, bd, ring, compound,
-                             rad2, rad0, hp))
+                             rad2, rad0, hp, obmc))
 
 
 @functools.lru_cache(maxsize=None)
 def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
-              rad2=8, rad0=7, hp=False):
+              rad2=8, rad0=7, hp=False, obmc=False):
     """Unjitted P1 (17 inputs -> 20 outputs); pure traced JAX, so the
     multi-stream path can vmap it over a stream axis before jitting."""
     gh, gw = h // BLK, w // BLK
@@ -612,9 +615,16 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
                                   axis=-1).astype(jnp.int32))
             gms.append(_gm_fit(mvy, mvx, gh, gw))
 
+        # padded reference planes, shared by pass A / compound / OBMC
+        refps_y = [jnp.pad(refs_y[r].astype(jnp.int32), mc.PAD,
+                           mode="edge") for r in range(R)]
+        refps_u = [jnp.pad(refs_u[r].astype(jnp.int32), mc.PAD // 2,
+                           mode="edge") for r in range(R)]
+        refps_v = [jnp.pad(refs_v[r].astype(jnp.int32), mc.PAD // 2,
+                           mode="edge") for r in range(R)]
+
         # frame interp-filter pick on ref0 (choose_interp_filter role)
-        refp0_y = jnp.pad(refs_y[0].astype(jnp.int32), mc.PAD,
-                          mode="edge")
+        refp0_y = refps_y[0]
         probe_mv = _clamp_cands((hmes[0] + 2)[:, None], ys, xs, BLK,
                                 h, w)[:, 0]
         sses = []
@@ -666,12 +676,9 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
             coll = jnp.all(cand[:, 1:] == cand[:, :1], axis=2) \
                 & is_warp0
             cand = cand.at[:, 1:, 1].add(coll.astype(jnp.int32) * 2)
-            refp_y = refp0_y if r == 0 else jnp.pad(
-                refs_y[r].astype(jnp.int32), mc.PAD, mode="edge")
-            refp_u = jnp.pad(refs_u[r].astype(jnp.int32), mc.PAD // 2,
-                             mode="edge")
-            refp_v = jnp.pad(refs_v[r].astype(jnp.int32), mc.PAD // 2,
-                             mode="edge")
+            refp_y = refps_y[r]
+            refp_u = refps_u[r]
+            refp_v = refps_v[r]
             out = _eval_ref(src_y, src_u, src_v, refp_y, refp_u, refp_v,
                             wy, wu, wv, cand, is_warp0, ys, xs,
                             qp, lam, rt, bd, interp, nb, K, hp=hp,
@@ -691,17 +698,8 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
         imv2 = jnp.zeros((nb, 2), jnp.int32)
         iwedge = jnp.full((nb,), -1, jnp.int32)
         if compound and R == 2:
-            pads0 = (refp0_y,
-                     jnp.pad(refs_u[0].astype(jnp.int32), mc.PAD // 2,
-                             mode="edge"),
-                     jnp.pad(refs_v[0].astype(jnp.int32), mc.PAD // 2,
-                             mode="edge"))
-            pads1 = (jnp.pad(refs_y[1].astype(jnp.int32), mc.PAD,
-                             mode="edge"),
-                     jnp.pad(refs_u[1].astype(jnp.int32), mc.PAD // 2,
-                             mode="edge"),
-                     jnp.pad(refs_v[1].astype(jnp.int32), mc.PAD // 2,
-                             mode="edge"))
+            pads0 = (refps_y[0], refps_u[0], refps_v[0])
+            pads1 = (refps_y[1], refps_u[1], refps_v[1])
             mv0 = _clamp_cands(hmes[0][:, None], ys, xs, BLK, h, w)[:, 0]
             mv1 = _clamp_cands(hmes[1][:, None], ys, xs, BLK, h, w)[:, 0]
             zero = jnp.zeros_like(mv0)
@@ -745,40 +743,176 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
         qy_acc = jnp.zeros((nw, maxb, BLK, BLK), jnp.int16)
         qu_acc = jnp.zeros((nw, maxb, CBLK, CBLK), jnp.int16)
         qv_acc = jnp.zeros((nw, maxb, CBLK, CBLK), jnp.int16)
+        # OBMC accumulators (flag + its own skip + q arrays)
+        ob_acc = jnp.zeros((nw, maxb), bool)
+        obs_acc = jnp.zeros((nw, maxb), bool)
+        qyo_acc = jnp.zeros((nw, maxb, BLK, BLK), jnp.int16)
+        quo_acc = jnp.zeros((nw, maxb, CBLK, CBLK), jnp.int16)
+        qvo_acc = jnp.zeros((nw, maxb, CBLK, CBLK), jnp.int16)
+        perm_j = jnp.asarray(perm)
+        pos16 = jnp.asarray(_scan_pos(cc.TX_16X16))
+        pos8 = jnp.asarray(_scan_pos(cc.TX_8X8))
+        s2y = np.float32(tf.coeff_sse_scale(cc.TX_16X16, cc.DCT_DCT))
+        s2c = np.float32(tf.coeff_sse_scale(cc.TX_8X8, cc.DCT_DCT))
+        qpp_b = quant.QuantParams(*qp)
+
+        def _sel_ref_mc(planes, ys_, xs_, mvs_, ridx, blk_, ss):
+            """MC of each candidate ref, winner selected by ridx."""
+            out = mc.mc_blocks(planes[0], ys_, xs_, mvs_, blk_, mc.PAD,
+                               ss, bd, kind=interp)
+            for r in range(1, R):
+                pr = mc.mc_blocks(planes[r], ys_, xs_, mvs_, blk_,
+                                  mc.PAD, ss, bd, kind=interp)
+                out = jnp.where((ridx == r)[:, None, None], pr, out)
+            return out
+
+        def _obmc_alt(i, ca_flat, by, bx, va):
+            """OBMC_CAUSAL alternative for this wave's blocks: blend
+            the base prediction with ABOVE then LEFT neighbor-MV
+            predictions (enc_inter_prediction.c:1428-1523 order and
+            normative masks) and full joint RD — the motion-mode MD of
+            the reference's inter depth (SIMPLE vs OBMC)."""
+            from svt_av1_tpu.ops import obmc as obmc_ops
+            bid = by * gw + bx
+            ys_ = by * BLK
+            xs_ = bx * BLK
+            mv_self = imv[bid]
+            ridx = iref_idx[bid].astype(jnp.int32)
+            abid = jnp.maximum(bid - gw, 0)
+            lbid = jnp.maximum(bid - 1, 0)
+            a_int = (by > 0) & ca_flat[perm_j[abid]]
+            l_int = (bx > 0) & ca_flat[perm_j[lbid]]
+            el = (va & ~icomp[bid] & ~iwarp[bid] & (a_int | l_int))
+            pred = _sel_ref_mc(refps_y, ys_, xs_, mv_self, ridx, BLK, 0)
+            pred_u = _sel_ref_mc(refps_u, ys_ // 2, xs_ // 2, mv_self,
+                                 ridx, CBLK, 1)
+            pred_v = _sel_ref_mc(refps_v, ys_ // 2, xs_ // 2, mv_self,
+                                 ridx, CBLK, 1)
+            my = jnp.asarray(obmc_ops.MASK_Y16)
+            mc8 = jnp.asarray(obmc_ops.MASK_C8)
+            for nbid, on, blend in ((abid, a_int, "above"),
+                                    (lbid, l_int, "left")):
+                nmv = imv[nbid]
+                nridx = iref_idx[nbid].astype(jnp.int32)
+                pa = _sel_ref_mc(refps_y, ys_, xs_, nmv, nridx, BLK, 0)
+                pau = _sel_ref_mc(refps_u, ys_ // 2, xs_ // 2, nmv,
+                                  nridx, CBLK, 1)
+                pav = _sel_ref_mc(refps_v, ys_ // 2, xs_ // 2, nmv,
+                                  nridx, CBLK, 1)
+                fn = (obmc_ops.blend_above if blend == "above"
+                      else obmc_ops.blend_left)
+                o3 = on[:, None, None]
+                pred = jnp.where(o3, fn(pred, pa, my), pred)
+                pred_u = jnp.where(o3, fn(pred_u, pau, mc8), pred_u)
+                pred_v = jnp.where(o3, fn(pred_v, pav, mc8), pred_v)
+            # joint RD (mirrors _eval_ref cost structure + flag bits)
+            offs_ = jnp.arange(BLK)
+            rws = ys_[:, None, None] + offs_[None, :, None]
+            cls_ = xs_[:, None, None] + offs_[None, None, :]
+            resid = src_y[rws, cls_] - pred
+            coeffs = tf.fwd_txfm2d(resid, cc.DCT_DCT, cc.TX_16X16)
+            qc, dq = quant.quantize(coeffs, qpp_b, cc.TX_16X16)
+            dist = s2y * jnp.sum((coeffs - dq.astype(jnp.float32)) ** 2,
+                                 axis=(1, 2))
+            mvb = _mv_bits(mv_self) + _OBMC_FLAG_BITS
+            bits = _txb_bits(jnp.abs(qc), cy_t, txbb[0], eoby,
+                             pos16) + mvb
+            coded_y = dist + lam * bits
+            skip_y = jnp.sum(resid.astype(jnp.float32) ** 2,
+                             axis=(1, 2)) + lam * (mvb + 2.0)
+            rec_cod = tf.inv_txfm2d_add(dq, pred, cc.DCT_DCT,
+                                        cc.TX_16X16, bd=bd)
+            offc_ = jnp.arange(CBLK)
+            crws = (ys_ // 2)[:, None, None] + offc_[None, :, None]
+            ccls = (xs_ // 2)[:, None, None] + offc_[None, None, :]
+            ch = []
+            for pc, sc in ((pred_u, src_u), (pred_v, src_v)):
+                rc = sc[crws, ccls] - pc
+                cf = tf.fwd_txfm2d(rc, cc.DCT_DCT, cc.TX_8X8)
+                qcc, dqc = quant.quantize(cf, qpp_b, cc.TX_8X8)
+                dc_ = s2c * jnp.sum(
+                    (cf - dqc.astype(jnp.float32)) ** 2, axis=(1, 2))
+                bc = _txb_bits(jnp.abs(qcc), cuv_t, txbb[1], eobuv,
+                               pos8)
+                rcc = tf.inv_txfm2d_add(dqc, pc, cc.DCT_DCT, cc.TX_8X8,
+                                        bd=bd)
+                sk = jnp.sum(rc.astype(jnp.float32) ** 2, axis=(1, 2))
+                ch.append((qcc, rcc, pc, dc_ + lam * bc, sk))
+            (qu_o, rec_u_o, pu_o, cu_o, su_o), \
+                (qv_o, rec_v_o, pv_o, cv_o, sv_o) = ch
+            coded_tot = coded_y + cu_o + cv_o
+            skip_tot = skip_y + su_o + sv_o
+            oskip = skip_tot < coded_tot
+            s3 = oskip[:, None, None]
+            otot = jnp.where(oskip, skip_tot, coded_tot)
+            ow = el & (otot < cost_tot[bid])
+            return (ow, oskip,
+                    jnp.where(oskip, skip_y,
+                              jnp.minimum(coded_y, skip_y)),
+                    jnp.where(s3, pred, rec_cod),
+                    jnp.where(s3, 0, qc),
+                    jnp.where(s3, pu_o, rec_u_o),
+                    jnp.where(s3, 0, qu_o),
+                    jnp.where(s3, pv_o, rec_v_o),
+                    jnp.where(s3, 0, qv_o))
 
         def body(i, carry):
-            ry, ru, rv, ma, uma, ca, qya, qua, qva = carry
+            (ry, ru, rv, ma, uma, ca, qya, qua, qva, oa, osa, qyo, quo,
+             qvo) = carry
             by = jnp.asarray(bys)[i]
             bx = jnp.asarray(bxs)[i]
             va = jnp.asarray(valid)[i]
             ha = (by > 0) & va
             hl = (bx > 0) & va
             bid = by * gw + bx
+            icost = cost_y[bid]
+            irec = irec_y[bid]
+            irec_u_b = irec_u[bid]
+            irec_v_b = irec_v[bid]
+            ow = jnp.zeros_like(va)
+            osk = jnp.zeros_like(va)
+            if obmc:
+                (ow, osk, ocost_y, orec_y, oqy, orec_u, oqu, orec_v,
+                 oqv) = _obmc_alt(i, ca.reshape(-1), by, bx, va)
+                o3 = ow[:, None, None]
+                icost = jnp.where(ow, ocost_y, icost)
+                irec = jnp.where(o3, orec_y, irec)
+                irec_u_b = jnp.where(o3, orec_u, irec_u_b)
+                irec_v_b = jnp.where(o3, orec_v, irec_v_b)
+                qyo = qyo.at[i].set(jnp.where(o3, oqy, 0)
+                                    .astype(jnp.int16))
+                quo = quo.at[i].set(jnp.where(o3, oqu, 0)
+                                    .astype(jnp.int16))
+                qvo = qvo.at[i].set(jnp.where(o3, oqv, 0)
+                                    .astype(jnp.int16))
             m, q, ry, choose = _rd_step(
                 ry, src_y, by * BLK, bx * BLK, va, ha, hl, qp_t, lam,
                 BLK, cc.TX_16X16, modes, 0,
                 tr_avail=jnp.asarray(trs)[i] & va,
                 bl_avail=jnp.asarray(bls)[i] & va, bd=bd,
-                inter=(cost_y[bid], irec_y[bid]),
+                inter=(icost, irec),
                 rates=(cy_t, txbb, modeb, eoby))
             choose = choose & va
             um, qu_, qv2, ru, rv = _rd_step_chroma(
                 ru, rv, src_u, src_v, by * CBLK, bx * CBLK, va, ha, hl,
                 qp_t, lam, bd=bd,
-                inter=(choose, irec_u[bid], irec_v[bid]),
+                inter=(choose, irec_u_b, irec_v_b),
                 rates=(cuv_t, txbb, uvb, eobuv))
             return (ry, ru, rv, ma.at[i].set(m), uma.at[i].set(um),
                     ca.at[i].set(choose),
                     qya.at[i].set(q.astype(jnp.int16)),
                     qua.at[i].set(qu_.astype(jnp.int16)),
-                    qva.at[i].set(qv2.astype(jnp.int16)))
+                    qva.at[i].set(qv2.astype(jnp.int16)),
+                    oa.at[i].set(ow & choose),
+                    osa.at[i].set(osk), qyo, quo, qvo)
 
         init = (jnp.zeros((h, w), jnp.int32),
                 jnp.zeros((h // 2, w // 2), jnp.int32),
                 jnp.zeros((h // 2, w // 2), jnp.int32),
-                modes_acc, uv_acc0, choose_acc, qy_acc, qu_acc, qv_acc)
-        (ry, ru, rv, ma, uma, ca, qya, qua, qva) = jax.lax.fori_loop(
-            0, nw, body, init)
+                modes_acc, uv_acc0, choose_acc, qy_acc, qu_acc, qv_acc,
+                ob_acc, obs_acc, qyo_acc, quo_acc, qvo_acc)
+        (ry, ru, rv, ma, uma, ca, qya, qua, qva, oa, osa, qyo, quo,
+         qvo) = jax.lax.fori_loop(0, nw, body, init)
 
         # dense raster re-layout + device-side decision merge
         pj = jnp.asarray(perm)
@@ -788,10 +922,27 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
         qyB = qya.reshape(nw * maxb, BLK * BLK)[pj]
         quB = qua.reshape(nw * maxb, CBLK * CBLK)[pj]
         qvB = qva.reshape(nw * maxb, CBLK * CBLK)[pj]
+        iobmc = oa.reshape(-1)[pj] & choose
+        if obmc:
+            o2 = iobmc[:, None]
+            iqy = jnp.where(
+                o2, qyo.reshape(nw * maxb, BLK * BLK)[pj]
+                .astype(jnp.int32), iqy.reshape(nb, -1))
+            iqu = jnp.where(
+                o2, quo.reshape(nw * maxb, CBLK * CBLK)[pj]
+                .astype(jnp.int32), iqu.reshape(nb, -1))
+            iqv = jnp.where(
+                o2, qvo.reshape(nw * maxb, CBLK * CBLK)[pj]
+                .astype(jnp.int32), iqv.reshape(nb, -1))
+            iskip = jnp.where(iobmc, osa.reshape(-1)[pj], iskip)
+        else:
+            iqy = iqy.reshape(nb, -1)
+            iqu = iqu.reshape(nb, -1)
+            iqv = iqv.reshape(nb, -1)
         c3 = choose[:, None]
-        qy_f = jnp.where(c3, iqy.reshape(nb, -1).astype(jnp.int16), qyB)
-        qu_f = jnp.where(c3, iqu.reshape(nb, -1).astype(jnp.int16), quB)
-        qv_f = jnp.where(c3, iqv.reshape(nb, -1).astype(jnp.int16), qvB)
+        qy_f = jnp.where(c3, iqy.astype(jnp.int16), qyB)
+        qu_f = jnp.where(c3, iqu.astype(jnp.int16), quB)
+        qv_f = jnp.where(c3, iqv.astype(jnp.int16), qvB)
         gm_mats = jnp.stack([m[0] for m in per_ref_meta])
         gm_trans = jnp.stack([m[1] for m in per_ref_meta])
         gm_kinds = jnp.stack([m[2] for m in per_ref_meta])
@@ -807,9 +958,11 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
         # decision of product_coding_loop.c's MD funnel, restricted to
         # the provably-lossless case.
         gh2, gw2 = gh // 2, gw // 2
-        # wedge blocks keep their 16x16 leaf (no 32x32 wedge masks)
+        # wedge blocks keep their 16x16 leaf (no 32x32 wedge masks);
+        # OBMC blocks keep theirs (the merged 32 would re-derive its
+        # own overlap blend)
         eligible = (choose & iskip & ~(iwarp & choose)
-                    & (iwedge < 0))
+                    & (iwedge < 0) & ~iobmc)
 
         def grp(a):
             a2 = a.reshape(gh, gw, -1)[:gh2 * 2, :gw2 * 2]
@@ -838,7 +991,7 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
                 choose, iskip & choose,
                 imv.astype(jnp.int16), imv2.astype(jnp.int16),
                 iref_idx.astype(jnp.uint8), icomp, iwarp & choose,
-                iwedge.astype(jnp.int8),
+                iwedge.astype(jnp.int8), iobmc,
                 qy_f, qu_f, qv_f, gm_mats, gm_trans, gm_kinds, interp,
                 merge32)
 
@@ -1232,7 +1385,7 @@ def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
                     ring: bool = True, rad2: int = 8, rad0: int = 7,
                     cdef_cands=None, dlf_on: bool = True,
                     cdef_on: bool = True, cdf_state=None,
-                    hp: bool = False):
+                    hp: bool = False, obmc: bool = False):
     """Dispatch P1+P2 for one inter frame.  refs: {ref_enum: device
     plane dict} in MD priority order (LAST first).  Returns
     PendingInterFrame; finish with collect_inter_frame.
@@ -1254,7 +1407,7 @@ def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
     lam = np.float32(0.7 * qstep * qstep)
     rt = md_rate_args(qindex, tuple(modes), _UV_MODES(), cdf_state)
     p1 = _jit_p1(h, w, R, tuple(modes), bd, ring, R == 2, rad2, rad0,
-                 hp)
+                 hp, obmc)
     outs = p1(src_pack_u8, refs_y, refs_u, refs_v,
               *(np.asarray(a) for a in qp), lam,
               rt[0], rt[1], rt[2], rt[3], rt[4], rt[5], rt[6])
@@ -1263,7 +1416,7 @@ def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
                        else SEARCH_SET, np.int32)
     p2 = _jit_p2(h, w, bd, len(cands), dlf_on, cdef_on, masked=True)
     # skip16 from the final coeff arrays (device)
-    qy_f, qu_f, qv_f = outs[13], outs[14], outs[15]
+    qy_f, qu_f, qv_f = outs[14], outs[15], outs[16]
     skip16 = ((jnp.abs(qy_f).max(axis=1) == 0)
               & (jnp.abs(qu_f).max(axis=1) == 0)
               & (jnp.abs(qv_f).max(axis=1) == 0)).reshape(h // BLK,
@@ -1273,7 +1426,7 @@ def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
                  dlf_ladder_params(qindex, False),
                  dlf_ladder_params(qindex, True),
                  cands, np.int32(cdef_damping(qindex)),
-                 outs[20], inter16)
+                 outs[21], inter16)
     pend = PendingInterFrame(outs, p2_outs, ref_enums, h, w, qindex)
     pend.cdef_cands = cands
     pend.cdef_on = cdef_on
@@ -1372,8 +1525,8 @@ def collect_inter_frame(pend: PendingInterFrame, bd: int = 8):
     small = list(pend.outs[3:]) + [pend.p2_outs[3], pend.p2_outs[5]]
     pulled = jax.device_get(small)
     (ymode, umode, choose, iskip, imv, imv2, iref_idx, icomp, iwarp,
-     iwedge, qy_f, qu_f, qv_f, gm_mats, gm_trans, gm_kinds, interp,
-     merge32, dlf_levels, best_ci) = pulled
+     iwedge, iobmc, qy_f, qu_f, qv_f, gm_mats, gm_trans, gm_kinds,
+     interp, merge32, dlf_levels, best_ci) = pulled
     rec_y, rec_u, rec_v = pend.recon["y"], pend.recon["u"], pend.recon["v"]
 
     cdef_info = None
@@ -1439,7 +1592,8 @@ def collect_inter_frame(pend: PendingInterFrame, bd: int = 8):
                 ref2=(int(mv_pred.ALTREF_FRAME) if icomp[bid] else 0),
                 mv2=((int(imv2[bid, 0]), int(imv2[bid, 1]))
                      if icomp[bid] else (0, 0)),
-                comp_type=ctyp, wedge_idx=widx_, wedge_sign=wsgn)
+                comp_type=ctyp, wedge_idx=widx_, wedge_sign=wsgn,
+                motion_mode=int(bool(iobmc[bid])))
         else:
             decisions[(r4, c4)] = BlockDecision(
                 r4=r4, c4=c4, bsize=cc.BLOCK_16X16,

@@ -676,6 +676,8 @@ def reconstruct_inter_from_decisions(decisions: Dict, ref,
             gm_model=(gm or {}).get(renum), interp=interp)
     recon_y, recon_u, recon_v = _recon_compound_blocks(
         decisions, refs, recon_y, recon_u, recon_v, qp_j, bd, interp)
+    recon_y, recon_u, recon_v = _recon_obmc_blocks(
+        decisions, refs, recon_y, recon_u, recon_v, qp_j, bd, interp)
 
     for by in range(gh):
         for bx in range(gw):
@@ -697,6 +699,77 @@ def reconstruct_inter_from_decisions(decisions: Dict, ref,
     return dict(y=np.asarray(recon_y).astype(dt),
                 u=np.asarray(recon_u).astype(dt),
                 v=np.asarray(recon_v).astype(dt))
+
+
+def _recon_obmc_blocks(decisions, refs, recon_y, recon_u, recon_v,
+                       qp_j, bd, interp=0):
+    """OBMC_CAUSAL reconstruction: base single-ref prediction blended
+    with the ABOVE then LEFT neighbor-MV predictions over the overlap
+    halves (enc_inter_prediction.c:1428-1523 order and masks), then the
+    coded residual.  Depends only on parsed neighbor MVs, so it stays
+    batch-independent of recon order."""
+    from svt_av1_tpu.ops import obmc as obmc_ops
+    keys = [k for k, d in decisions.items()
+            if d.is_inter and d.motion_mode == 1]
+    if not keys:
+        return recon_y, recon_u, recon_v
+    pads = {}
+
+    def pad_of(renum, plane, cpad):
+        if (renum, plane) not in pads:
+            pads[(renum, plane)] = jnp.asarray(mc.pad_plane(
+                refs[renum][plane].astype(np.int32), cpad))
+        return pads[(renum, plane)]
+
+    for k in keys:
+        d = decisions[k]
+        y0, x0 = k[0] * 4, k[1] * 4
+        nbs = []
+        for nk in ((k[0] - 4, k[1]), (k[0], k[1] - 4)):
+            nd = decisions.get(nk)
+            nbs.append(nd if (nd is not None and nd.is_inter) else None)
+        above, left = nbs
+        preds = {}
+        for plane, blk_, ss in (("y", BLK, 0), ("u", CBLK, 1),
+                                ("v", CBLK, 1)):
+            ys = np.array([y0 >> ss], np.int32)
+            xs = np.array([x0 >> ss], np.int32)
+            p = mc.mc_blocks(pad_of(d.ref, plane, mc.PAD >> ss), ys, xs,
+                             np.array([d.mv], np.int32), blk_, mc.PAD,
+                             ss, bd, kind=interp)
+            mask = obmc_ops.MASK_Y16 if ss == 0 else obmc_ops.MASK_C8
+            if above is not None:
+                pa = mc.mc_blocks(pad_of(above.ref, plane,
+                                         mc.PAD >> ss), ys, xs,
+                                  np.array([above.mv], np.int32), blk_,
+                                  mc.PAD, ss, bd, kind=interp)
+                p = obmc_ops.blend_above(p, pa, jnp.asarray(mask))
+            if left is not None:
+                pl = mc.mc_blocks(pad_of(left.ref, plane,
+                                         mc.PAD >> ss), ys, xs,
+                                  np.array([left.mv], np.int32), blk_,
+                                  mc.PAD, ss, bd, kind=interp)
+                p = obmc_ops.blend_left(p, pl, jnp.asarray(mask))
+            preds[plane] = p
+        qy = jnp.asarray(d.qcoeff_y[None])
+        dq = quant.dequantize(qy, quant.QuantParams(*qp_j), cc.TX_16X16)
+        rec_y = tf.inv_txfm2d_add(dq, preds["y"], cc.DCT_DCT,
+                                  cc.TX_16X16, bd=bd)[0]
+        recon_y = recon_y.at[y0:y0 + BLK, x0:x0 + BLK].set(rec_y)
+        for plane, init in (("u", None), ("v", None)):
+            qc = jnp.asarray(getattr(d, f"qcoeff_{plane}")[None])
+            dqc = quant.dequantize(qc, quant.QuantParams(*qp_j),
+                                   cc.TX_8X8)
+            rec_c = tf.inv_txfm2d_add(dqc, preds[plane], cc.DCT_DCT,
+                                      cc.TX_8X8, bd=bd)[0]
+            cy0, cx0 = y0 // 2, x0 // 2
+            if plane == "u":
+                recon_u = recon_u.at[cy0:cy0 + CBLK,
+                                     cx0:cx0 + CBLK].set(rec_c)
+            else:
+                recon_v = recon_v.at[cy0:cy0 + CBLK,
+                                     cx0:cx0 + CBLK].set(rec_c)
+    return recon_y, recon_u, recon_v
 
 
 def _recon_compound_blocks(decisions, refs, recon_y, recon_u, recon_v,
@@ -804,7 +877,8 @@ def _recon_inter_blocks_for_ref(decisions, renum, ref, recon_y, recon_u,
                                 recon_v, qp_j, bd, gm_model=None,
                                 interp=0):
     inter_keys = [k for k, d in decisions.items()
-                  if d.is_inter and d.ref == renum and not d.ref2]
+                  if d.is_inter and d.ref == renum and not d.ref2
+                  and not d.motion_mode]
     if inter_keys:
         ys = np.array([k[0] * 4 for k in inter_keys], np.int32)
         xs = np.array([k[1] * 4 for k in inter_keys], np.int32)
