@@ -176,6 +176,7 @@ class Encoder:
         self._feat = features_for(config.enc_mode)
         # filter-intra: sequence flag + MD pseudo-mode candidates
         self.sp.enable_filter_intra = self._feat.filter_intra
+        self.sp.enable_interintra_compound = self._feat.interintra
         from svt_av1_tpu.codec import constants as cc
         self._md_modes = self._feat.intra_modes
         if self._feat.filter_intra:
@@ -682,7 +683,8 @@ class Encoder:
             cdef_cands=SEARCH_SET[:self._feat.cdef_candidates],
             dlf_on=bool(self.cfg.enable_dlf_flag),
             cdef_on=self.sp.enable_cdef, cdf_state=cdf_state,
-            hp=self._feat.hp_mv, obmc=self._feat.obmc)
+            hp=self._feat.hp_mv, obmc=self._feat.obmc,
+            interintra=self._feat.interintra)
         slot = min(self._slot_free) if ev.store else None
         if ev.store:
             self._slot_free.remove(slot)
@@ -779,6 +781,7 @@ class Encoder:
                            init_nmv=self._slot_state[last_slot][1])
         tenc.enable_filter_intra = self.sp.enable_filter_intra
         tenc.enable_masked_compound = self.sp.enable_masked_compound
+        tenc.enable_interintra = self.sp.enable_interintra_compound
         tenc.is_motion_mode_switchable = fp.is_motion_mode_switchable
         tenc.reference_select = fp.reference_select
         if fp.allow_high_precision_mv:

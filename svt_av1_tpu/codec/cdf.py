@@ -71,6 +71,9 @@ class FrameCDFs:
         self.compound_type = d["compound_type_cdf"].copy()
         self.wedge_idx = d["wedge_idx_cdf"].copy()
         self.obmc = d["obmc_cdf"].copy()
+        self.interintra = d["interintra_cdf"].copy()
+        self.interintra_mode = d["interintra_mode_cdf"].copy()
+        self.wedge_interintra = d["wedge_interintra_cdf"].copy()
         self.seg_tree = d["seg_tree_cdf"].copy()
         self.segment_pred = d["segment_pred_cdf"].copy()
         self.spatial_pred_seg = d["spatial_pred_seg_tree_cdf"].copy()

@@ -94,6 +94,7 @@ class Decoder:
                 tdec.mv_precision = mv_mod.MV_SUBPEL_HIGH
         tdec.enable_filter_intra = self.sp.enable_filter_intra
         tdec.enable_masked_compound = self.sp.enable_masked_compound
+        tdec.enable_interintra = self.sp.enable_interintra_compound
         tdec.is_motion_mode_switchable = fp.is_motion_mode_switchable
         tdec.reference_select = fp.reference_select
         if fp.segmentation is not None:

@@ -46,6 +46,7 @@ class SequenceParams:
     enable_order_hint: bool = False
     order_hint_bits: int = 7
     enable_masked_compound: bool = True   # wedge compound available
+    enable_interintra_compound: bool = False
     enable_superres: bool = False
     enable_cdef: bool = False
     enable_restoration: bool = False
@@ -321,7 +322,7 @@ def write_sequence_header(sp: SequenceParams) -> bytes:
     w.f(int(sp.enable_filter_intra), 1)
     w.f(int(sp.enable_intra_edge_filter), 1)
     if not reduced:
-        w.f(0, 1)   # enable_interintra_compound
+        w.f(int(sp.enable_interintra_compound), 1)
         w.f(int(sp.enable_masked_compound), 1)
         w.f(0, 1)   # enable_warped_motion
         w.f(0, 1)   # enable_dual_filter
@@ -727,8 +728,9 @@ def read_sequence_header(payload: bytes) -> SequenceParams:
     order_hint = 0
     order_hint_bits = 0
     masked_compound = 0
+    interintra = 0
     if not reduced:
-        r.f(1)  # interintra
+        interintra = r.f(1)
         masked_compound = r.f(1)
         r.f(1)  # warped
         r.f(1)  # dual filter
@@ -769,7 +771,8 @@ def read_sequence_header(payload: bytes) -> SequenceParams:
         enable_superres=bool(superres), enable_cdef=bool(cdef),
         enable_restoration=bool(restoration),
         film_grain_params_present=bool(fg), seq_level_idx=level,
-        seq_tier=tier, enable_masked_compound=bool(masked_compound))
+        seq_tier=tier, enable_masked_compound=bool(masked_compound),
+        enable_interintra_compound=bool(interintra))
 
 
 def read_frame_header(r: BitReader, sp: SequenceParams) -> FrameParams:

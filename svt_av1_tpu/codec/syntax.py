@@ -145,6 +145,10 @@ class BlockDecision:
     wedge_sign: int = 0
     # motion mode: 0 = SIMPLE_TRANSLATION, 1 = OBMC_CAUSAL
     motion_mode: int = 0
+    # inter-intra: -1 = off, else II_DC..II_SMOOTH; ii_wedge_idx >= 0
+    # switches the blend to the wedge mask (sign 0)
+    interintra_mode: int = -1
+    ii_wedge_idx: int = -1
     # per-SB adaptive quantization (0 = frame base_q_idx)
     qindex: int = 0
     # recursive filter-intra (y_mode == DC_PRED carrier); -1 = off
@@ -416,6 +420,8 @@ class TileCoderBase:
         self.migrid = mv_pred.MiGrid(self.mi_rows, self.mi_cols)
         # motion-mode switching (frame header bit; OBMC flag coding)
         self.is_motion_mode_switchable = False
+        # inter-intra compound (sequence enable_interintra_compound)
+        self.enable_interintra = False
         # masked compound (wedge): sequence gate + per-mi neighbor
         # contribution for the comp_group_idx context
         # (svt_aom_get_comp_group_idx_context_enc: comp_group_idx of a
@@ -594,6 +600,62 @@ class TileCoderBase:
         if self.update:
             update_cdf(cdf, mm, 2)
         return mm
+
+    def _interintra_allowed(self, bsize, ref2) -> bool:
+        """is_interintra_allowed: sequence gate, single ref, wedge-class
+        sizes (8x8..32x32)."""
+        bw = int(cc.block_size_wide[bsize])
+        bh = int(cc.block_size_high[bsize])
+        return (self.enable_interintra and not ref2
+                and min(bw, bh) >= 8 and max(bw, bh) <= 32)
+
+    def _code_interintra(self, bsize, ii_mode=-1, ii_wedge=-1,
+                         dec=None):
+        """interintra flag + mode [+ wedge flag + index] for an
+        eligible single-ref block (entropy_coding.c:5109-5137).
+        ii_mode: -1 = off, else II_DC..II_SMOOTH.  ii_wedge: -1 =
+        smooth blend, else wedge index (sign fixed 0).  Returns the
+        coded (ii_mode, ii_wedge)."""
+        grp = int(SIZE_GROUP[bsize])
+        fcdf = self.cdfs.interintra[grp]
+        use = int(ii_mode >= 0)
+        if dec is None:
+            self.enc.encode_symbol(use, fcdf, 2)
+        else:
+            use = dec.read_symbol(fcdf, 2)
+        if self.update:
+            update_cdf(fcdf, use, 2)
+        if not use:
+            return -1, -1
+        mcdf = self.cdfs.interintra_mode[grp]
+        if dec is None:
+            self.enc.encode_symbol(ii_mode, mcdf, 4)
+            mm = ii_mode
+        else:
+            mm = dec.read_symbol(mcdf, 4)
+        if self.update:
+            update_cdf(mcdf, mm, 4)
+        # wedge-interintra availability == wedge sizes, which equals
+        # the interintra eligibility set (8x8..32x32) — always coded
+        wi = -1
+        wcdf = self.cdfs.wedge_interintra[bsize]
+        uw = int(ii_wedge >= 0)
+        if dec is None:
+            self.enc.encode_symbol(uw, wcdf, 2)
+        else:
+            uw = dec.read_symbol(wcdf, 2)
+        if self.update:
+            update_cdf(wcdf, uw, 2)
+        if uw:
+            icdf = self.cdfs.wedge_idx[bsize]
+            if dec is None:
+                self.enc.encode_symbol(ii_wedge, icdf, 16)
+                wi = ii_wedge
+            else:
+                wi = dec.read_symbol(icdf, 16)
+            if self.update:
+                update_cdf(icdf, wi, 16)
+        return mm, wi
 
     def _masked_compound_allowed(self, bsize) -> bool:
         """is_any_masked_compound_used: wedge codebooks exist for
@@ -936,8 +998,14 @@ class TileEncoder(TileCoderBase):
                         mv_mod.encode_mv(enc, d.mv, stack.mvs[0],
                                          self.nmv, self.mv_precision,
                                          update=self.update)
-                    self._code_motion_mode(r4, c4, bsize, d.use_warp,
-                                           d.motion_mode)
+                    if self._interintra_allowed(bsize, d.ref2):
+                        self._code_interintra(bsize, d.interintra_mode,
+                                              d.ii_wedge_idx)
+                    if d.interintra_mode < 0:
+                        # rf[1] == INTRA_FRAME skips motion_mode
+                        self._code_motion_mode(r4, c4, bsize,
+                                               d.use_warp,
+                                               d.motion_mode)
             else:
                 grp = int(SIZE_GROUP[bsize])
                 cdf = cdfs.y_mode[grp]
@@ -1220,6 +1288,7 @@ class TileDecoder(TileCoderBase):
         ref2 = 0
         comp_type = wedge_idx = wedge_sign = 0
         motion_mode = 0
+        ii_mode = ii_wedge = -1
         use_warp = False
         ref = mv_pred.LAST_FRAME
         y_mode = cc.DC_PRED
@@ -1301,8 +1370,12 @@ class TileDecoder(TileCoderBase):
                         # (spec 7.11.3: >= 8x8 with a valid shear)
                         if gm_model is not None and len(gm_model) == 6:
                             use_warp = True
-                    motion_mode = self._code_motion_mode(
-                        r4, c4, bsize, use_warp, dec=dec)
+                    if self._interintra_allowed(bsize, 0):
+                        ii_mode, ii_wedge = self._code_interintra(
+                            bsize, dec=dec)
+                    if ii_mode < 0:
+                        motion_mode = self._code_motion_mode(
+                            r4, c4, bsize, use_warp, dec=dec)
             else:
                 grp = int(SIZE_GROUP[bsize])
                 cdf = cdfs.y_mode[grp]
@@ -1399,7 +1472,8 @@ class TileDecoder(TileCoderBase):
             is_inter=is_inter, mv=mv, ref=ref, use_warp=use_warp,
             ref2=ref2, mv2=mv2, comp_type=comp_type,
             wedge_idx=wedge_idx, wedge_sign=wedge_sign,
-            motion_mode=motion_mode,
+            motion_mode=motion_mode, interintra_mode=ii_mode,
+            ii_wedge_idx=ii_wedge,
             angle_delta_y=angle_y, angle_delta_uv=angle_uv,
             cfl_alpha_u=cfl_au, cfl_alpha_v=cfl_av,
             qindex=(self.current_qindex

@@ -117,13 +117,13 @@ def _sharded_inter_step(mesh: Mesh, h: int, w: int, R: int, modes,
         outs = p1(src_pack, refs_y, refs_u, refs_v, zbin, rnd, qv,
                   qshift, deq, lam, cy_t, cuv_t, txbb, modeb, uvb,
                   eoby, eobuv)
-        qy_f, qu_f, qv_f = outs[14], outs[15], outs[16]
+        qy_f, qu_f, qv_f = outs[15], outs[16], outs[17]
         skip16 = ((jnp.abs(qy_f).max(axis=1) == 0)
                   & (jnp.abs(qu_f).max(axis=1) == 0)
                   & (jnp.abs(qv_f).max(axis=1) == 0)).reshape(gh, gw)
         inter16 = outs[5].reshape(gh, gw)
         p2_outs = p2(src_pack, outs[0], outs[1], outs[2], skip16,
-                     dlf_y, dlf_uv, cands, damping, outs[21], inter16)
+                     dlf_y, dlf_uv, cands, damping, outs[22], inter16)
         return tuple(outs) + tuple(p2_outs)
 
     batched = jax.vmap(step, in_axes=(0,) * 19 + (None, 0))
@@ -131,7 +131,7 @@ def _sharded_inter_step(mesh: Mesh, h: int, w: int, R: int, modes,
     rep = NamedSharding(mesh, P())
     return jax.jit(batched,
                    in_shardings=(s,) * 19 + (rep, s),
-                   out_shardings=(s,) * 28)
+                   out_shardings=(s,) * 29)
 
 
 def run_inter_frames_sharded(src_packs, refs_per_stream, qindices,
@@ -192,8 +192,8 @@ def run_inter_frames_sharded(src_packs, refs_per_stream, qindices,
                    dlf_y, dlf_uv, cands, damp)
     pends = []
     for i in range(N):
-        outs = [o[i] for o in out[:22]]
-        p2_outs = [o[i] for o in out[22:]]
+        outs = [o[i] for o in out[:23]]
+        p2_outs = [o[i] for o in out[23:]]
         pend = gf.PendingInterFrame(outs, p2_outs, ref_enums, h, w,
                                     qindices[i])
         pend.cdef_cands = cands

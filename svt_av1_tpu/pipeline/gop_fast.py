@@ -412,6 +412,8 @@ _DIFFWTD_EXTRA_BITS = 3.0
 # OBMC motion-mode flag cost (obmc_cdf leans to SIMPLE, so the OBMC
 # branch pays ~1 extra bit over the flag-0 side)
 _OBMC_FLAG_BITS = 1.2
+# interintra flag + mode (+ wedge flag 0) over the flag-0 side
+_II_EXTRA_BITS = 3.0
 
 
 def _eval_pair(src_y, src_u, src_v, p0, p1, mv0, mv1, ys, xs, qp, lam,
@@ -563,14 +565,14 @@ def _eval_pair(src_y, src_u, src_v, p0, p1, mv0, mv1, ys, xs, qp, lam,
 
 @functools.lru_cache(maxsize=None)
 def _jit_p1(h, w, R, modes, bd=8, ring=True, compound=True,
-            rad2=8, rad0=7, hp=False, obmc=False):
+            rad2=8, rad0=7, hp=False, obmc=False, interintra=False):
     return jax.jit(_build_p1(h, w, R, modes, bd, ring, compound,
-                             rad2, rad0, hp, obmc))
+                             rad2, rad0, hp, obmc, interintra))
 
 
 @functools.lru_cache(maxsize=None)
 def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
-              rad2=8, rad0=7, hp=False, obmc=False):
+              rad2=8, rad0=7, hp=False, obmc=False, interintra=False):
     """Unjitted P1 (17 inputs -> 20 outputs); pure traced JAX, so the
     multi-stream path can vmap it over a stream axis before jitting."""
     gh, gw = h // BLK, w // BLK
@@ -743,8 +745,9 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
         qy_acc = jnp.zeros((nw, maxb, BLK, BLK), jnp.int16)
         qu_acc = jnp.zeros((nw, maxb, CBLK, CBLK), jnp.int16)
         qv_acc = jnp.zeros((nw, maxb, CBLK, CBLK), jnp.int16)
-        # OBMC accumulators (flag + its own skip + q arrays)
+        # OBMC / inter-intra accumulators (flags + alt skip + q arrays)
         ob_acc = jnp.zeros((nw, maxb), bool)
+        ii_acc = jnp.full((nw, maxb), -1, jnp.int32)
         obs_acc = jnp.zeros((nw, maxb), bool)
         qyo_acc = jnp.zeros((nw, maxb, BLK, BLK), jnp.int16)
         quo_acc = jnp.zeros((nw, maxb, CBLK, CBLK), jnp.int16)
@@ -766,46 +769,10 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
                 out = jnp.where((ridx == r)[:, None, None], pr, out)
             return out
 
-        def _obmc_alt(i, ca_flat, by, bx, va):
-            """OBMC_CAUSAL alternative for this wave's blocks: blend
-            the base prediction with ABOVE then LEFT neighbor-MV
-            predictions (enc_inter_prediction.c:1428-1523 order and
-            normative masks) and full joint RD — the motion-mode MD of
-            the reference's inter depth (SIMPLE vs OBMC)."""
-            from svt_av1_tpu.ops import obmc as obmc_ops
-            bid = by * gw + bx
-            ys_ = by * BLK
-            xs_ = bx * BLK
-            mv_self = imv[bid]
-            ridx = iref_idx[bid].astype(jnp.int32)
-            abid = jnp.maximum(bid - gw, 0)
-            lbid = jnp.maximum(bid - 1, 0)
-            a_int = (by > 0) & ca_flat[perm_j[abid]]
-            l_int = (bx > 0) & ca_flat[perm_j[lbid]]
-            el = (va & ~icomp[bid] & ~iwarp[bid] & (a_int | l_int))
-            pred = _sel_ref_mc(refps_y, ys_, xs_, mv_self, ridx, BLK, 0)
-            pred_u = _sel_ref_mc(refps_u, ys_ // 2, xs_ // 2, mv_self,
-                                 ridx, CBLK, 1)
-            pred_v = _sel_ref_mc(refps_v, ys_ // 2, xs_ // 2, mv_self,
-                                 ridx, CBLK, 1)
-            my = jnp.asarray(obmc_ops.MASK_Y16)
-            mc8 = jnp.asarray(obmc_ops.MASK_C8)
-            for nbid, on, blend in ((abid, a_int, "above"),
-                                    (lbid, l_int, "left")):
-                nmv = imv[nbid]
-                nridx = iref_idx[nbid].astype(jnp.int32)
-                pa = _sel_ref_mc(refps_y, ys_, xs_, nmv, nridx, BLK, 0)
-                pau = _sel_ref_mc(refps_u, ys_ // 2, xs_ // 2, nmv,
-                                  nridx, CBLK, 1)
-                pav = _sel_ref_mc(refps_v, ys_ // 2, xs_ // 2, nmv,
-                                  nridx, CBLK, 1)
-                fn = (obmc_ops.blend_above if blend == "above"
-                      else obmc_ops.blend_left)
-                o3 = on[:, None, None]
-                pred = jnp.where(o3, fn(pred, pa, my), pred)
-                pred_u = jnp.where(o3, fn(pred_u, pau, mc8), pred_u)
-                pred_v = jnp.where(o3, fn(pred_v, pav, mc8), pred_v)
-            # joint RD (mirrors _eval_ref cost structure + flag bits)
+        def _rd_joint(pred, pred_u, pred_v, mvb, ys_, xs_):
+            """Joint luma+chroma RD of an alternative inter prediction
+            (mirrors the _eval_ref cost structure).  Returns
+            (tot, skip, cost_y, rec_y, qy, rec_u, qu, rec_v, qv)."""
             offs_ = jnp.arange(BLK)
             rws = ys_[:, None, None] + offs_[None, :, None]
             cls_ = xs_[:, None, None] + offs_[None, None, :]
@@ -814,7 +781,6 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
             qc, dq = quant.quantize(coeffs, qpp_b, cc.TX_16X16)
             dist = s2y * jnp.sum((coeffs - dq.astype(jnp.float32)) ** 2,
                                  axis=(1, 2))
-            mvb = _mv_bits(mv_self) + _OBMC_FLAG_BITS
             bits = _txb_bits(jnp.abs(qc), cy_t, txbb[0], eoby,
                              pos16) + mvb
             coded_y = dist + lam * bits
@@ -844,9 +810,7 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
             skip_tot = skip_y + su_o + sv_o
             oskip = skip_tot < coded_tot
             s3 = oskip[:, None, None]
-            otot = jnp.where(oskip, skip_tot, coded_tot)
-            ow = el & (otot < cost_tot[bid])
-            return (ow, oskip,
+            return (jnp.where(oskip, skip_tot, coded_tot), oskip,
                     jnp.where(oskip, skip_y,
                               jnp.minimum(coded_y, skip_y)),
                     jnp.where(s3, pred, rec_cod),
@@ -856,9 +820,115 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
                     jnp.where(s3, pv_o, rec_v_o),
                     jnp.where(s3, 0, qv_o))
 
+        def _base_preds(bid, ys_, xs_):
+            mv_self = imv[bid]
+            ridx = iref_idx[bid].astype(jnp.int32)
+            return (_sel_ref_mc(refps_y, ys_, xs_, mv_self, ridx,
+                                BLK, 0),
+                    _sel_ref_mc(refps_u, ys_ // 2, xs_ // 2, mv_self,
+                                ridx, CBLK, 1),
+                    _sel_ref_mc(refps_v, ys_ // 2, xs_ // 2, mv_self,
+                                ridx, CBLK, 1))
+
+        def _obmc_alt(ca_flat, by, bx, va, base, ys_, xs_):
+            """OBMC_CAUSAL alternative: blend the base prediction with
+            ABOVE then LEFT neighbor-MV predictions
+            (enc_inter_prediction.c:1428-1523 order and normative
+            masks) and full joint RD — the motion-mode MD of the
+            reference's inter depth (SIMPLE vs OBMC)."""
+            from svt_av1_tpu.ops import obmc as obmc_ops
+            bid = by * gw + bx
+            abid = jnp.maximum(bid - gw, 0)
+            lbid = jnp.maximum(bid - 1, 0)
+            a_int = (by > 0) & ca_flat[perm_j[abid]]
+            l_int = (bx > 0) & ca_flat[perm_j[lbid]]
+            el = (va & ~icomp[bid] & ~iwarp[bid] & (a_int | l_int))
+            pred, pred_u, pred_v = base
+            my = jnp.asarray(obmc_ops.MASK_Y16)
+            mc8 = jnp.asarray(obmc_ops.MASK_C8)
+            for nbid, on, blend in ((abid, a_int, "above"),
+                                    (lbid, l_int, "left")):
+                nmv = imv[nbid]
+                nridx = iref_idx[nbid].astype(jnp.int32)
+                pa = _sel_ref_mc(refps_y, ys_, xs_, nmv, nridx, BLK, 0)
+                pau = _sel_ref_mc(refps_u, ys_ // 2, xs_ // 2, nmv,
+                                  nridx, CBLK, 1)
+                pav = _sel_ref_mc(refps_v, ys_ // 2, xs_ // 2, nmv,
+                                  nridx, CBLK, 1)
+                fn = (obmc_ops.blend_above if blend == "above"
+                      else obmc_ops.blend_left)
+                o3 = on[:, None, None]
+                pred = jnp.where(o3, fn(pred, pa, my), pred)
+                pred_u = jnp.where(o3, fn(pred_u, pau, mc8), pred_u)
+                pred_v = jnp.where(o3, fn(pred_v, pav, mc8), pred_v)
+            mvb = _mv_bits(imv[bid]) + _OBMC_FLAG_BITS
+            out = _rd_joint(pred, pred_u, pred_v, mvb, ys_, xs_)
+            ow = el & (out[0] < cost_tot[bid])
+            return (ow,) + out
+
+        def _ii_alt(ry, ru, rv, by, bx, va, ha, hl, base, ys_, xs_):
+            """Inter-intra alternative: 4 smooth-mask blends of the
+            base inter prediction with DC/V/H/SMOOTH intra predictions
+            from the causal wave recon; SSE picks the mode, one exact
+            joint RD prices the winner (inter_intra MD role of the
+            reference's compound search)."""
+            from svt_av1_tpu.ops import interintra as ii_ops
+            from svt_av1_tpu.ops import intra as intra_ops
+            from svt_av1_tpu.pipeline.intra_encoder import \
+                _gather_neighbors
+            bid = by * gw + bx
+            el = va & ~icomp[bid] & ~iwarp[bid]
+            offs_ = jnp.arange(BLK)
+            rws = ys_[:, None, None] + offs_[None, :, None]
+            cls_ = xs_[:, None, None] + offs_[None, None, :]
+            srcb = src_y[rws, cls_]
+            pred, pred_u, pred_v = base
+            ab, lf, crn = _gather_neighbors(ry, ys_, xs_, BLK, ha, hl,
+                                            bd=bd)
+            ii_modes = (cc.DC_PRED, cc.V_PRED, cc.H_PRED,
+                        cc.SMOOTH_PRED)
+            blends = []
+            sses = []
+            for mi_, im in enumerate(ii_modes):
+                ip = intra_ops.predict(im, ab, lf, crn, BLK, BLK,
+                                       have_above=ha, have_left=hl,
+                                       bd=bd)
+                bl = ii_ops.blend(ip, pred,
+                                  jnp.asarray(ii_ops.MASKS_Y16[mi_]))
+                blends.append(bl)
+                d_ = (srcb - bl).astype(jnp.float32)
+                sses.append(jnp.sum(d_ * d_, axis=(1, 2)))
+            sse = jnp.stack(sses)
+            best = jnp.argmin(sse, axis=0).astype(jnp.int32)
+            pick = blends[0]
+            for mi_ in range(1, 4):
+                pick = jnp.where((best == mi_)[:, None, None],
+                                 blends[mi_], pick)
+            # chroma: winner mode at 8x8 with the chroma mask
+            abu, lfu, crnu = _gather_neighbors(ru, ys_ // 2, xs_ // 2,
+                                               CBLK, ha, hl, bd=bd)
+            abv, lfv, crnv = _gather_neighbors(rv, ys_ // 2, xs_ // 2,
+                                               CBLK, ha, hl, bd=bd)
+            pu = pred_u
+            pv = pred_v
+            for mi_, im in enumerate(ii_modes):
+                mu8 = jnp.asarray(ii_ops.MASKS_UV8[mi_])
+                ipu = intra_ops.predict(im, abu, lfu, crnu, CBLK, CBLK,
+                                        have_above=ha, have_left=hl,
+                                        bd=bd)
+                ipv = intra_ops.predict(im, abv, lfv, crnv, CBLK, CBLK,
+                                        have_above=ha, have_left=hl,
+                                        bd=bd)
+                t3 = (best == mi_)[:, None, None]
+                pu = jnp.where(t3, ii_ops.blend(ipu, pred_u, mu8), pu)
+                pv = jnp.where(t3, ii_ops.blend(ipv, pred_v, mu8), pv)
+            mvb = _mv_bits(imv[bid]) + _II_EXTRA_BITS
+            out = _rd_joint(pick, pu, pv, mvb, ys_, xs_)
+            return (el, best) + out
+
         def body(i, carry):
-            (ry, ru, rv, ma, uma, ca, qya, qua, qva, oa, osa, qyo, quo,
-             qvo) = carry
+            (ry, ru, rv, ma, uma, ca, qya, qua, qva, oa, iia, osa, qyo,
+             quo, qvo) = carry
             by = jnp.asarray(bys)[i]
             bx = jnp.asarray(bxs)[i]
             va = jnp.asarray(valid)[i]
@@ -871,19 +941,57 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
             irec_v_b = irec_v[bid]
             ow = jnp.zeros_like(va)
             osk = jnp.zeros_like(va)
-            if obmc:
-                (ow, osk, ocost_y, orec_y, oqy, orec_u, oqu, orec_v,
-                 oqv) = _obmc_alt(i, ca.reshape(-1), by, bx, va)
-                o3 = ow[:, None, None]
-                icost = jnp.where(ow, ocost_y, icost)
-                irec = jnp.where(o3, orec_y, irec)
-                irec_u_b = jnp.where(o3, orec_u, irec_u_b)
-                irec_v_b = jnp.where(o3, orec_v, irec_v_b)
-                qyo = qyo.at[i].set(jnp.where(o3, oqy, 0)
+            iimode = jnp.full(va.shape, -1, jnp.int32)
+            if obmc or interintra:
+                ys_ = by * BLK
+                xs_ = bx * BLK
+                base = _base_preds(bid, ys_, xs_)
+                best_tot = cost_tot[bid]
+                alt_q = None
+                if obmc:
+                    (ow, otot, osk, ocost_y, orec_y, oqy, orec_u, oqu,
+                     orec_v, oqv) = _obmc_alt(ca.reshape(-1), by, bx,
+                                              va, base, ys_, xs_)
+                    best_tot = jnp.where(ow, otot, best_tot)
+                    alt_q = (ow, osk, ocost_y, orec_y, oqy, orec_u,
+                             oqu, orec_v, oqv)
+                if interintra:
+                    (el_ii, iibest, itot, iskp, iicost_y, iirec_y,
+                     iiqy, iirec_u, iiqu, iirec_v, iiqv) = _ii_alt(
+                        ry, ru, rv, by, bx, va, ha, hl, base, ys_, xs_)
+                    iw = el_ii & (itot < best_tot)
+                    iimode = jnp.where(iw, iibest, -1)
+                    if alt_q is None:
+                        alt_q = (iw, iskp, iicost_y, iirec_y, iiqy,
+                                 iirec_u, iiqu, iirec_v, iiqv)
+                    else:
+                        merged_alt = []
+                        for a, b_ in zip(alt_q,
+                                         (iw, iskp, iicost_y, iirec_y,
+                                          iiqy, iirec_u, iiqu, iirec_v,
+                                          iiqv)):
+                            shp = iw.reshape(
+                                iw.shape + (1,) * (a.ndim - 1))
+                            merged_alt.append(
+                                jnp.where(shp, b_, a)
+                                if a.ndim > 1 else
+                                jnp.where(iw, b_, a))
+                        merged_alt[0] = alt_q[0] | iw
+                        alt_q = tuple(merged_alt)
+                        ow = ow & ~iw
+                (aw, ask, acost_y, arec_y, aqy, arec_u, aqu, arec_v,
+                 aqv) = alt_q
+                a3 = aw[:, None, None]
+                icost = jnp.where(aw, acost_y, icost)
+                irec = jnp.where(a3, arec_y, irec)
+                irec_u_b = jnp.where(a3, arec_u, irec_u_b)
+                irec_v_b = jnp.where(a3, arec_v, irec_v_b)
+                osk = jnp.where(aw, ask, osk)
+                qyo = qyo.at[i].set(jnp.where(a3, aqy, 0)
                                     .astype(jnp.int16))
-                quo = quo.at[i].set(jnp.where(o3, oqu, 0)
+                quo = quo.at[i].set(jnp.where(a3, aqu, 0)
                                     .astype(jnp.int16))
-                qvo = qvo.at[i].set(jnp.where(o3, oqv, 0)
+                qvo = qvo.at[i].set(jnp.where(a3, aqv, 0)
                                     .astype(jnp.int16))
             m, q, ry, choose = _rd_step(
                 ry, src_y, by * BLK, bx * BLK, va, ha, hl, qp_t, lam,
@@ -904,15 +1012,16 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
                     qua.at[i].set(qu_.astype(jnp.int16)),
                     qva.at[i].set(qv2.astype(jnp.int16)),
                     oa.at[i].set(ow & choose),
+                    iia.at[i].set(jnp.where(choose, iimode, -1)),
                     osa.at[i].set(osk), qyo, quo, qvo)
 
         init = (jnp.zeros((h, w), jnp.int32),
                 jnp.zeros((h // 2, w // 2), jnp.int32),
                 jnp.zeros((h // 2, w // 2), jnp.int32),
                 modes_acc, uv_acc0, choose_acc, qy_acc, qu_acc, qv_acc,
-                ob_acc, obs_acc, qyo_acc, quo_acc, qvo_acc)
-        (ry, ru, rv, ma, uma, ca, qya, qua, qva, oa, osa, qyo, quo,
-         qvo) = jax.lax.fori_loop(0, nw, body, init)
+                ob_acc, ii_acc, obs_acc, qyo_acc, quo_acc, qvo_acc)
+        (ry, ru, rv, ma, uma, ca, qya, qua, qva, oa, iia, osa, qyo,
+         quo, qvo) = jax.lax.fori_loop(0, nw, body, init)
 
         # dense raster re-layout + device-side decision merge
         pj = jnp.asarray(perm)
@@ -923,8 +1032,10 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
         quB = qua.reshape(nw * maxb, CBLK * CBLK)[pj]
         qvB = qva.reshape(nw * maxb, CBLK * CBLK)[pj]
         iobmc = oa.reshape(-1)[pj] & choose
-        if obmc:
-            o2 = iobmc[:, None]
+        iimodes = jnp.where(choose, iia.reshape(-1)[pj], -1)
+        if obmc or interintra:
+            alt = iobmc | (iimodes >= 0)
+            o2 = alt[:, None]
             iqy = jnp.where(
                 o2, qyo.reshape(nw * maxb, BLK * BLK)[pj]
                 .astype(jnp.int32), iqy.reshape(nb, -1))
@@ -934,7 +1045,7 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
             iqv = jnp.where(
                 o2, qvo.reshape(nw * maxb, CBLK * CBLK)[pj]
                 .astype(jnp.int32), iqv.reshape(nb, -1))
-            iskip = jnp.where(iobmc, osa.reshape(-1)[pj], iskip)
+            iskip = jnp.where(alt, osa.reshape(-1)[pj], iskip)
         else:
             iqy = iqy.reshape(nb, -1)
             iqu = iqu.reshape(nb, -1)
@@ -962,7 +1073,7 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
         # OBMC blocks keep theirs (the merged 32 would re-derive its
         # own overlap blend)
         eligible = (choose & iskip & ~(iwarp & choose)
-                    & (iwedge < 0) & ~iobmc)
+                    & (iwedge < 0) & ~iobmc & (iimodes < 0))
 
         def grp(a):
             a2 = a.reshape(gh, gw, -1)[:gh2 * 2, :gw2 * 2]
@@ -991,7 +1102,7 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
                 choose, iskip & choose,
                 imv.astype(jnp.int16), imv2.astype(jnp.int16),
                 iref_idx.astype(jnp.uint8), icomp, iwarp & choose,
-                iwedge.astype(jnp.int8), iobmc,
+                iwedge.astype(jnp.int8), iobmc, iimodes.astype(jnp.int8),
                 qy_f, qu_f, qv_f, gm_mats, gm_trans, gm_kinds, interp,
                 merge32)
 
@@ -1385,7 +1496,8 @@ def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
                     ring: bool = True, rad2: int = 8, rad0: int = 7,
                     cdef_cands=None, dlf_on: bool = True,
                     cdef_on: bool = True, cdf_state=None,
-                    hp: bool = False, obmc: bool = False):
+                    hp: bool = False, obmc: bool = False,
+                    interintra: bool = False):
     """Dispatch P1+P2 for one inter frame.  refs: {ref_enum: device
     plane dict} in MD priority order (LAST first).  Returns
     PendingInterFrame; finish with collect_inter_frame.
@@ -1407,7 +1519,7 @@ def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
     lam = np.float32(0.7 * qstep * qstep)
     rt = md_rate_args(qindex, tuple(modes), _UV_MODES(), cdf_state)
     p1 = _jit_p1(h, w, R, tuple(modes), bd, ring, R == 2, rad2, rad0,
-                 hp, obmc)
+                 hp, obmc, interintra)
     outs = p1(src_pack_u8, refs_y, refs_u, refs_v,
               *(np.asarray(a) for a in qp), lam,
               rt[0], rt[1], rt[2], rt[3], rt[4], rt[5], rt[6])
@@ -1416,7 +1528,7 @@ def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
                        else SEARCH_SET, np.int32)
     p2 = _jit_p2(h, w, bd, len(cands), dlf_on, cdef_on, masked=True)
     # skip16 from the final coeff arrays (device)
-    qy_f, qu_f, qv_f = outs[14], outs[15], outs[16]
+    qy_f, qu_f, qv_f = outs[15], outs[16], outs[17]
     skip16 = ((jnp.abs(qy_f).max(axis=1) == 0)
               & (jnp.abs(qu_f).max(axis=1) == 0)
               & (jnp.abs(qv_f).max(axis=1) == 0)).reshape(h // BLK,
@@ -1426,7 +1538,7 @@ def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
                  dlf_ladder_params(qindex, False),
                  dlf_ladder_params(qindex, True),
                  cands, np.int32(cdef_damping(qindex)),
-                 outs[21], inter16)
+                 outs[22], inter16)
     pend = PendingInterFrame(outs, p2_outs, ref_enums, h, w, qindex)
     pend.cdef_cands = cands
     pend.cdef_on = cdef_on
@@ -1525,8 +1637,8 @@ def collect_inter_frame(pend: PendingInterFrame, bd: int = 8):
     small = list(pend.outs[3:]) + [pend.p2_outs[3], pend.p2_outs[5]]
     pulled = jax.device_get(small)
     (ymode, umode, choose, iskip, imv, imv2, iref_idx, icomp, iwarp,
-     iwedge, iobmc, qy_f, qu_f, qv_f, gm_mats, gm_trans, gm_kinds,
-     interp, merge32, dlf_levels, best_ci) = pulled
+     iwedge, iobmc, iimodes, qy_f, qu_f, qv_f, gm_mats, gm_trans,
+     gm_kinds, interp, merge32, dlf_levels, best_ci) = pulled
     rec_y, rec_u, rec_v = pend.recon["y"], pend.recon["u"], pend.recon["v"]
 
     cdef_info = None
@@ -1593,7 +1705,8 @@ def collect_inter_frame(pend: PendingInterFrame, bd: int = 8):
                 mv2=((int(imv2[bid, 0]), int(imv2[bid, 1]))
                      if icomp[bid] else (0, 0)),
                 comp_type=ctyp, wedge_idx=widx_, wedge_sign=wsgn,
-                motion_mode=int(bool(iobmc[bid])))
+                motion_mode=int(bool(iobmc[bid])),
+                interintra_mode=int(iimodes[bid]))
         else:
             decisions[(r4, c4)] = BlockDecision(
                 r4=r4, c4=c4, bsize=cc.BLOCK_16X16,

@@ -682,6 +682,13 @@ def reconstruct_inter_from_decisions(decisions: Dict, ref,
     for by in range(gh):
         for bx in range(gw):
             d = decisions[(by * 4, bx * 4)]
+            if d.is_inter and d.interintra_mode >= 0:
+                # inter-intra: needs the causal recon for its intra
+                # component, so it reconstructs in coding order here
+                recon_y, recon_u, recon_v = _recon_interintra_block(
+                    d, refs, recon_y, recon_u, recon_v, qp_j, bd,
+                    interp, by, bx, gh, gw)
+                continue
             if d.is_inter:
                 continue
             tr, bl = tr_bl_avail(by, bx, gh, gw)
@@ -699,6 +706,68 @@ def reconstruct_inter_from_decisions(decisions: Dict, ref,
     return dict(y=np.asarray(recon_y).astype(dt),
                 u=np.asarray(recon_u).astype(dt),
                 v=np.asarray(recon_v).astype(dt))
+
+
+def _recon_interintra_block(d, refs, recon_y, recon_u, recon_v, qp_j,
+                            bd, interp, by, bx, gh, gw):
+    """Inter-intra reconstruction for one block (coding order): intra
+    component from the causal recon neighbors, inter component from the
+    single ref, pixel-domain AOM_BLEND_A64 with the smooth ii mask (or
+    the sign-0 wedge mask), then the residual
+    (combine_interintra, inter_prediction.c:2183-2214)."""
+    from svt_av1_tpu.ops import interintra as ii_ops
+    from svt_av1_tpu.ops import wedge as wedge_ops
+    from svt_av1_tpu.pipeline.intra_encoder import _gather_neighbors
+    from svt_av1_tpu.ops import intra as intra_ops
+    ii_to_intra = (cc.DC_PRED, cc.V_PRED, cc.H_PRED, cc.SMOOTH_PRED)
+    imode = ii_to_intra[d.interintra_mode]
+    y0, x0 = d.r4 * 4, d.c4 * 4
+    outs = {}
+    for plane, blk_, ss in (("y", BLK, 0), ("u", CBLK, 1),
+                            ("v", CBLK, 1)):
+        rec = recon_y if plane == "y" else (recon_u if plane == "u"
+                                            else recon_v)
+        ys = jnp.asarray([y0 >> ss], jnp.int32)
+        xs = jnp.asarray([x0 >> ss], jnp.int32)
+        ha = jnp.asarray([by > 0])
+        hl = jnp.asarray([bx > 0])
+        above, left, corner = _gather_neighbors(rec, ys, xs, blk_,
+                                                ha, hl, bd=bd)
+        ipred = intra_ops.predict(imode, above, left, corner, blk_,
+                                  blk_, have_above=ha, have_left=hl,
+                                  bd=bd)
+        refp = jnp.asarray(mc.pad_plane(
+            refs[d.ref][plane].astype(np.int32), mc.PAD >> ss))
+        mpred = mc.mc_blocks(refp, np.array([y0 >> ss], np.int32),
+                             np.array([x0 >> ss], np.int32),
+                             np.array([d.mv], np.int32), blk_, mc.PAD,
+                             ss, bd, kind=interp)
+        if d.ii_wedge_idx >= 0:
+            m = (wedge_ops.masks_16 if ss == 0
+                 else wedge_ops.masks_16_uv)[0, d.ii_wedge_idx] \
+                .astype(np.int32)
+        else:
+            m = (ii_ops.MASKS_Y16 if ss == 0
+                 else ii_ops.MASKS_UV8)[d.interintra_mode]
+        outs[plane] = ii_ops.blend(ipred, mpred, jnp.asarray(m))
+    qy = jnp.asarray(d.qcoeff_y[None])
+    dq = quant.dequantize(qy, quant.QuantParams(*qp_j), cc.TX_16X16)
+    rec_y = tf.inv_txfm2d_add(dq, outs["y"], cc.DCT_DCT, cc.TX_16X16,
+                              bd=bd)[0]
+    recon_y = recon_y.at[y0:y0 + BLK, x0:x0 + BLK].set(rec_y)
+    cy0, cx0 = y0 // 2, x0 // 2
+    for plane in ("u", "v"):
+        qc = jnp.asarray(getattr(d, f"qcoeff_{plane}")[None])
+        dqc = quant.dequantize(qc, quant.QuantParams(*qp_j), cc.TX_8X8)
+        rec_c = tf.inv_txfm2d_add(dqc, outs[plane], cc.DCT_DCT,
+                                  cc.TX_8X8, bd=bd)[0]
+        if plane == "u":
+            recon_u = recon_u.at[cy0:cy0 + CBLK,
+                                 cx0:cx0 + CBLK].set(rec_c)
+        else:
+            recon_v = recon_v.at[cy0:cy0 + CBLK,
+                                 cx0:cx0 + CBLK].set(rec_c)
+    return recon_y, recon_u, recon_v
 
 
 def _recon_obmc_blocks(decisions, refs, recon_y, recon_u, recon_v,
@@ -878,7 +947,7 @@ def _recon_inter_blocks_for_ref(decisions, renum, ref, recon_y, recon_u,
                                 interp=0):
     inter_keys = [k for k, d in decisions.items()
                   if d.is_inter and d.ref == renum and not d.ref2
-                  and not d.motion_mode]
+                  and not d.motion_mode and d.interintra_mode < 0]
     if inter_keys:
         ys = np.array([k[0] * 4 for k in inter_keys], np.int32)
         xs = np.array([k[1] * 4 for k in inter_keys], np.int32)

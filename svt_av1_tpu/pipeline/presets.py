@@ -40,6 +40,7 @@ class PresetFeatures:
     hp_mv: bool = False      # 1/8-pel MVs + subpel refinement ring
                              # (allow_high_precision_mv)
     obmc: bool = False       # OBMC_CAUSAL motion mode (overlapped MC)
+    interintra: bool = False  # inter-intra compound (smooth blend)
 
 
 def features_for(enc_mode: int) -> PresetFeatures:
@@ -49,12 +50,14 @@ def features_for(enc_mode: int) -> PresetFeatures:
                               tuple(range(16)), 3, varpart=True,
                               tx_search=True, angle_deltas=True,
                               cfl=True, dlf_search=True, cdef_sb=True,
-                              filter_intra=True, obmc=True)
+                              filter_intra=True, obmc=True,
+                              interintra=True)
     if m <= 8:
         return PresetFeatures(_ALL_MODES[:8], 8, 5, True, 6,
                               tuple(range(0, 16, 2)), 3, tx_search=True,
                               angle_deltas=True, cfl=True,
-                              dlf_search=True, obmc=True)
+                              dlf_search=True, obmc=True,
+                              interintra=True)
     if m <= 11:
         return PresetFeatures(_ALL_MODES[:6], 6, 4, True, 4,
                               (0, 4, 8, 12), 4)
