@@ -93,14 +93,17 @@ def test_mctf_altref_minigop_saves_bits():
     still = np.clip(110 + 60 * np.sin(xx / 9.0) * np.cos(yy / 11.0),
                     0, 255)
     frames = []
+    # noise must survive quantization at the test qp or both encodes
+    # collapse to all-skip GOPs and TF cannot show a difference (the
+    # round-3 compound tools absorb +-9 noise at qp 35)
     for t in range(9):
-        y = np.clip(still + rng.integers(-9, 10, (h, w)), 0,
+        y = np.clip(still + rng.integers(-16, 17, (h, w)), 0,
                     255).astype(np.uint8)
         u = np.full((h // 2, w // 2), 120, np.uint8)
         frames.append((y, u.copy(), u.copy()))
 
     def run(tf):
-        cfg = EncoderConfig(source_width=w, source_height=h, qp=35,
+        cfg = EncoderConfig(source_width=w, source_height=h, qp=28,
                             intra_period_length=31,
                             hierarchical_levels=2, enc_mode=6,
                             enable_tf=tf)

@@ -173,7 +173,14 @@ def main():
     ap.add_argument("--keyint", type=int, default=16)
     ap.add_argument("--clips", default="pan,sin,noise")
     ap.add_argument("--out", default="BDRATE.md")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin JAX to the CPU backend (e.g. when the "
+                         "TPU tunnel is unavailable); bits/PSNR are "
+                         "backend-independent")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     rows = []
     for name in args.clips.split(","):
         rng = np.random.default_rng(42)
