@@ -159,6 +159,13 @@ def bd_rate(ref_pts, test_pts):
         # mean can carry instead of poisoning it with nan)
         lo = min(q1.min(), q2.min())
         hi = max(q1.max(), q2.max())
+    if (hi - lo < 0.5 or q1.max() - q1.min() < 0.5
+            or q2.max() - q2.min() < 0.5):
+        # a near-flat quality curve (content PSNR-saturated, e.g. a
+        # noise clip at its noise floor) makes the cubic fit and the
+        # Bjontegaard integral degenerate — report the mean log-rate
+        # gap (rate ratio at matched quality) instead
+        return float((10 ** (r2.mean() - r1.mean()) - 1) * 100)
     xs = np.linspace(lo, hi, 100)
     trap = getattr(np, "trapezoid", None) or np.trapz
     int1 = trap(np.polyval(p1, xs), xs)
