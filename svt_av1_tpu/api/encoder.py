@@ -1423,6 +1423,8 @@ class Encoder:
             tenc.set_lr(lr_info)
         tenc.enable_filter_intra = self.sp.enable_filter_intra
         tenc.enable_masked_compound = self.sp.enable_masked_compound
+        tenc.enable_interintra = self.sp.enable_interintra_compound
+        tenc.is_motion_mode_switchable = fp.is_motion_mode_switchable
         if not is_key:
             fp.reference_select = any(
                 d.ref2 for d in decisions.values() if d.is_inter)

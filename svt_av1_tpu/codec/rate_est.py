@@ -230,7 +230,8 @@ def adapted_decision_tables(c) -> Dict[str, np.ndarray]:
                 txb_base=np.array([txb_y, txb_uv], np.float32))
 
 
-def md_rate_args(qindex: int, modes, uv_modes, cdf_state=None) -> tuple:
+def md_rate_args(qindex: int, modes, uv_modes, cdf_state=None,
+                 inter_frame=False) -> tuple:
     """(coef_y (64,), coef_uv (64,), txb_base (2,),
     mode_bits (len(modes),), uv_bits (len(uv_modes),), eob_y (257,),
     eob_uv (65,), true_coef_y (64,), true_coef_uv (64,)) ready to feed
@@ -239,17 +240,28 @@ def md_rate_args(qindex: int, modes, uv_modes, cdf_state=None) -> tuple:
     curves stay sparsity-biased for mode ranking, see module doc).
 
     cdf_state: optional adapted FrameCDFs (the primary-ref chain) —
-    replaces the static decision curves with content-adapted ones."""
+    replaces the static decision curves with content-adapted ones.
+
+    inter_frame: price intra modes with their TRUE signaling cost plus
+    the intra_inter flag.  Zero-priced mode bits are the right call
+    when ranking intra modes against each other (module doc), but on
+    an inter frame the choice is intra-vs-inter: zero pricing lets an
+    intra DC block (real cost ~5-8 bits) undercut an inter skip
+    (~2 bits) whenever distortions tie — on noisy content that floods
+    frames with intra blocks, breaks skip-merges, and sets a bitrate
+    floor ~4x the reference's."""
     t = tables_for_qindex(int(qindex))
     if cdf_state is not None:
         t = dict(t)
         t.update(adapted_decision_tables(cdf_state))
+    ykey = "y_mode_bits_true" if inter_frame else "y_mode_bits"
+    ukey = "uv_mode_bits_true" if inter_frame else "uv_mode_bits"
+    intra_flag = 1.5 if inter_frame else 0.0   # intra_inter symbol
     # filter-intra pseudo-modes (>= FI_MODE_BASE) signal as DC
     mode_bits = np.array(
-        [t["y_mode_bits"][m if m < cc.INTRA_MODES else cc.DC_PRED]
+        [t[ykey][m if m < cc.INTRA_MODES else cc.DC_PRED] + intra_flag
          for m in modes], np.float32)
-    uv_bits = np.array([t["uv_mode_bits"][m] for m in uv_modes],
-                       np.float32)
+    uv_bits = np.array([t[ukey][m] for m in uv_modes], np.float32)
     rq = rdoq_tables_for_qindex(int(qindex))
     return (t["coef_y"], t["coef_uv"], t["txb_base"], mode_bits, uv_bits,
             t["eob_y"], t["eob_uv"], rq["rq_y"], rq["rq_uv"])

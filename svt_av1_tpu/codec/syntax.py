@@ -658,12 +658,17 @@ class TileCoderBase:
         return mm, wi
 
     def _masked_compound_allowed(self, bsize) -> bool:
-        """is_any_masked_compound_used: wedge codebooks exist for
-        8x8..32x32 (wedge_params_lookup)."""
+        """is_any_masked_compound_used: DIFFWTD is available for every
+        comp-ref size (>= 8x8); wedge only for 8x8..32x32."""
         bw = int(cc.block_size_wide[bsize])
         bh = int(cc.block_size_high[bsize])
-        return (self.enable_masked_compound
-                and min(bw, bh) >= 8 and max(bw, bh) <= 32)
+        return self.enable_masked_compound and min(bw, bh) >= 8
+
+    @staticmethod
+    def _wedge_available(bsize) -> bool:
+        bw = int(cc.block_size_wide[bsize])
+        bh = int(cc.block_size_high[bsize])
+        return min(bw, bh) >= 8 and max(bw, bh) <= 32
 
     def _code_compound_type(self, r4, c4, bsize, comp_type=0,
                             wedge_idx=0, wedge_sign=0, dec=None):
@@ -689,14 +694,17 @@ class TileCoderBase:
             update_cdf(gcdf, gi, 2)
         if not gi:
             return 0, 0, 0
-        tcdf = self.cdfs.compound_type[bsize]
-        if dec is None:
-            t = comp_type - 1      # 0 WEDGE, 1 DIFFWTD
-            self.enc.encode_symbol(t, tcdf, 2)
+        if not self._wedge_available(bsize):
+            t = 1                  # DIFFWTD implied (no wedge masks)
         else:
-            t = dec.read_symbol(tcdf, 2)
-        if self.update:
-            update_cdf(tcdf, t, 2)
+            tcdf = self.cdfs.compound_type[bsize]
+            if dec is None:
+                t = comp_type - 1      # 0 WEDGE, 1 DIFFWTD
+                self.enc.encode_symbol(t, tcdf, 2)
+            else:
+                t = dec.read_symbol(tcdf, 2)
+            if self.update:
+                update_cdf(tcdf, t, 2)
         if t == 1:                 # DIFFWTD: mask_type literal
             if dec is None:
                 self.enc.encode_literal(wedge_sign, 1)

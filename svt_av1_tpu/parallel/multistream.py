@@ -123,7 +123,8 @@ def _sharded_inter_step(mesh: Mesh, h: int, w: int, R: int, modes,
                   & (jnp.abs(qv_f).max(axis=1) == 0)).reshape(gh, gw)
         inter16 = outs[5].reshape(gh, gw)
         p2_outs = p2(src_pack, outs[0], outs[1], outs[2], skip16,
-                     dlf_y, dlf_uv, cands, damping, outs[22], inter16)
+                     dlf_y, dlf_uv, cands, damping, outs[22], inter16,
+                     outs[23])
         return tuple(outs) + tuple(p2_outs)
 
     batched = jax.vmap(step, in_axes=(0,) * 19 + (None, 0))
@@ -131,7 +132,7 @@ def _sharded_inter_step(mesh: Mesh, h: int, w: int, R: int, modes,
     rep = NamedSharding(mesh, P())
     return jax.jit(batched,
                    in_shardings=(s,) * 19 + (rep, s),
-                   out_shardings=(s,) * 29)
+                   out_shardings=(s,) * 30)
 
 
 def run_inter_frames_sharded(src_packs, refs_per_stream, qindices,
@@ -192,8 +193,8 @@ def run_inter_frames_sharded(src_packs, refs_per_stream, qindices,
                    dlf_y, dlf_uv, cands, damp)
     pends = []
     for i in range(N):
-        outs = [o[i] for o in out[:23]]
-        p2_outs = [o[i] for o in out[23:]]
+        outs = [o[i] for o in out[:24]]
+        p2_outs = [o[i] for o in out[24:]]
         pend = gf.PendingInterFrame(outs, p2_outs, ref_enums, h, w,
                                     qindices[i])
         pend.cdef_cands = cands

@@ -1096,6 +1096,40 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
             ok &= (cl32 == mv32).all(axis=-1).reshape(gh2, gw2)
         merge32 = ok.reshape(-1)
 
+        # ---- 64x64 skip-merge: 2x2 groups of merged 32s sharing the
+        # same (ref, mv[, mv2]) fold once more (same losslessness
+        # argument at the 64 extent; the reference's MD reaches these
+        # via its 64/128 partition search) ----
+        gh4, gw4 = gh2 // 2, gw2 // 2
+        if gh4 and gw4:
+            def grp64(a):
+                a2 = a.reshape(gh2, gw2, -1)[:gh4 * 2, :gw4 * 2]
+                return a2.reshape(gh4, 2, gw4, 2, a2.shape[-1])
+
+            ok64 = grp64(ok.reshape(gh2, gw2)[..., None]
+                         .astype(jnp.int32))[..., 0].all(axis=(1, 3))
+            # leaf-level agreement across the whole 64 via the 16 grid
+            def grp16_64(a):
+                a2 = a.reshape(gh, gw, -1)[:gh4 * 4, :gw4 * 4]
+                return a2.reshape(gh4, 4, gw4, 4, a2.shape[-1])
+
+            refg64 = grp16_64(iref_idx[:, None].astype(jnp.int32))[..., 0]
+            ok64 &= (refg64 == refg64[:, :1, :, :1]).all(axis=(1, 3))
+            compg64 = grp16_64(icomp[:, None].astype(jnp.int32))[..., 0]
+            ok64 &= (compg64 == compg64[:, :1, :, :1]).all(axis=(1, 3))
+            ys64 = (jnp.arange(gh4 * gw4) // gw4 * 64).astype(jnp.int32)
+            xs64 = (jnp.arange(gh4 * gw4) % gw4 * 64).astype(jnp.int32)
+            for mva in (imv, imv2):
+                mvg = grp16_64(mva)
+                ok64 &= (mvg == mvg[:, :1, :, :1]).all(axis=(1, 3, 4))
+                mv64 = mvg[:, 0, :, 0].reshape(-1, 2)
+                cl64 = _clamp_cands(mv64[:, None], ys64, xs64, 4 * BLK,
+                                    h, w, hp=hp)[:, 0]
+                ok64 &= (cl64 == mv64).all(axis=-1).reshape(gh4, gw4)
+            merge64 = ok64.reshape(-1)
+        else:
+            merge64 = jnp.zeros((max(gh4, 1) * max(gw4, 1),), bool)
+
         return (ry.astype(jnp.uint8), ru.astype(jnp.uint8),
                 rv.astype(jnp.uint8),
                 ymode.astype(jnp.uint8), umode.astype(jnp.uint8),
@@ -1104,7 +1138,7 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
                 iref_idx.astype(jnp.uint8), icomp, iwarp & choose,
                 iwedge.astype(jnp.int8), iobmc, iimodes.astype(jnp.int8),
                 qy_f, qu_f, qv_f, gm_mats, gm_trans, gm_kinds, interp,
-                merge32)
+                merge32, merge64)
 
     return p1
 
@@ -1202,7 +1236,7 @@ def _build_p2(h, w, bd=8, ncand=8, dlf_on=True, cdef_on=True,
     gh2, gw2 = gh // 2, gw // 2
 
     def p2(src_pack, rec_y, rec_u, rec_v, skip16, dlf_y, dlf_uv,
-           cands, damping, merge32=None, inter16=None):
+           cands, damping, merge32=None, inter16=None, merge64=None):
         src_y = src_pack[:h].astype(jnp.int32)
         src_u = src_pack[h:, :w // 2].astype(jnp.int32)
         src_v = src_pack[h:, w // 2:].astype(jnp.int32)
@@ -1213,15 +1247,24 @@ def _build_p2(h, w, bd=8, ncand=8, dlf_on=True, cdef_on=True,
                 m2 = merge32.reshape(gh2, gw2)
                 merged16 = merged16.at[:gh2 * 2, :gw2 * 2].set(
                     jnp.repeat(jnp.repeat(m2, 2, 0), 2, 1))
+            merged64_16 = jnp.zeros((gh, gw), bool)
+            gh4, gw4 = gh2 // 2, gw2 // 2
+            if merge64 is not None and gh4 and gw4:
+                m4 = merge64.reshape(gh4, gw4)
+                merged64_16 = merged64_16.at[:gh4 * 4, :gw4 * 4].set(
+                    jnp.repeat(jnp.repeat(m4, 4, 0), 4, 1))
             skdlf = skip16 & inter16
-            tx16 = jnp.where(merged16, 8, 4).astype(jnp.int32)
+            tx16 = jnp.where(merged64_16, 16,
+                             jnp.where(merged16, 8, 4)).astype(jnp.int32)
             txmi = jnp.repeat(jnp.repeat(tx16, 4, 0), 4, 1)
             skmi = jnp.repeat(jnp.repeat(skdlf, 4, 0), 4, 1)
             flv = dlf_ops.edge_flens(txmi, txmi, skmi, True)
             flh = dlf_ops.edge_flens(txmi.T, txmi.T, skmi.T, True).T
             ons["y"] = (jnp.repeat(flv[:, 4::4] > 0, 4, axis=0),
                         jnp.repeat(flh[4::4, :] > 0, 4, axis=1))
-            ctx16 = jnp.where(merged16, 4, 2).astype(jnp.int32)
+            ctx16 = jnp.where(merged64_16, 8,
+                              jnp.where(merged16, 4, 2)) \
+                .astype(jnp.int32)
             ctxmi = jnp.repeat(jnp.repeat(ctx16, 2, 0), 2, 1)
             cskmi = jnp.repeat(jnp.repeat(skdlf, 2, 0), 2, 1)
             cflv = dlf_ops.edge_flens(ctxmi, ctxmi, cskmi, False)
@@ -1517,7 +1560,8 @@ def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
     qp = quant.make_quant_params(qindex, bd=bd)
     qstep = quant.dc_q(qindex, bd=bd) / 8.0
     lam = np.float32(0.7 * qstep * qstep)
-    rt = md_rate_args(qindex, tuple(modes), _UV_MODES(), cdf_state)
+    rt = md_rate_args(qindex, tuple(modes), _UV_MODES(), cdf_state,
+                      inter_frame=True)
     p1 = _jit_p1(h, w, R, tuple(modes), bd, ring, R == 2, rad2, rad0,
                  hp, obmc, interintra)
     outs = p1(src_pack_u8, refs_y, refs_u, refs_v,
@@ -1538,7 +1582,7 @@ def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
                  dlf_ladder_params(qindex, False),
                  dlf_ladder_params(qindex, True),
                  cands, np.int32(cdef_damping(qindex)),
-                 outs[22], inter16)
+                 outs[22], inter16, outs[23])
     pend = PendingInterFrame(outs, p2_outs, ref_enums, h, w, qindex)
     pend.cdef_cands = cands
     pend.cdef_on = cdef_on
@@ -1638,7 +1682,7 @@ def collect_inter_frame(pend: PendingInterFrame, bd: int = 8):
     pulled = jax.device_get(small)
     (ymode, umode, choose, iskip, imv, imv2, iref_idx, icomp, iwarp,
      iwedge, iobmc, iimodes, qy_f, qu_f, qv_f, gm_mats, gm_trans,
-     gm_kinds, interp, merge32, dlf_levels, best_ci) = pulled
+     gm_kinds, interp, merge32, merge64, dlf_levels, best_ci) = pulled
     rec_y, rec_u, rec_v = pend.recon["y"], pend.recon["u"], pend.recon["v"]
 
     cdef_info = None
@@ -1666,11 +1710,33 @@ def collect_inter_frame(pend: PendingInterFrame, bd: int = 8):
         merged16[:gh2 * 2, :gw2 * 2] = np.repeat(
             np.repeat(np.asarray(merge32).reshape(gh2, gw2), 2, 0),
             2, 1)
+    merged64_16 = np.zeros((gh, gw), bool)
+    gh4, gw4 = gh2 // 2, gw2 // 2
+    if gh4 and gw4:
+        merged64_16[:gh4 * 4, :gw4 * 4] = np.repeat(
+            np.repeat(np.asarray(merge64).reshape(gh4, gw4), 4, 0),
+            4, 1)
+    z64 = np.zeros((4 * BLK, 4 * BLK), np.int32)
     z32 = np.zeros((2 * BLK, 2 * BLK), np.int32)
+    z32c = np.zeros((4 * CBLK, 4 * CBLK), np.int32)
     z16 = np.zeros((2 * CBLK, 2 * CBLK), np.int32)
     for bid in range(nb):
         by, bx = bid // gw, bid % gw
         r4, c4 = by * 4, bx * 4
+        if merged64_16[by, bx]:
+            if by % 4 or bx % 4:
+                continue          # covered by the 64x64 leaf
+            decisions[(r4, c4)] = BlockDecision(
+                r4=r4, c4=c4, bsize=cc.BLOCK_64X64, y_mode=cc.DC_PRED,
+                uv_mode=cc.DC_PRED, tx_type=cc.DCT_DCT,
+                qcoeff_y=z64, qcoeff_u=z32c, qcoeff_v=z32c,
+                is_inter=True,
+                mv=(int(imv[bid, 0]), int(imv[bid, 1])),
+                ref=int(enums[iref_idx[bid]]),
+                ref2=(int(mv_pred.ALTREF_FRAME) if icomp[bid] else 0),
+                mv2=((int(imv2[bid, 0]), int(imv2[bid, 1]))
+                     if icomp[bid] else (0, 0)))
+            continue
         if merged16[by, bx]:
             if by % 2 or bx % 2:
                 continue          # covered by the 32x32 leaf

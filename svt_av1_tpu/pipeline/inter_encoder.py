@@ -656,10 +656,11 @@ def reconstruct_inter_from_decisions(decisions: Dict, ref,
     import dataclasses as _dc
     work = {}
     for k, d in decisions.items():
-        if d.is_inter and d.bsize == cc.BLOCK_32X32:
-            assert d.skip, "non-skip 32x32 inter needs TX_32X32 recon"
-            for dr in (0, 4):
-                for dc2 in (0, 4):
+        if d.is_inter and d.bsize in (cc.BLOCK_32X32, cc.BLOCK_64X64):
+            assert d.skip, "non-skip merged inter needs big-TX recon"
+            n4 = 8 if d.bsize == cc.BLOCK_32X32 else 16
+            for dr in range(0, n4, 4):
+                for dc2 in range(0, n4, 4):
                     nk = (k[0] + dr, k[1] + dc2)
                     work[nk] = _dc.replace(
                         d, r4=nk[0], c4=nk[1], bsize=cc.BLOCK_16X16,

@@ -54,7 +54,10 @@ def test_interintra_e2e_roundtrip():
         u = np.full((h // 2, w // 2), 120, np.uint8)
         v = np.full((h // 2, w // 2), 135, np.uint8)
         frames.append((y.astype(np.uint8), u, v))
-    cfg = EncoderConfig(source_width=w, source_height=h, qp=45,
+    # qp 30: with true intra-mode pricing on inter frames (round-3
+    # rate fix) interintra needs enough rate pressure to out-compete
+    # plain inter at the boundary
+    cfg = EncoderConfig(source_width=w, source_height=h, qp=30,
                         intra_period_length=31, hierarchical_levels=2,
                         enc_mode=6, enable_tf=0)
     enc = Encoder(cfg)
