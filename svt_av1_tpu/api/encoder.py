@@ -404,7 +404,8 @@ class Encoder:
             y, u, v, qindex, modes=self._md_modes,
             bd=self.cfg.encoder_bit_depth, qmap=qmap,
             rdoq=self._feat.rdoq, tx_search=self._feat.tx_search,
-            angle_deltas=self._feat.angle_deltas, cfl=self._feat.cfl)
+            angle_deltas=self._feat.angle_deltas, cfl=self._feat.cfl,
+            exact_rates=self._feat.exact_rates)
         prefilt = None
         dlf_wants = bool(self.cfg.enable_dlf_flag)
         if (self._fast and (dlf_wants or self.sp.enable_cdef)
@@ -616,7 +617,8 @@ class Encoder:
                     bd=self.cfg.encoder_bit_depth,
                     hme_rad2=self._feat.hme_rad2,
                     hme_rad0=self._feat.hme_rad0,
-                    subpel_ring=self._feat.subpel_ring)
+                    subpel_ring=self._feat.subpel_ring,
+                    exact_rates=self._feat.exact_rates)
         slot = min(self._slot_free) if ev.store else None
         if ev.store:
             self._slot_free.remove(slot)
@@ -684,7 +686,8 @@ class Encoder:
             dlf_on=bool(self.cfg.enable_dlf_flag),
             cdef_on=self.sp.enable_cdef, cdf_state=cdf_state,
             hp=self._feat.hp_mv, obmc=self._feat.obmc,
-            interintra=self._feat.interintra)
+            interintra=self._feat.interintra,
+            exact_rates=self._feat.exact_rates)
         slot = min(self._slot_free) if ev.store else None
         if ev.store:
             self._slot_free.remove(slot)
@@ -879,7 +882,8 @@ class Encoder:
                     bd=self.cfg.encoder_bit_depth,
                     tile_starts=(self._tile_starts if arrays_ok
                                  else (0,)),
-                    rdoq=self._feat.rdoq)
+                    rdoq=self._feat.rdoq,
+                    exact_rates=self._feat.exact_rates)
             if pending is not None:
                 with stage("device_wait_transfer"):
                     results = intra_encoder.encode_intra_frames_finish(
@@ -1204,7 +1208,8 @@ class Encoder:
                         rdoq=self._feat.rdoq,
                         tx_search=self._feat.tx_search,
                         angle_deltas=self._feat.angle_deltas,
-                        cfl=self._feat.cfl)
+                        cfl=self._feat.cfl,
+                        exact_rates=self._feat.exact_rates)
         else:
             with stage("device_md_inter"):
                 decisions, recon, gm, interp = \
@@ -1214,7 +1219,8 @@ class Encoder:
                     bd=self.cfg.encoder_bit_depth,
                     hme_rad2=self._feat.hme_rad2,
                     hme_rad0=self._feat.hme_rad0,
-                    subpel_ring=self._feat.subpel_ring)
+                    subpel_ring=self._feat.subpel_ring,
+                    exact_rates=self._feat.exact_rates)
         # switch frames (S_FRAME, Docs/Appendix-Switch-Frame.md role):
         # every sframe_dist-th inter frame codes as an error-resilient
         # switch point (default CDFs, refresh-all)

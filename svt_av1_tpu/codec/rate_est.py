@@ -42,10 +42,33 @@ MAX_LEVEL = 63   # cost tables cover |level| 0..MAX_LEVEL
 
 
 def _sym_bits(icdf_row: np.ndarray, nsyms: int) -> np.ndarray:
-    """Per-symbol bits from one inverse-CDF row (icdf = 32768 - cdf)."""
-    v = np.concatenate([[32768], icdf_row[:nsyms].astype(np.int64)])
-    p = (v[:-1] - v[1:]) / 32768.0
-    return (-np.log2(np.maximum(p, 1.0 / 32768.0))).astype(np.float32)
+    """Per-symbol bits from one inverse-CDF row (icdf = 32768 - cdf).
+
+    Coder-effective, not ideal -log2(p): the od_ec range coder allocates
+    symbol s the range [u, v) with u/v computed from the TRUNCATED
+    probabilities (icdf >> EC_PROB_SHIFT, plus the EC_MIN_PROB floor per
+    remaining symbol; entropy.py _encode_q15).  For low-probability
+    symbols the truncation costs up to ~0.2 bit each — measured ~8% of
+    total txb bits on dense blocks — so rate tables must price the
+    quantized allocation.  Averaged over the renormalized range
+    r in [32768, 65536) with the coder's stationary 1/r density (the
+    nominal-r=32768 estimate still underprices dense blocks by
+    ~0.02 bit/symbol)."""
+    f = np.concatenate([[32768], icdf_row[:nsyms].astype(np.int64)])
+    n = nsyms - 1
+    s = np.arange(nsyms, dtype=np.int64)
+    r = _R_GRID[:, None]                      # (R, 1)
+    fl, fh = f[:-1], f[1:]
+    hi = np.where(fl >= 32768, r,
+                  ((r >> 8) * (fl >> 6) >> 1) + 4 * (n - (s - 1)))
+    lo = ((r >> 8) * (fh >> 6) >> 1) + 4 * (n - s)
+    bits = -np.log2(np.maximum(hi - lo, 1) / r)
+    return np.average(bits, axis=0, weights=_R_WEIGHTS).astype(np.float32)
+
+
+# geometric r grid with 1/r (log-uniform) stationary weights
+_R_GRID = np.unique(np.geomspace(32768, 65535, 48).astype(np.int64))
+_R_WEIGHTS = 1.0 / _R_GRID
 
 
 def _avg_bits(rows: np.ndarray, nsyms: int) -> np.ndarray:
@@ -230,14 +253,76 @@ def adapted_decision_tables(c) -> Dict[str, np.ndarray]:
                 txb_base=np.array([txb_y, txb_uv], np.float32))
 
 
+def exact_coef_tables(c: FrameCDFs, tx_size: int, plane: int,
+                      luma_skip_ctx: int = 0):
+    """Context-exact bit-cost tables for ops/coef_rate.txb_bits_exact.
+
+    Derives per-symbol costs from a CDF state — the default state, or a
+    chained per-slot state (the per-frame analog of the reference's
+    rolling-CDF rate refresh, enc_dec_process.c:3304-3318).
+
+    txb_skip context: luma MD blocks have tx == plane bsize, so the
+    coder's skip context is exactly 0 (svt_aom_get_txb_ctx); chroma
+    blocks use ctx 7+ca+cl — priced with the mean of rows 7..9.
+    """
+    from svt_av1_tpu.codec import tables as tb
+    from svt_av1_tpu.ops.coef_rate import CoefTables
+    sctx = tb.txs_ctx(tx_size)
+    brc = min(sctx, cc.TX_32X32)
+    base = np.stack([_sym_bits(r, 4) for r in c.coeff_base[sctx][plane]])
+    base_eob = np.stack(
+        [_sym_bits(r, 3) for r in c.coeff_base_eob[sctx][plane]])
+    br = np.stack([_sym_bits(r, 4) for r in c.coeff_br[brc][plane]])
+    _, w, h = tb.txb_dims(tx_size)
+    ncoeffs = w * h
+    nsyms = tb.txsize_log2_minus4(tx_size) + 5
+    pt_bits = _sym_bits(c.eob_flag[ncoeffs][plane][0], nsyms)
+    eob_tbl = np.zeros(ncoeffs + 1, np.float32)
+    from svt_av1_tpu.codec.coeff import eob_pos_token
+    for e in range(1, ncoeffs + 1):
+        pt, extra = eob_pos_token(e)
+        cost = pt_bits[pt - 1]
+        ob = int(tb.K_EOB_OFFSET_BITS[pt])
+        if ob > 0:
+            bit = (extra >> (ob - 1)) & 1
+            cost += _sym_bits(c.eob_extra[sctx][plane][pt], 2)[bit]
+            cost += ob - 1
+        eob_tbl[e] = cost
+    if plane == 0:
+        sk = _sym_bits(c.txb_skip[sctx][luma_skip_ctx], 2)
+    else:
+        sk = np.mean(np.stack(
+            [_sym_bits(c.txb_skip[sctx][k], 2) for k in (7, 8, 9)]), axis=0)
+    dcs = float(np.mean(_sym_bits(c.dc_sign[plane][0], 2)))
+    return CoefTables(base=base.astype(np.float32),
+                      base_eob=base_eob.astype(np.float32),
+                      br=br.astype(np.float32),
+                      eob=eob_tbl,
+                      skip=sk.astype(np.float32),
+                      dc_sign=np.float32(dcs))
+
+
+@functools.lru_cache(maxsize=32)
+def _default_exact_tables(qindex: int, tx_size: int, plane: int,
+                          luma_skip_ctx: int = 0):
+    return exact_coef_tables(FrameCDFs(int(qindex)), tx_size, plane,
+                             luma_skip_ctx)
+
+
 def md_rate_args(qindex: int, modes, uv_modes, cdf_state=None,
-                 inter_frame=False) -> tuple:
+                 inter_frame=False, exact=False) -> tuple:
     """(coef_y (64,), coef_uv (64,), txb_base (2,),
     mode_bits (len(modes),), uv_bits (len(uv_modes),), eob_y (257,),
     eob_uv (65,), true_coef_y (64,), true_coef_uv (64,)) ready to feed
     the MD device programs.  The last two are the calibrated TRUE level
     cost curves (RDOQ prices bits-vs-distortion with these; the decision
     curves stay sparsity-biased for mode ranking, see module doc).
+
+    exact: put context-exact CoefTables (ops/coef_rate) in the coef_y /
+    coef_uv slots instead of the level curves — the MD programs'
+    _txb_bits dispatches on the type, so the same jitted signature
+    serves both models (CoefTables is a pytree of fixed-shape arrays).
+    All rate-bearing MD sites code luma TX_16X16 / chroma TX_8X8.
 
     cdf_state: optional adapted FrameCDFs (the primary-ref chain) —
     replaces the static decision curves with content-adapted ones.
@@ -263,5 +348,16 @@ def md_rate_args(qindex: int, modes, uv_modes, cdf_state=None,
          for m in modes], np.float32)
     uv_bits = np.array([t[ukey][m] for m in uv_modes], np.float32)
     rq = rdoq_tables_for_qindex(int(qindex))
-    return (t["coef_y"], t["coef_uv"], t["txb_base"], mode_bits, uv_bits,
+    coef_y, coef_uv = t["coef_y"], t["coef_uv"]
+    env = os.environ.get("SVT_TPU_EXACT_RATES")
+    if env is not None:           # A/B override for tools/bdrate.py
+        exact = env not in ("0", "")
+    if exact:
+        if cdf_state is not None:
+            coef_y = exact_coef_tables(cdf_state, cc.TX_16X16, 0)
+            coef_uv = exact_coef_tables(cdf_state, cc.TX_8X8, 1)
+        else:
+            coef_y = _default_exact_tables(int(qindex), cc.TX_16X16, 0)
+            coef_uv = _default_exact_tables(int(qindex), cc.TX_8X8, 1)
+    return (coef_y, coef_uv, t["txb_base"], mode_bits, uv_bits,
             t["eob_y"], t["eob_uv"], rq["rq_y"], rq["rq_uv"])

@@ -139,7 +139,8 @@ def run_inter_frames_sharded(src_packs, refs_per_stream, qindices,
                              mesh: Mesh, modes, bd: int = 8,
                              ring: bool = True, rad2: int = 8,
                              rad0: int = 7, cdef_cands=None,
-                             dlf_on: bool = True, cdef_on: bool = True):
+                             dlf_on: bool = True, cdef_on: bool = True,
+                             exact_rates: bool = False):
     """One inter frame for EACH of N independent GOP streams, sharded
     over the mesh.  All streams must share frame geometry and the same
     reference-enum layout (same GOP schedule position); qindex may
@@ -181,9 +182,14 @@ def run_inter_frames_sharded(src_packs, refs_per_stream, qindices,
             q, bd=bd)])
         qstep = quant.dc_q(q, bd=bd) / 8.0
         lams.append(np.float32(0.7 * qstep * qstep))
-        rts.append(md_rate_args(q, tuple(modes), ie.UV_MODES))
+        rts.append(md_rate_args(q, tuple(modes), ie.UV_MODES,
+                                inter_frame=True, exact=exact_rates))
     qp_b = [np.stack([qp[i] for qp in qps]) for i in range(5)]
-    rt_b = [np.stack([np.asarray(rt[i]) for rt in rts])
+    # per-stream rate args stacked leaf-wise (slots may hold CoefTables
+    # pytrees when exact_rates is on)
+    rt_b = [jax.tree_util.tree_map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                *(rt[i] for rt in rts))
             for i in range(7)]
     dlf_y = np.stack([gf.dlf_ladder_params(q, False) for q in qindices])
     dlf_uv = np.stack([gf.dlf_ladder_params(q, True) for q in qindices])

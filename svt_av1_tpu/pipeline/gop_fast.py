@@ -1540,7 +1540,8 @@ def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
                     cdef_cands=None, dlf_on: bool = True,
                     cdef_on: bool = True, cdf_state=None,
                     hp: bool = False, obmc: bool = False,
-                    interintra: bool = False):
+                    interintra: bool = False,
+                    exact_rates: bool = False):
     """Dispatch P1+P2 for one inter frame.  refs: {ref_enum: device
     plane dict} in MD priority order (LAST first).  Returns
     PendingInterFrame; finish with collect_inter_frame.
@@ -1561,7 +1562,7 @@ def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
     qstep = quant.dc_q(qindex, bd=bd) / 8.0
     lam = np.float32(0.7 * qstep * qstep)
     rt = md_rate_args(qindex, tuple(modes), _UV_MODES(), cdf_state,
-                      inter_frame=True)
+                      inter_frame=True, exact=exact_rates)
     p1 = _jit_p1(h, w, R, tuple(modes), bd, ring, R == 2, rad2, rad0,
                  hp, obmc, interintra)
     outs = p1(src_pack_u8, refs_y, refs_u, refs_v,

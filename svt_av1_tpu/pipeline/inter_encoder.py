@@ -383,7 +383,7 @@ def choose_interp_filter(src_y, ref_y, ys, xs, hme, bd=8):
 
 def _pass_a_for_ref(ref, src_y, src_u, src_v, qindex, bd, hme_rad2,
                     hme_rad0, subpel_ring, nb_k, ys, xs, qp_j, lam,
-                    interp=0):
+                    interp=0, exact_rates=False):
     """HME + pass-A candidate evaluation against one reference frame.
     Candidate 0 is the global-motion prediction: the per-block gm vector
     (translation), or the whole-frame warped reference (ROTZOOM) — so a
@@ -445,7 +445,7 @@ def _pass_a_for_ref(ref, src_y, src_u, src_v, qindex, bd, hme_rad2,
     pass_a = _jit_pass_a(nb, k_cands, bd, warp0=warp0,
                          interp=interp)
     from svt_av1_tpu.codec.rate_est import md_rate_args
-    rt = md_rate_args(qindex, (), ())
+    rt = md_rate_args(qindex, (), (), exact=exact_rates)
     out = pass_a(src_y, src_u, src_v, refp_y, refp_u, refp_v, *wrefs,
                  jnp.asarray(ys), jnp.asarray(xs), jnp.asarray(cand),
                  *qp_j, lam, rt[0], rt[2], rt[5])
@@ -455,7 +455,8 @@ def _pass_a_for_ref(ref, src_y, src_u, src_v, qindex, bd, hme_rad2,
 def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
                        src_v: np.ndarray, ref, qindex: int, modes=MODES,
                        bd: int = 8, hme_rad2: int = 8, hme_rad0: int = 7,
-                       subpel_ring: bool = True, compound: bool = True
+                       subpel_ring: bool = True, compound: bool = True,
+                       exact_rates: bool = False
                        ) -> Tuple[Dict, Dict[str, np.ndarray]]:
     """Encode one inter frame.
 
@@ -511,7 +512,7 @@ def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
         out_a, gm_r, hme_r = _pass_a_for_ref(
             refs[renum], sy, su, sv, qindex, bd, hme_rad2, hme_rad0,
             subpel_ring, (nb, 1 + len(ring)), ys, xs, qp_j, lam,
-            interp=interp)
+            interp=interp, exact_rates=exact_rates)
         if gm_r is not None:
             gm_by_ref[renum] = gm_r
         hme_by_ref[renum] = hme_r
@@ -541,7 +542,7 @@ def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
         mv1 = mc.clamp_mvs_for_pad(hme_by_ref[mvp.ALTREF_FRAME], ys,
                                    xs, BLK, h, w)
         from svt_av1_tpu.codec.rate_est import md_rate_args
-        rt = md_rate_args(qindex, (), ())
+        rt = md_rate_args(qindex, (), (), exact=exact_rates)
         pads = []
         for rp in (r0p, r1p):
             pads += [jnp.asarray(mc.pad_plane(
@@ -587,7 +588,8 @@ def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
 
     from svt_av1_tpu.codec.rate_est import md_rate_args
     from svt_av1_tpu.pipeline.intra_encoder import UV_MODES
-    rt = md_rate_args(qindex, tuple(modes), UV_MODES)
+    rt = md_rate_args(qindex, tuple(modes), UV_MODES,
+                      exact=exact_rates)
     out = pass_b(jnp.zeros((h, w), jnp.int32),
                  jnp.zeros((h // 2, w // 2), jnp.int32),
                  jnp.zeros((h // 2, w // 2), jnp.int32),
@@ -595,7 +597,7 @@ def encode_inter_frame(src_y: np.ndarray, src_u: np.ndarray,
                  jnp.asarray(valid), jnp.asarray(trs), jnp.asarray(bls),
                  jnp.asarray(icost), jnp.asarray(irec_y),
                  jnp.asarray(irec_u), jnp.asarray(irec_v), *qp_j, lam,
-                 *(jnp.asarray(a) for a in rt))
+                 *rt)
     (recon_y, recon_u, recon_v, modes_acc, uv_acc, choose_acc,
      qy_acc, qu_acc, qv_acc) = [np.asarray(o) for o in out]
 

@@ -129,7 +129,17 @@ def _txb_bits(qcoeff_abs, coef_bits, base, eob_tbl, pos):
 
     The decision tables' level curve is analytic (rate_est docstring:
     2*log2(1+l) + 1 per nonzero), so the per-coefficient cost is pure
-    VPU math — no per-coefficient gather ever touches the TPU."""
+    VPU math — no per-coefficient gather ever touches the TPU.
+
+    When ``coef_bits`` is a CoefTables bundle (rate_est.md_rate_args
+    exact=True), the context-exact device model replaces this curve:
+    every coefficient is priced with the coder's own neighbor-sum
+    contexts (base/eob-tbl args are folded into the bundle and
+    ignored)."""
+    from svt_av1_tpu.ops.coef_rate import CoefTables, txb_bits_exact
+    if isinstance(coef_bits, CoefTables):
+        return txb_bits_exact(qcoeff_abs, coef_bits,
+                              qcoeff_abs.shape[-1])
     nzm = qcoeff_abs > 0
     eob = jnp.max(jnp.where(nzm, pos + 1, 0), axis=(1, 2))
     af = qcoeff_abs.astype(jnp.float32)
@@ -860,7 +870,8 @@ def _jit_frame_program_batch(gh, gw, modes, bd=8, tile_starts=(0,),
 def encode_intra_frames_launch(frames, qindex: int, modes=MODES,
                                bd: int = 8, tile_starts=(0,),
                                rdoq=False, tx_search=False,
-                               angle_deltas=False, cfl=False):
+                               angle_deltas=False, cfl=False,
+                               exact_rates=False):
     """Asynchronously dispatch the batched frame program (JAX dispatch
     is non-blocking); pair with encode_intra_frames_finish.  Enables
     host EC of batch k to overlap device compute of batch k+1."""
@@ -886,7 +897,7 @@ def encode_intra_frames_launch(frames, qindex: int, modes=MODES,
         mode_ids = tuple(m for m, _ in cand_modes)
     else:
         mode_ids, cands = tuple(modes), None
-    rt = md_rate_args(qindex, mode_ids, UV_MODES)
+    rt = md_rate_args(qindex, mode_ids, UV_MODES, exact=exact_rates)
     out = prog(sy, su, sv, *(np.asarray(a) for a in qp_y), lam, *rt)
     return (out, gh, gw, len(frames), bd, cands)
 
@@ -1016,7 +1027,8 @@ def _collect_decisions_dense(gh, gw, ym, um, qy, qu, qv_,
 def encode_intra_frame(src_y: np.ndarray, src_u: np.ndarray,
                        src_v: np.ndarray, qindex: int, modes=MODES,
                        bd: int = 8, qmap=None, rdoq=False,
-                       tx_search=False, angle_deltas=False, cfl=False
+                       tx_search=False, angle_deltas=False, cfl=False,
+                       exact_rates=False
                        ) -> Tuple[Dict, Dict[str, np.ndarray]]:
     """Encode one key frame.  Returns ({(r4,c4): BlockDecision}, recon).
 
@@ -1062,7 +1074,7 @@ def encode_intra_frame(src_y: np.ndarray, src_u: np.ndarray,
         mode_ids = tuple(m for m, _ in cand_modes)
     else:
         mode_ids, cands = tuple(modes), None
-    rt = md_rate_args(qindex, mode_ids, UV_MODES)
+    rt = md_rate_args(qindex, mode_ids, UV_MODES, exact=exact_rates)
     out = prog(np.asarray(src_y, sdt), np.asarray(src_u, sdt),
                np.asarray(src_v, sdt),
                *(np.asarray(a) for a in qp_y), np.asarray(lam), *rt)

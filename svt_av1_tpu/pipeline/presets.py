@@ -37,6 +37,8 @@ class PresetFeatures:
     filter_intra: bool = False  # recursive filter-intra candidates
     adapted_rates: bool = False  # per-frame MD rate tables from the
                                  # primary-ref adapted CDFs
+    exact_rates: bool = False  # context-exact device coefficient rate
+                               # model (ops/coef_rate) in MD costs
     hp_mv: bool = False      # 1/8-pel MVs + subpel refinement ring
                              # (allow_high_precision_mv)
     obmc: bool = False       # OBMC_CAUSAL motion mode (overlapped MC)
