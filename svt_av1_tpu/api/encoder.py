@@ -217,6 +217,10 @@ class Encoder:
             self._slot_free = set(range(8))
             self._slot_recon: Dict[int, Dict] = {}
             self._slot_state: Dict[int, tuple] = {}
+            # order hints: random-access GOPs signal display order so
+            # skip-mode (spec 5.9.22) can pick the fwd/bwd ref pair
+            self.sp.enable_order_hint = True
+            self._slot_hint = [0] * 8            # per-slot order hints
         # fused fast GOP path (pipeline/gop_fast.py): inter frames run
         # as 2 device programs + 1 bundled pull; DPB recon stays on
         # device.  8-bit single-tile scope; other configs use the
@@ -431,6 +435,7 @@ class Encoder:
         self._slot_recon = {0: full}
         self._slot_state = {0: (tenc.cdfs, tenc.nmv)}
         self._chain_cdfs = tenc.cdfs
+        self._slot_hint = [poc & ((1 << self.sp.order_hint_bits) - 1)] * 8
         self._h_anchor = poc
         self._finish_packet(pkt, qindex)
 
@@ -629,8 +634,9 @@ class Encoder:
             fp.refresh_frame_flags = (1 << slot) if ev.store else 0
             idx = [last_slot] * 7
             if bwd_slot is not None:
-                idx[mv_pred.BWDREF_FRAME - 1] = bwd_slot
-                idx[mv_pred.ALTREF2_FRAME - 1] = bwd_slot
+                # the backward ref maps ONLY to ALTREF so the spec
+                # skip-mode derivation picks (LAST, ALTREF) — the pair
+                # compound decisions actually signal
                 idx[mv_pred.ALTREF_FRAME - 1] = bwd_slot
             fp.ref_frame_idx = tuple(idx)
             fp.primary_ref_frame = 0  # chain CDFs from LAST
@@ -645,6 +651,8 @@ class Encoder:
             self._slot_recon[slot] = full
             self._slot_state[slot] = (tenc.cdfs, tenc.nmv)
             self._chain_cdfs = tenc.cdfs
+            self._slot_hint[slot] = \
+                ev.poc & ((1 << self.sp.order_hint_bits) - 1)
         pkt.displayed = ev.shown
         if not ev.shown:
             pkt.recon = None
@@ -687,25 +695,37 @@ class Encoder:
             cdef_on=self.sp.enable_cdef, cdf_state=cdf_state,
             hp=self._feat.hp_mv, obmc=self._feat.obmc,
             interintra=self._feat.interintra,
-            exact_rates=self._feat.exact_rates)
+            exact_rates=self._feat.exact_rates,
+            skip_mode=self.sp.enable_order_hint)
         slot = min(self._slot_free) if ev.store else None
+        # snapshot the reference order hints in DECODE order (collect
+        # runs after later dispatches may have overwritten slot hints)
+        idx = [last_slot] * 7
+        if bwd_slot is not None:
+            # bwd ref maps only to ALTREF (see fp_setup note)
+            idx[mv_pred.ALTREF_FRAME - 1] = bwd_slot
+        ref_hints = tuple(self._slot_hint[i] for i in idx)
         if ev.store:
             self._slot_free.remove(slot)
             self._dpb[ev.poc] = slot
             self._slot_recon[slot] = pend.recon
+            self._slot_hint[slot] = \
+                ev.poc & ((1 << self.sp.order_hint_bits) - 1)
         return ("code", ev, pend, qindex, last_slot, bwd_slot, slot,
-                (y, u, v))
+                (y, u, v), ref_hints)
 
     def _collect_inter_fast(self, rec):
         """Phase 2: the one bundled pull + entropy coding + packet."""
         from svt_av1_tpu.pipeline import gop_fast
         from svt_av1_tpu.utils.profiling import stage
-        _, ev, pend, qindex, last_slot, bwd_slot, slot, src = rec
+        (_, ev, pend, qindex, last_slot, bwd_slot, slot, src,
+         ref_hints) = rec
         with stage("device_md_inter"):
             decisions, recon_dev, header = \
                 gop_fast.collect_inter_frame(pend)
         pkt, tenc = self._packetize_fast(decisions, header, qindex, ev,
-                                         last_slot, bwd_slot, slot)
+                                         last_slot, bwd_slot, slot,
+                                         ref_hints)
         if ev.store:
             self._slot_state[slot] = (tenc.cdfs, tenc.nmv)
             self._chain_cdfs = tenc.cdfs
@@ -742,7 +762,7 @@ class Encoder:
                                     recon=recon))
 
     def _packetize_fast(self, decisions, header, qindex, ev, last_slot,
-                        bwd_slot, slot):
+                        bwd_slot, slot, ref_hints=None):
         """OBU assembly for a fast-path inter frame: filter decisions
         arrive precomputed in ``header`` (no host filter stages)."""
         from svt_av1_tpu.codec import mv_pred
@@ -756,8 +776,7 @@ class Encoder:
         fp.refresh_frame_flags = (1 << slot) if ev.store else 0
         idx = [last_slot] * 7
         if bwd_slot is not None:
-            idx[mv_pred.BWDREF_FRAME - 1] = bwd_slot
-            idx[mv_pred.ALTREF2_FRAME - 1] = bwd_slot
+            # bwd ref maps only to ALTREF (see fp_setup note)
             idx[mv_pred.ALTREF_FRAME - 1] = bwd_slot
         fp.ref_frame_idx = tuple(idx)
         fp.primary_ref_frame = 0
@@ -776,12 +795,25 @@ class Encoder:
             d.ref2 for d in decisions.values() if d.is_inter)
         fp.allow_high_precision_mv = self._feat.hp_mv
         fp.is_motion_mode_switchable = self._feat.obmc
+        mask = (1 << self.sp.order_hint_bits) - 1
+        fp.order_hint = ev.poc & mask
+        fp.ref_hints = (ref_hints if ref_hints is not None
+                        else tuple(self._slot_hint[i] for i in idx))
+        sm_pair = (obu.skip_mode_refs(fp.order_hint, fp.ref_hints,
+                                      self.sp.order_hint_bits)
+                   if (fp.reference_select
+                       and self.sp.enable_order_hint) else None)
+        fp.skip_mode_present = sm_pair is not None
         tenc = TileEncoder(self.sr_w, self.sp.height, qindex,
                            reduced_tx_set=fp.reduced_tx_set,
                            update_cdfs=not fp.disable_cdf_update,
                            frame_is_intra=False,
                            init_cdfs=self._slot_state[last_slot][0],
                            init_nmv=self._slot_state[last_slot][1])
+        if fp.skip_mode_present:
+            tenc.skip_mode_present = True
+            tenc.skip_mode_frames = sm_pair
+            tenc.interp_filter = fp.interpolation_filter
         tenc.enable_filter_intra = self.sp.enable_filter_intra
         tenc.enable_masked_compound = self.sp.enable_masked_compound
         tenc.enable_interintra = self.sp.enable_interintra_compound
@@ -1435,6 +1467,23 @@ class Encoder:
             fp.reference_select = any(
                 d.ref2 for d in decisions.values() if d.is_inter)
             tenc.reference_select = fp.reference_select
+        if self.sp.enable_order_hint:
+            mask = (1 << self.sp.order_hint_bits) - 1
+            fp.order_hint = pts & mask
+            if not is_key:
+                fp.ref_hints = tuple(self._slot_hint[i]
+                                     for i in fp.ref_frame_idx)
+                if fp.error_resilient_mode or fp.frame_type == obu.S_FRAME:
+                    fp.ref_order_hints = tuple(self._slot_hint)
+                sm_pair = (obu.skip_mode_refs(fp.order_hint,
+                                              fp.ref_hints,
+                                              self.sp.order_hint_bits)
+                           if fp.reference_select else None)
+                fp.skip_mode_present = sm_pair is not None
+                if fp.skip_mode_present:
+                    tenc.skip_mode_present = True
+                    tenc.skip_mode_frames = sm_pair
+                    tenc.interp_filter = fp.interpolation_filter
         if seg is not None:
             # per-SB segment ids -> mi granularity for the tile coder
             mi_map = np.repeat(np.repeat(seg[1], 16, 0), 16, 1)

@@ -24,6 +24,9 @@ class Decoder:
         self.slots: list = [None] * 8
         self.slot_cdfs: list = [None] * 8
         self.slot_nmv: list = [None] * 8
+        # per-slot order hints (spec RefOrderHint[]; skip-mode pair and
+        # error-resilient ref_order_hint checks derive from these)
+        self.slot_hints: list = [0] * 8
         # parsed metadata OBUs by metadata_type (HDR CLL/MDCV/T.35)
         self.metadata: dict = {}
 
@@ -64,7 +67,8 @@ class Decoder:
     def _decode_frame(self, payload: bytes):
         from svt_av1_tpu.utils.bitio import BitReader
         r = BitReader(payload)
-        fp = obu.read_frame_header(r, self.sp)
+        fp = obu.read_frame_header(r, self.sp,
+                                   ref_hints_by_slot=self.slot_hints)
         r.byte_align()
         tile_data = payload[r.byte_pos:]
         is_intra = fp.frame_type in (obu.KEY_FRAME, obu.INTRA_ONLY_FRAME)
@@ -97,6 +101,11 @@ class Decoder:
         tdec.enable_interintra = self.sp.enable_interintra_compound
         tdec.is_motion_mode_switchable = fp.is_motion_mode_switchable
         tdec.reference_select = fp.reference_select
+        if fp.skip_mode_present:
+            tdec.skip_mode_present = True
+            tdec.skip_mode_frames = obu.skip_mode_refs(
+                fp.order_hint, fp.ref_hints, self.sp.order_hint_bits)
+            tdec.interp_filter = fp.interpolation_filter
         if fp.segmentation is not None:
             tdec.set_segmentation(fp.segmentation)
         if fp.cdef_bits:
@@ -190,6 +199,7 @@ class Decoder:
                 self.slots[i] = stored
                 self.slot_cdfs[i] = end_cdfs
                 self.slot_nmv[i] = end_nmv
+                self.slot_hints[i] = fp.order_hint
         recon["decisions"] = decisions
         return recon, fp.show_frame
 

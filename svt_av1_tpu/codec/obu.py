@@ -144,6 +144,53 @@ class FrameParams:
     interpolation_filter: int = 0   # EIGHTTAP
     is_motion_mode_switchable: bool = False
     reference_select: bool = False  # compound refs allowed per block
+    # order hints of the 7 references (enum-1 indexed), used to derive
+    # skip_mode_params (spec 5.9.22); only meaningful when the sequence
+    # codes enable_order_hint
+    ref_hints: Tuple[int, ...] = (0, 0, 0, 0, 0, 0, 0)
+    # per-SLOT order hints written for error-resilient inter frames
+    # (spec 5.9.2 ref_order_hint[i]); None = all zero
+    ref_order_hints: Optional[Tuple[int, ...]] = None
+    skip_mode_present: bool = False
+
+
+def order_hint_rel_dist(a: int, b: int, bits: int) -> int:
+    """Signed relative distance of two order hints (spec
+    get_relative_dist; pd_process.c:89 behavioral reference)."""
+    d = (a - b) & ((1 << bits) - 1)
+    m = 1 << (bits - 1)
+    return (d & (m - 1)) - (d & m)
+
+
+def skip_mode_refs(cur_hint: int, ref_hints, bits: int):
+    """Skip-mode reference pair derivation (spec 5.9.22
+    skip_mode_params; svt_av1_setup_skip_mode_allowed,
+    pd_process.c:99-172): the nearest forward + nearest backward
+    references, or the two nearest forward ones.  ref_hints is indexed
+    by ref enum - 1.  Returns (f0_enum, f1_enum) with f0 < f1, or None
+    when skip mode is not allowed."""
+    fwd = bwd = -1
+    fwd_hint = bwd_hint = 0
+    for i, h in enumerate(ref_hints):
+        r = order_hint_rel_dist(h, cur_hint, bits)
+        if r < 0:
+            if fwd < 0 or order_hint_rel_dist(h, fwd_hint, bits) > 0:
+                fwd, fwd_hint = i, h
+        elif r > 0:
+            if bwd < 0 or order_hint_rel_dist(h, bwd_hint, bits) < 0:
+                bwd, bwd_hint = i, h
+    if fwd >= 0 and bwd >= 0:
+        return (1 + min(fwd, bwd), 1 + max(fwd, bwd))
+    if fwd >= 0:
+        snd, snd_hint = -1, 0
+        for i, h in enumerate(ref_hints):
+            if (order_hint_rel_dist(h, fwd_hint, bits) < 0
+                    and (snd < 0
+                         or order_hint_rel_dist(h, snd_hint, bits) > 0)):
+                snd, snd_hint = i, h
+        if snd >= 0:
+            return (1 + min(fwd, snd), 1 + max(fwd, snd))
+    return None
 
 
 def _wb_write_primitive_subexpfin(w: BitWriter, n: int, k: int, v: int):
@@ -401,10 +448,14 @@ def write_frame_header_bits(w: BitWriter, sp: SequenceParams,
             w.f(fp.refresh_frame_flags, 8)
     else:
         w.f(fp.refresh_frame_flags, 8)
+    if ((not is_intra or fp.refresh_frame_flags != 0xFF)
+            and error_resilient and sp.enable_order_hint):
+        hints = fp.ref_order_hints or (0,) * 8
+        for i in range(8):
+            w.f(hints[i], sp.order_hint_bits)
     if not is_intra:
-        # frame_refs_short_signaling absent (enable_order_hint == 0)
-        assert not sp.enable_order_hint, \
-            "short ref signaling path not implemented"
+        if sp.enable_order_hint:
+            w.f(0, 1)   # frame_refs_short_signaling
         for i in range(7):
             w.f(fp.ref_frame_idx[i], 3)
     # frame_size(): S_FRAME implies frame_size_override_flag=1 and
@@ -504,8 +555,16 @@ def write_frame_header_bits(w: BitWriter, sp: SequenceParams,
     # frame_reference_mode
     if not is_intra:
         w.f(int(fp.reference_select), 1)
-    # skip_mode_params: skipModeAllowed=0 (no reference_select / order
-    # hints) => no bit
+    # skip_mode_params (spec 5.9.22): allowed iff inter frame with
+    # reference_select, order hints on, and a valid fwd/bwd (or
+    # fwd/fwd2) reference pair
+    if (not is_intra and fp.reference_select and sp.enable_order_hint
+            and skip_mode_refs(fp.order_hint, fp.ref_hints,
+                               sp.order_hint_bits) is not None):
+        w.f(int(fp.skip_mode_present), 1)
+    else:
+        assert not fp.skip_mode_present, \
+            "skip_mode_present set but skip mode not allowed"
     # allow_warped_motion: seq enable_warped_motion == 0 => no bit
     w.f(int(fp.reduced_tx_set), 1)
     # global_motion_params (entropy_coding.c:2953
@@ -775,7 +834,11 @@ def read_sequence_header(payload: bytes) -> SequenceParams:
         enable_interintra_compound=bool(interintra))
 
 
-def read_frame_header(r: BitReader, sp: SequenceParams) -> FrameParams:
+def read_frame_header(r: BitReader, sp: SequenceParams,
+                      ref_hints_by_slot=None) -> FrameParams:
+    """ref_hints_by_slot: the decoder's per-DPB-slot order hints (len
+    8), needed to mirror the skip_mode_params derivation when the
+    sequence codes order hints."""
     fp = FrameParams()
     reduced = sp.reduced_still_picture_header
     if reduced:
@@ -812,9 +875,21 @@ def read_frame_header(r: BitReader, sp: SequenceParams) -> FrameParams:
             fp.refresh_frame_flags = r.f(8)
     else:
         fp.refresh_frame_flags = r.f(8)
+    if ((not is_intra or fp.refresh_frame_flags != 0xFF)
+            and error_resilient and sp.enable_order_hint):
+        fp.ref_order_hints = tuple(
+            r.f(sp.order_hint_bits) for _ in range(8))
     if not is_intra:
-        assert not sp.enable_order_hint
+        if sp.enable_order_hint:
+            assert r.f(1) == 0, "frame_refs_short_signaling unsupported"
         fp.ref_frame_idx = tuple(r.f(3) for _ in range(7))
+        if sp.enable_order_hint:
+            slots = (fp.ref_order_hints if fp.ref_order_hints is not None
+                     else ref_hints_by_slot)
+            assert slots is not None, \
+                "order hints on: decoder must pass ref_hints_by_slot"
+            fp.ref_hints = tuple(
+                slots[fp.ref_frame_idx[i]] for i in range(7))
     if fp.frame_type == S_FRAME:
         wbits = max(1, (sp.width - 1).bit_length())
         hbits = max(1, (sp.height - 1).bit_length())
@@ -908,6 +983,10 @@ def read_frame_header(r: BitReader, sp: SequenceParams) -> FrameParams:
     fp.tx_mode_select = bool(r.f(1))
     if not is_intra:
         fp.reference_select = bool(r.f(1))
+    if (not is_intra and fp.reference_select and sp.enable_order_hint
+            and skip_mode_refs(fp.order_hint, fp.ref_hints,
+                               sp.order_hint_bits) is not None):
+        fp.skip_mode_present = bool(r.f(1))
     fp.reduced_tx_set = bool(r.f(1))
     if not is_intra:
         gms = []

@@ -153,6 +153,10 @@ class BlockDecision:
     qindex: int = 0
     # recursive filter-intra (y_mode == DC_PRED carrier); -1 = off
     filter_intra_mode: int = -1
+    # AV1 skip_mode: block coded as one symbol implying compound
+    # NEAREST_NEARESTMV on the frame's skip-mode ref pair with skip=1
+    # (set by the tile coder on eligible blocks; decode mirrors)
+    skip_mode: bool = False
 
     @property
     def skip(self) -> bool:
@@ -181,6 +185,7 @@ class ContextState:
         self.mi_is_inter = np.zeros((mi_rows, mi_cols), np.int32)
         self.mi_ref = np.zeros((mi_rows, mi_cols), np.int32)  # 0 = INTRA
         self.mi_ref2 = np.zeros((mi_rows, mi_cols), np.int32)  # 0 = NONE
+        self.mi_skip_mode = np.zeros((mi_rows, mi_cols), np.int32)
 
     def start_sb_row(self):
         self.left_part[:] = 0
@@ -216,8 +221,15 @@ class ContextState:
                 if c4 > 0 and self.mi_coded[r4, c4 - 1] else 0)
         return above + left
 
+    def skip_mode_ctx(self, r4, c4):
+        above = (int(self.mi_skip_mode[r4 - 1, c4])
+                 if r4 > 0 and self.mi_coded[r4 - 1, c4] else 0)
+        left = (int(self.mi_skip_mode[r4, c4 - 1])
+                if c4 > 0 and self.mi_coded[r4, c4 - 1] else 0)
+        return above + left
+
     def set_block(self, r4, c4, bsize, mode, skip, is_inter=False,
-                  ref=0, ref2=0):
+                  ref=0, ref2=0, skip_mode=0):
         w4 = int(cc.block_size_wide[bsize]) >> 2
         h4 = int(cc.block_size_high[bsize]) >> 2
         self.mi_mode[r4:r4 + h4, c4:c4 + w4] = mode
@@ -226,6 +238,7 @@ class ContextState:
         self.mi_is_inter[r4:r4 + h4, c4:c4 + w4] = int(is_inter)
         self.mi_ref[r4:r4 + h4, c4:c4 + w4] = ref if is_inter else 0
         self.mi_ref2[r4:r4 + h4, c4:c4 + w4] = ref2 if is_inter else 0
+        self.mi_skip_mode[r4:r4 + h4, c4:c4 + w4] = int(skip_mode)
 
     def comp_mode_ctx(self, r4, c4) -> int:
         """av1_get_reference_mode_context (single-vs-compound flag)."""
@@ -443,6 +456,16 @@ class TileCoderBase:
         # frame-level reference_select: inter blocks code a comp_mode
         # flag (single vs compound reference)
         self.reference_select = False
+        # frame-level skip mode (spec 5.9.22 / 5.11.11): when present,
+        # eligible blocks code one skip_mode symbol implying compound
+        # NEAREST_NEARESTMV on skip_mode_frames with skip=1.
+        # interp_filter mirrors the frame header: conversion requires
+        # REGULAR (a spec decoder predicts skip-mode blocks with
+        # REGULAR, av1_is_interp_needed==0) unless the MV pair is
+        # full-pel (filter irrelevant)
+        self.skip_mode_present = False
+        self.skip_mode_frames = (0, 0)
+        self.interp_filter = 0
         # segmentation (SEG_LVL_ALT_Q on intra frames): params + coded
         # per-mi segment-id map (spec read_segment_id, 5.11.14)
         self.seg = None
@@ -456,6 +479,13 @@ class TileCoderBase:
         self.seg_ids = np.zeros((self.mi_rows, self.mi_cols), np.int32)
         if seg_map is not None:
             self._seg_map = np.asarray(seg_map, np.int32)
+
+    def _skip_mode_block_allowed(self, bsize) -> bool:
+        """Per-block skip_mode gate: frame-level present + compound
+        refs allowed for the size (is_comp_ref_allowed: w, h >= 8)."""
+        return (self.skip_mode_present and not self.frame_is_intra
+                and int(cc.block_size_wide[bsize]) >= 8
+                and int(cc.block_size_high[bsize]) >= 8)
 
     def _code_segment_id(self, r4, c4, bsize, skip, dec=None) -> int:
         """Spatially-predicted segment id (spec 5.11.14); encoder side
@@ -908,12 +938,56 @@ class TileEncoder(TileCoderBase):
         else:
             raise NotImplementedError("rect partitions: next milestone")
 
+    def _skip_mode_eligible(self, r4, c4, bsize, d):
+        """Encoder-side conversion test: the decision decodes
+        identically as a skip-mode block (compound NEAREST_NEARESTMV on
+        the frame's skip-mode pair, all-zero residual, simple motion,
+        average compound), so it may be signaled with the single
+        skip_mode symbol.  Returns the compound stack when eligible."""
+        if not (d.is_inter and d.ref2 > 0 and d.skip
+                and (d.ref, d.ref2) == self.skip_mode_frames
+                and d.comp_type == 0 and d.motion_mode == 0
+                and d.interintra_mode < 0):
+            return None
+        w4b = int(cc.block_size_wide[bsize]) >> 2
+        h4b = int(cc.block_size_high[bsize]) >> 2
+        stackc = mv_pred.find_mv_stack_comp(
+            self.migrid, r4, c4, w4b, h4b, (d.ref, d.ref2))
+        if (tuple(d.mv), tuple(d.mv2)) != stackc.pairs[0]:
+            return None
+        if self.interp_filter != 0 and any(
+                v % 8 for v in (*d.mv, *d.mv2)):
+            # spec decoders predict skip-mode blocks with the REGULAR
+            # filter; only full-pel MVs are filter-independent
+            return None
+        return stackc
+
     # ---- leaf block ----
     def _encode_block(self, r4, c4, bsize):
         d = self.blocks[(r4, c4)]
         assert d.bsize == bsize
         skip = d.skip
         enc, cdfs, ctx = self.enc, self.cdfs, self.ctx
+
+        # skip_mode (spec 5.11.11: coded before the skip flag)
+        sm = 0
+        if self._skip_mode_block_allowed(bsize):
+            sm = int(self._skip_mode_eligible(r4, c4, bsize, d)
+                     is not None)
+            smctx = ctx.skip_mode_ctx(r4, c4)
+            enc.encode_symbol(sm, cdfs.skip_mode[smctx], 2)
+            if self.update:
+                update_cdf(cdfs.skip_mode[smctx], sm, 2)
+        if sm:
+            if self._read_deltas:
+                self._code_delta_q(enc, d.qindex, is_decoder=False)
+                self._read_deltas = False
+            ctx.set_block(r4, c4, bsize, d.y_mode, True, True, d.ref,
+                          ref2=d.ref2, skip_mode=1)
+            self._set_migrid(r4, c4, bsize, d, True, mv_pred.NEARESTMV)
+            self._reset_coeff_ctx(r4, c4, bsize,
+                                  d.qcoeff_u is not None)
+            return
 
         # skip flag
         sctx = ctx.skip_ctx(r4, c4)
@@ -1270,10 +1344,19 @@ class TileDecoder(TileCoderBase):
 
     def _decode_block(self, r4, c4, bsize):
         dec, cdfs, ctx = self.dec, self.cdfs, self.ctx
-        sctx = ctx.skip_ctx(r4, c4)
-        skip = dec.read_symbol(cdfs.skip[sctx], 2)
-        if self.update:
-            update_cdf(cdfs.skip[sctx], skip, 2)
+        sm = 0
+        if self._skip_mode_block_allowed(bsize):
+            smctx = ctx.skip_mode_ctx(r4, c4)
+            sm = dec.read_symbol(cdfs.skip_mode[smctx], 2)
+            if self.update:
+                update_cdf(cdfs.skip_mode[smctx], sm, 2)
+        if sm:
+            skip = 1
+        else:
+            sctx = ctx.skip_ctx(r4, c4)
+            skip = dec.read_symbol(cdfs.skip[sctx], 2)
+            if self.update:
+                update_cdf(cdfs.skip[sctx], skip, 2)
 
         seg_id = 0
         if self.seg is not None and self.frame_is_intra:
@@ -1305,7 +1388,16 @@ class TileDecoder(TileCoderBase):
         angle_uv = 0
         cfl_au = 0
         cfl_av = 0
-        if self.frame_is_intra:
+        if sm:
+            is_inter = True
+            ref, ref2 = self.skip_mode_frames
+            stackc = mv_pred.find_mv_stack_comp(
+                self.migrid, r4, c4,
+                int(cc.block_size_wide[bsize]) >> 2,
+                int(cc.block_size_high[bsize]) >> 2, (ref, ref2))
+            mv, mv2 = stackc.pairs[0]
+            inter_mode = mv_pred.NEARESTMV
+        elif self.frame_is_intra:
             actx, lctx = ctx.kf_y_ctx(r4, c4)
             cdf = cdfs.kf_y_mode[actx][lctx]
             y_mode = dec.read_symbol(cdf, cc.INTRA_MODES)
@@ -1418,7 +1510,7 @@ class TileDecoder(TileCoderBase):
                     update_cdf(mcdf, fi_mode, cc.FILTER_INTRA_MODES)
 
         ctx.set_block(r4, c4, bsize, y_mode, skip, is_inter, ref,
-                      ref2=ref2)
+                      ref2=ref2, skip_mode=sm)
         d_for_grid = BlockDecision(
             r4=r4, c4=c4, bsize=bsize, y_mode=y_mode, uv_mode=uv_mode,
             tx_type=cc.DCT_DCT, qcoeff_y=np.zeros((1, 1), np.int32),
@@ -1488,7 +1580,7 @@ class TileDecoder(TileCoderBase):
                     if self.delta_q_res is not None
                     else (self.seg.qindex_for(seg_id, self.base_q_idx)
                           if self.seg is not None else 0)),
-            filter_intra_mode=fi_mode)
+            filter_intra_mode=fi_mode, skip_mode=bool(sm))
 
     def _read_cfl_alphas(self):
         dec = self.dec

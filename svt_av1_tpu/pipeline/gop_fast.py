@@ -417,7 +417,7 @@ _II_EXTRA_BITS = 3.0
 
 
 def _eval_pair(src_y, src_u, src_v, p0, p1, mv0, mv1, ys, xs, qp, lam,
-               rt, bd, interp, nb, wedge=True):
+               rt, bd, interp, nb, wedge=True, sm=False):
     """Compound (mv0, mv1) pair evaluation with joint skip:
     COMPOUND_AVERAGE always; optionally a COMPOUND_WEDGE search (mask
     picked per block by prediction-SSE algebra over all 32 sign/index
@@ -441,7 +441,7 @@ def _eval_pair(src_y, src_u, src_v, p0, p1, mv0, mv1, ys, xs, qp, lam,
     s2c = np.float32(tf.coeff_sse_scale(cc.TX_8X8, cc.DCT_DCT))
     mvb = _mv_bits(mv0) + _mv_bits(mv1) + 2.0
 
-    def rd(pred, pred_u, pred_v, extra_bits):
+    def rd(pred, pred_u, pred_v, extra_bits, sm_ok=False):
         resid = srcb - pred
         coeffs = tf.fwd_txfm2d(resid, cc.DCT_DCT, cc.TX_16X16)
         qc, dq = quant.quantize(coeffs, qpp, cc.TX_16X16)
@@ -450,8 +450,13 @@ def _eval_pair(src_y, src_u, src_v, p0, p1, mv0, mv1, ys, xs, qp, lam,
         bits = _txb_bits(jnp.abs(qc), coef_y, txbb[0], eob_y, pos16) \
             + mvb + extra_bits
         coded_y = dist + lam * bits
+        # sm (skip_mode present, zero/NEAREST pair): an all-skip block
+        # codes as ONE skip_mode symbol (~1.5 bits) — no mv/mode/ref
+        # signaling (spec 5.11.11; the tile coder converts matching
+        # winners, syntax.py _skip_mode_eligible)
+        skip_sig = 1.5 if (sm and sm_ok) else (mvb + extra_bits + 2.0)
         skip_y = jnp.sum(resid.astype(jnp.float32) ** 2, axis=(1, 2)) \
-            + lam * (mvb + extra_bits + 2.0)
+            + lam * skip_sig
         rec_coded = tf.inv_txfm2d_add(dq, pred, cc.DCT_DCT,
                                       cc.TX_16X16, bd=bd)
         ch = []
@@ -488,7 +493,7 @@ def _eval_pair(src_y, src_u, src_v, p0, p1, mv0, mv1, ys, xs, qp, lam,
                                    CBLK, mc.PAD, 1, bd, kind=interp)
     pred_v = mc.mc_blocks_compound(p0[2], p1[2], cys, cxs, mv0, mv1,
                                    CBLK, mc.PAD, 1, bd, kind=interp)
-    avg = list(rd(pred, pred_u, pred_v, 0.0))
+    avg = list(rd(pred, pred_u, pred_v, 0.0, sm_ok=True))
     n = srcb.shape[0]
     # packed masked-compound code: -1 average, 0..31 wedge
     # (sign*16 + index), 64 + mask_type diffwtd
@@ -565,14 +570,17 @@ def _eval_pair(src_y, src_u, src_v, p0, p1, mv0, mv1, ys, xs, qp, lam,
 
 @functools.lru_cache(maxsize=None)
 def _jit_p1(h, w, R, modes, bd=8, ring=True, compound=True,
-            rad2=8, rad0=7, hp=False, obmc=False, interintra=False):
+            rad2=8, rad0=7, hp=False, obmc=False, interintra=False,
+            skip_mode=False):
     return jax.jit(_build_p1(h, w, R, modes, bd, ring, compound,
-                             rad2, rad0, hp, obmc, interintra))
+                             rad2, rad0, hp, obmc, interintra,
+                             skip_mode))
 
 
 @functools.lru_cache(maxsize=None)
 def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
-              rad2=8, rad0=7, hp=False, obmc=False, interintra=False):
+              rad2=8, rad0=7, hp=False, obmc=False, interintra=False,
+              skip_mode=False):
     """Unjitted P1 (17 inputs -> 20 outputs); pure traced JAX, so the
     multi-stream path can vmap it over a stream axis before jitting."""
     gh, gw = h // BLK, w // BLK
@@ -706,10 +714,12 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
             mv1 = _clamp_cands(hmes[1][:, None], ys, xs, BLK, h, w)[:, 0]
             zero = jnp.zeros_like(mv0)
             merged = None
-            for (m0, m1) in ((mv0, mv1), (zero, zero)):
+            for pi, (m0, m1) in enumerate(((mv0, mv1), (zero, zero))):
+                sm_pair = skip_mode and pi == 1
                 outc = list(_eval_pair(src_y, src_u, src_v, pads0,
                                        pads1, m0, m1, ys, xs, qp, lam,
-                                       rt, bd, interp, nb)) + [m0, m1]
+                                       rt, bd, interp, nb,
+                                       sm=sm_pair)) + [m0, m1]
                 if merged is None:
                     merged = outc
                 else:
@@ -1541,7 +1551,8 @@ def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
                     cdef_on: bool = True, cdf_state=None,
                     hp: bool = False, obmc: bool = False,
                     interintra: bool = False,
-                    exact_rates: bool = False):
+                    exact_rates: bool = False,
+                    skip_mode: bool = False):
     """Dispatch P1+P2 for one inter frame.  refs: {ref_enum: device
     plane dict} in MD priority order (LAST first).  Returns
     PendingInterFrame; finish with collect_inter_frame.
@@ -1564,7 +1575,7 @@ def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
     rt = md_rate_args(qindex, tuple(modes), _UV_MODES(), cdf_state,
                       inter_frame=True, exact=exact_rates)
     p1 = _jit_p1(h, w, R, tuple(modes), bd, ring, R == 2, rad2, rad0,
-                 hp, obmc, interintra)
+                 hp, obmc, interintra, skip_mode and R == 2)
     outs = p1(src_pack_u8, refs_y, refs_u, refs_v,
               *(np.asarray(a) for a in qp), lam,
               rt[0], rt[1], rt[2], rt[3], rt[4], rt[5], rt[6])

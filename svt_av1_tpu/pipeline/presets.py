@@ -8,6 +8,7 @@ search, trading quality for throughput."""
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Tuple
 
 from svt_av1_tpu.codec import constants as cc
@@ -48,20 +49,31 @@ class PresetFeatures:
 def features_for(enc_mode: int) -> PresetFeatures:
     m = max(0, min(13, int(enc_mode)))
     if m <= 4:        # quality presets
-        return PresetFeatures(_ALL_MODES, 8, 7, True, 8,
-                              tuple(range(16)), 3, varpart=True,
-                              tx_search=True, angle_deltas=True,
-                              cfl=True, dlf_search=True, cdef_sb=True,
-                              filter_intra=True, obmc=True,
-                              interintra=True)
-    if m <= 8:
-        return PresetFeatures(_ALL_MODES[:8], 8, 5, True, 6,
-                              tuple(range(0, 16, 2)), 3, tx_search=True,
-                              angle_deltas=True, cfl=True,
-                              dlf_search=True, obmc=True,
-                              interintra=True)
-    if m <= 11:
-        return PresetFeatures(_ALL_MODES[:6], 6, 4, True, 4,
-                              (0, 4, 8, 12), 4)
-    return PresetFeatures(_ALL_MODES[:4], 4, 3, False, 3,
-                          (0, 8), 4)
+        f = PresetFeatures(_ALL_MODES, 8, 7, True, 8,
+                           tuple(range(16)), 3, varpart=True,
+                           tx_search=True, angle_deltas=True,
+                           cfl=True, dlf_search=True, cdef_sb=True,
+                           filter_intra=True, obmc=True,
+                           interintra=True)
+    elif m <= 8:
+        f = PresetFeatures(_ALL_MODES[:8], 8, 5, True, 6,
+                           tuple(range(0, 16, 2)), 3, tx_search=True,
+                           angle_deltas=True, cfl=True,
+                           dlf_search=True, obmc=True,
+                           interintra=True)
+    elif m <= 11:
+        f = PresetFeatures(_ALL_MODES[:6], 6, 4, True, 4,
+                           (0, 4, 8, 12), 4)
+    else:
+        f = PresetFeatures(_ALL_MODES[:4], 4, 3, False, 3,
+                           (0, 8), 4)
+    env = os.environ.get("SVT_TPU_FEAT")
+    if env:
+        # A/B hook (tools/bdrate.py): "adapted_rates=1,exact_rates=0"
+        kw = {}
+        for item in env.split(","):
+            k, _, v = item.partition("=")
+            cur = getattr(f, k.strip())   # raises on unknown field
+            kw[k.strip()] = type(cur)(int(v))
+        f = dataclasses.replace(f, **kw)
+    return f

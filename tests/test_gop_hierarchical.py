@@ -204,6 +204,9 @@ def test_hier_fast_hp_mv_roundtrip(monkeypatch):
                         intra_period_length=31, hierarchical_levels=2,
                         enc_mode=6, enable_tf=0)
     enc = Encoder(cfg)
+    # pin order hints off: the skip_mode candidate otherwise out-RDs
+    # the NEWMV blocks this test needs (skip_mode has its own e2e test)
+    enc.sp.enable_order_hint = False
     assert enc._fast and enc._feat.hp_mv
     for i, (y, u, v) in enumerate(frames):
         enc.send_picture(y, u, v, eos=(i == n - 1))

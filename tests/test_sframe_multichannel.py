@@ -25,8 +25,8 @@ def test_sframe_roundtrip(monkeypatch):
     types = []
     orig = obu.read_frame_header
 
-    def spy(r, sp):
-        fp = orig(r, sp)
+    def spy(r, sp, **kw):
+        fp = orig(r, sp, **kw)
         types.append(fp.frame_type)
         return fp
 

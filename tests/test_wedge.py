@@ -133,6 +133,9 @@ def test_diffwtd_e2e_iris_roundtrip(monkeypatch):
                         intra_period_length=31, hierarchical_levels=2,
                         enc_mode=6, enable_tf=0)
     enc = Encoder(cfg)
+    # pin order hints off: the skip_mode candidate otherwise out-RDs
+    # the diffwtd blocks this test needs (skip_mode has its own test)
+    enc.sp.enable_order_hint = False
     for i, (y, u, v) in enumerate(frames):
         enc.send_picture(y, u, v, eos=(i == n - 1))
     pkts = []
