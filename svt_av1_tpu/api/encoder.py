@@ -409,7 +409,8 @@ class Encoder:
             bd=self.cfg.encoder_bit_depth, qmap=qmap,
             rdoq=self._feat.rdoq, tx_search=self._feat.tx_search,
             angle_deltas=self._feat.angle_deltas, cfl=self._feat.cfl,
-            exact_rates=self._feat.exact_rates)
+            exact_rates=(self._feat.exact_rates
+                         and self._feat.exact_rates_intra))
         prefilt = None
         dlf_wants = bool(self.cfg.enable_dlf_flag)
         if (self._fast and (dlf_wants or self.sp.enable_cdef)
@@ -915,7 +916,8 @@ class Encoder:
                     tile_starts=(self._tile_starts if arrays_ok
                                  else (0,)),
                     rdoq=self._feat.rdoq,
-                    exact_rates=self._feat.exact_rates)
+                    exact_rates=(self._feat.exact_rates
+                                 and self._feat.exact_rates_intra))
             if pending is not None:
                 with stage("device_wait_transfer"):
                     results = intra_encoder.encode_intra_frames_finish(
@@ -1241,7 +1243,8 @@ class Encoder:
                         tx_search=self._feat.tx_search,
                         angle_deltas=self._feat.angle_deltas,
                         cfl=self._feat.cfl,
-                        exact_rates=self._feat.exact_rates)
+                        exact_rates=(self._feat.exact_rates
+                                     and self._feat.exact_rates_intra))
         else:
             with stage("device_md_inter"):
                 decisions, recon, gm, interp = \

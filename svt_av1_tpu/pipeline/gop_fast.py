@@ -265,15 +265,18 @@ def _clamp_cands(cand, ys, xs, blk, h, w, pad=mc.PAD, hp=False):
 def _eval_ref(src_y, src_u, src_v, refp_y, refp_u, refp_v,
               wref_y, wref_u, wref_v, cand, is_warp0,
               ys, xs, qp, lam, rt, bd, interp, nb, K, hp=False,
-              h=None, w=None):
+              h=None, w=None, tx_set=()):
     """Pass-A candidate evaluation vs ONE reference (skip-aware).
 
     cand: (nb, K, 2) clamped MVs (slot 0 = global-motion candidate,
     signaling-only when is_warp0).  hp: refine the per-block winner
     with a 1/8-pel 8-neighbor ring (the iterative-subpel role of
-    mcomp.c, one fixed stage).  Returns the per-block winner:
+    mcomp.c, one fixed stage).  tx_set: extra luma tx types RD-tested
+    on the winner's residual (the inter tx_type search of the
+    reference's MD, product_coding_loop.c tx stage; all members must
+    share the TX_16X16 default scan).  Returns the per-block winner:
     (cost_y, mv, skip, qy, rec_y, pred_y_sse, qu, rec_u, qv, rec_v,
-    warp_flag, coded_cost_tot, skip_cost_tot)."""
+    warp_flag, tx_idx)."""
     coef_y, coef_uv, txbb, eob_y, eob_uv = rt
     qpp = quant.QuantParams(*qp)
     offs = jnp.arange(BLK)
@@ -360,6 +363,32 @@ def _eval_ref(src_y, src_u, src_v, refp_y, refp_u, refp_v,
         bskipc = jnp.where(improved, best2[7], bskipc)
     rec_coded = tf.inv_txfm2d_add(bdq, bpred, cc.DCT_DCT, cc.TX_16X16,
                                   bd=bd)
+    btx = jnp.zeros((nb,), jnp.int32)
+    if tx_set:
+        # inter luma tx-type search on the winner's residual: each
+        # alternative repays its signaling delta (the ALL16 inter
+        # ext-tx symbol is cheaper for DCT under the default CDF)
+        rows0 = ys[:, None, None] + offs[None, :, None]
+        cols0 = xs[:, None, None] + offs[None, None, :]
+        resid_w = src_y[rows0, cols0] - bpred
+        mvb_w = _mv_bits(bmv)
+        for ti, t in enumerate(tx_set, 1):
+            cf_t = tf.fwd_txfm2d(resid_w, t, cc.TX_16X16)
+            q_t, dq_t = quant.quantize(cf_t, qpp, cc.TX_16X16)
+            s2t = np.float32(tf.coeff_sse_scale(cc.TX_16X16, t))
+            dist_t = s2t * jnp.sum(
+                (cf_t - dq_t.astype(jnp.float32)) ** 2, axis=(1, 2))
+            bits_t = _txb_bits(jnp.abs(q_t), coef_y, txbb[0], eob_y,
+                               pos16) + mvb_w + _ITX_EXTRA_BITS
+            cost_t = dist_t + lam * bits_t
+            take_t = cost_t < bcoded
+            t3 = take_t[:, None, None]
+            bcoded = jnp.where(take_t, cost_t, bcoded)
+            bq = jnp.where(t3, q_t, bq)
+            rec_t = tf.inv_txfm2d_add(dq_t, bpred, t, cc.TX_16X16,
+                                      bd=bd)
+            rec_coded = jnp.where(t3, rec_t, rec_coded)
+            btx = jnp.where(take_t, ti, btx)
     # chroma at the winner MV (gm candidate 0 under warp uses the
     # warped chroma planes)
     cys, cxs = ys // 2, xs // 2
@@ -400,9 +429,19 @@ def _eval_ref(src_y, src_u, src_v, refp_y, refp_u, refp_v,
     cost_tot = jnp.where(skip, skip_tot, coded_tot)
     # luma-only cost for the pass-B intra/inter comparison
     cost_y = jnp.where(skip, bskipc, jnp.minimum(bcoded, bskipc))
+    btx = jnp.where(skip, 0, btx)     # skip blocks never signal a type
     return (cost_tot, cost_y, bmv, skip, qy, rec_y, qu, rec_u, qv_,
-            rec_v, warp_flag)
+            rec_v, warp_flag, btx)
 
+
+# extra luma tx types searched on inter winners (beyond DCT_DCT); the
+# DTT4 members share the TX_16X16 default scan so one rate table and
+# scan map serve all of them (intra_encoder.TX_SEARCH_SET rationale)
+ITX_SEARCH_SET = (cc.ADST_ADST, cc.ADST_DCT, cc.DCT_ADST)
+_ITX_ENUM = (cc.DCT_DCT,) + ITX_SEARCH_SET   # itx index -> tx_type
+# inter ext-tx (ALL16 set) signaling delta of a non-DCT member over
+# DCT_DCT under the default CDF (static estimate)
+_ITX_EXTRA_BITS = 2.5
 
 # masked-compound syntax overhead versus plain average (comp_group_idx
 # + compound_type [+ wedge_idx 16-ary + sign | mask_type], minus the
@@ -571,16 +610,16 @@ def _eval_pair(src_y, src_u, src_v, p0, p1, mv0, mv1, ys, xs, qp, lam,
 @functools.lru_cache(maxsize=None)
 def _jit_p1(h, w, R, modes, bd=8, ring=True, compound=True,
             rad2=8, rad0=7, hp=False, obmc=False, interintra=False,
-            skip_mode=False):
+            skip_mode=False, tx_search=False):
     return jax.jit(_build_p1(h, w, R, modes, bd, ring, compound,
                              rad2, rad0, hp, obmc, interintra,
-                             skip_mode))
+                             skip_mode, tx_search))
 
 
 @functools.lru_cache(maxsize=None)
 def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
               rad2=8, rad0=7, hp=False, obmc=False, interintra=False,
-              skip_mode=False):
+              skip_mode=False, tx_search=False):
     """Unjitted P1 (17 inputs -> 20 outputs); pure traced JAX, so the
     multi-stream path can vmap it over a stream axis before jitting."""
     gh, gw = h // BLK, w // BLK
@@ -692,7 +731,8 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
             out = _eval_ref(src_y, src_u, src_v, refp_y, refp_u, refp_v,
                             wy, wu, wv, cand, is_warp0, ys, xs,
                             qp, lam, rt, bd, interp, nb, K, hp=hp,
-                            h=h, w=w)
+                            h=h, w=w,
+                            tx_set=ITX_SEARCH_SET if tx_search else ())
             if best is None:
                 best = list(out)
             else:
@@ -702,7 +742,7 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
                     t = take.reshape((nb,) + (1,) * (best[fi].ndim - 1))
                     best[fi] = jnp.where(t, out[fi], best[fi])
         (cost_tot, cost_y, imv, iskip, iqy, irec_y, iqu, irec_u,
-         iqv, irec_v, iwarp) = best
+         iqv, irec_v, iwarp, itx) = best
 
         icomp = jnp.zeros((nb,), bool)
         imv2 = jnp.zeros((nb, 2), jnp.int32)
@@ -739,6 +779,7 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
             imv2 = jnp.where(take[:, None], m1, imv2)
             iskip = jnp.where(take, cskip, iskip)
             iwarp = jnp.where(take, False, iwarp)
+            itx = jnp.where(take, 0, itx)
             iref_idx = jnp.where(take, 0, iref_idx)
             iqy = jnp.where(t3, cqy, iqy)
             irec_y = jnp.where(t3, crec_y, irec_y)
@@ -1056,6 +1097,7 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
                 o2, qvo.reshape(nw * maxb, CBLK * CBLK)[pj]
                 .astype(jnp.int32), iqv.reshape(nb, -1))
             iskip = jnp.where(alt, osa.reshape(-1)[pj], iskip)
+            itx = jnp.where(alt, 0, itx)
         else:
             iqy = iqy.reshape(nb, -1)
             iqu = iqu.reshape(nb, -1)
@@ -1148,7 +1190,7 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
                 iref_idx.astype(jnp.uint8), icomp, iwarp & choose,
                 iwedge.astype(jnp.int8), iobmc, iimodes.astype(jnp.int8),
                 qy_f, qu_f, qv_f, gm_mats, gm_trans, gm_kinds, interp,
-                merge32, merge64)
+                merge32, merge64, itx.astype(jnp.int8))
 
     return p1
 
@@ -1552,7 +1594,8 @@ def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
                     hp: bool = False, obmc: bool = False,
                     interintra: bool = False,
                     exact_rates: bool = False,
-                    skip_mode: bool = False):
+                    skip_mode: bool = False,
+                    tx_search: bool = False):
     """Dispatch P1+P2 for one inter frame.  refs: {ref_enum: device
     plane dict} in MD priority order (LAST first).  Returns
     PendingInterFrame; finish with collect_inter_frame.
@@ -1575,7 +1618,7 @@ def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
     rt = md_rate_args(qindex, tuple(modes), _UV_MODES(), cdf_state,
                       inter_frame=True, exact=exact_rates)
     p1 = _jit_p1(h, w, R, tuple(modes), bd, ring, R == 2, rad2, rad0,
-                 hp, obmc, interintra, skip_mode and R == 2)
+                 hp, obmc, interintra, skip_mode and R == 2, tx_search)
     outs = p1(src_pack_u8, refs_y, refs_u, refs_v,
               *(np.asarray(a) for a in qp), lam,
               rt[0], rt[1], rt[2], rt[3], rt[4], rt[5], rt[6])
@@ -1694,7 +1737,8 @@ def collect_inter_frame(pend: PendingInterFrame, bd: int = 8):
     pulled = jax.device_get(small)
     (ymode, umode, choose, iskip, imv, imv2, iref_idx, icomp, iwarp,
      iwedge, iobmc, iimodes, qy_f, qu_f, qv_f, gm_mats, gm_trans,
-     gm_kinds, interp, merge32, merge64, dlf_levels, best_ci) = pulled
+     gm_kinds, interp, merge32, merge64, itx, dlf_levels,
+     best_ci) = pulled
     rec_y, rec_u, rec_v = pend.recon["y"], pend.recon["u"], pend.recon["v"]
 
     cdef_info = None
@@ -1773,7 +1817,8 @@ def collect_inter_frame(pend: PendingInterFrame, bd: int = 8):
                 ctyp = widx_ = wsgn = 0
             decisions[(r4, c4)] = BlockDecision(
                 r4=r4, c4=c4, bsize=cc.BLOCK_16X16, y_mode=cc.DC_PRED,
-                uv_mode=cc.DC_PRED, tx_type=cc.DCT_DCT,
+                uv_mode=cc.DC_PRED,
+                tx_type=_ITX_ENUM[int(itx[bid])],
                 qcoeff_y=qy_f[bid], qcoeff_u=qu_f[bid],
                 qcoeff_v=qv_f[bid], is_inter=True,
                 mv=(int(imv[bid, 0]), int(imv[bid, 1])),

@@ -40,6 +40,11 @@ class PresetFeatures:
                                  # primary-ref adapted CDFs
     exact_rates: bool = False  # context-exact device coefficient rate
                                # model (ops/coef_rate) in MD costs
+    exact_rates_intra: bool = True  # apply exact_rates on intra/key
+                                    # MD too (A/B split: the exact
+                                    # model wins on skip-vs-code inter
+                                    # decisions; intra mode ranking may
+                                    # prefer the biased curves)
     hp_mv: bool = False      # 1/8-pel MVs + subpel refinement ring
                              # (allow_high_precision_mv)
     obmc: bool = False       # OBMC_CAUSAL motion mode (overlapped MC)
