@@ -100,14 +100,25 @@ def demo_multi_stream(n_devices: int, height: int = 64, width: int = 64,
 @functools.lru_cache(maxsize=None)
 def _sharded_inter_step(mesh: Mesh, h: int, w: int, R: int, modes,
                         bd: int, ring: bool, rad2: int, rad0: int,
-                        ncand: int, dlf_on: bool, cdef_on: bool):
+                        ncand: int, dlf_on: bool, cdef_on: bool,
+                        hp: bool = False, obmc: bool = False,
+                        interintra: bool = False,
+                        skip_mode: bool = False,
+                        tx_search: bool = False):
     """P1 (MD) + P2 (DLF/CDEF) fused per frame, vmapped over a stream
     batch and sharded over the mesh's stream axis.  Bodies are the
     SAME traced functions the single-chip fast-GOP path jits
-    (gop_fast._build_p1/_build_p2), so per-stream results are
-    bit-identical to the single-stream encoder."""
+    (gop_fast._build_p1/_build_p2) with the SAME feature flags, so
+    per-stream results are bit-identical to the single-stream encoder.
+
+    The step returns the nested pytree ``(p1_outs, p2_outs)`` (not a
+    flat tuple): out_shardings is a single stream-sharding broadcast
+    over the whole tree, so the output arity of the underlying
+    programs can evolve without touching this path."""
     from svt_av1_tpu.pipeline import gop_fast as gf
-    p1 = gf._build_p1(h, w, R, modes, bd, ring, R == 2, rad2, rad0)
+    p1 = gf._build_p1(h, w, R, modes, bd, ring, R == 2, rad2, rad0,
+                      hp, obmc, interintra, skip_mode and R == 2,
+                      tx_search)
     p2 = gf._build_p2(h, w, bd, ncand, dlf_on, cdef_on, True, True)
     gh, gw = h // ie.BLK, w // ie.BLK
 
@@ -125,14 +136,14 @@ def _sharded_inter_step(mesh: Mesh, h: int, w: int, R: int, modes,
         p2_outs = p2(src_pack, outs[0], outs[1], outs[2], skip16,
                      dlf_y, dlf_uv, cands, damping, outs[22], inter16,
                      outs[23])
-        return tuple(outs) + tuple(p2_outs)
+        return tuple(outs), tuple(p2_outs)
 
     batched = jax.vmap(step, in_axes=(0,) * 19 + (None, 0))
     s = NamedSharding(mesh, P("stream"))
     rep = NamedSharding(mesh, P())
     return jax.jit(batched,
                    in_shardings=(s,) * 19 + (rep, s),
-                   out_shardings=(s,) * 30)
+                   out_shardings=s)
 
 
 def run_inter_frames_sharded(src_packs, refs_per_stream, qindices,
@@ -140,7 +151,11 @@ def run_inter_frames_sharded(src_packs, refs_per_stream, qindices,
                              ring: bool = True, rad2: int = 8,
                              rad0: int = 7, cdef_cands=None,
                              dlf_on: bool = True, cdef_on: bool = True,
-                             exact_rates: bool = False):
+                             exact_rates: bool = False,
+                             hp: bool = False, obmc: bool = False,
+                             interintra: bool = False,
+                             skip_mode: bool = False,
+                             tx_search: bool = False):
     """One inter frame for EACH of N independent GOP streams, sharded
     over the mesh.  All streams must share frame geometry and the same
     reference-enum layout (same GOP schedule position); qindex may
@@ -165,7 +180,9 @@ def run_inter_frames_sharded(src_packs, refs_per_stream, qindices,
     cands = np.asarray(cdef_cands if cdef_cands is not None
                        else SEARCH_SET, np.int32)
     step = _sharded_inter_step(mesh, h, w, R, tuple(modes), bd, ring,
-                               rad2, rad0, len(cands), dlf_on, cdef_on)
+                               rad2, rad0, len(cands), dlf_on, cdef_on,
+                               hp, obmc, interintra, skip_mode,
+                               tx_search)
     sp = np.stack([np.asarray(s, np.uint8) for s in src_packs])
     ry = jnp.stack([jnp.stack([jnp.asarray(r[e]["y"]).astype(jnp.int32)
                                for e in ref_enums])
@@ -195,12 +212,12 @@ def run_inter_frames_sharded(src_packs, refs_per_stream, qindices,
     dlf_uv = np.stack([gf.dlf_ladder_params(q, True) for q in qindices])
     damp = np.asarray([cdef_damping(q) for q in qindices], np.int32)
     with mesh:
-        out = step(sp, ry, ru, rv, *qp_b, np.asarray(lams), *rt_b,
-                   dlf_y, dlf_uv, cands, damp)
+        out_p1, out_p2 = step(sp, ry, ru, rv, *qp_b, np.asarray(lams),
+                              *rt_b, dlf_y, dlf_uv, cands, damp)
     pends = []
     for i in range(N):
-        outs = [o[i] for o in out[:24]]
-        p2_outs = [o[i] for o in out[24:]]
+        outs = [o[i] for o in out_p1]
+        p2_outs = [o[i] for o in out_p2]
         pend = gf.PendingInterFrame(outs, p2_outs, ref_enums, h, w,
                                     qindices[i])
         pend.cdef_cands = cands

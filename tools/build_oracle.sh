@@ -16,6 +16,9 @@ grep -rl "$REF/Bin" . --include='*.make' --include='link.txt' \
     --include='*.cmake' | xargs sed -i "s#$REF/Bin#$OUT/Bin#g"
 grep -rl 'fvisibility=hidden' . --include='*.make' \
     | xargs sed -i 's/-fvisibility=hidden//g'
+# the redirected output dir is not created by the patched makefiles;
+# without it the final link fails on a clean machine
+mkdir -p "$OUT/Bin/Release"
 make -j"$(nproc)" SvtAv1Enc -B > make.log 2>&1
 echo "oracle: $OUT/Bin/Release/libSvtAv1Enc.so"
 nm -D "$OUT"/Bin/Release/libSvtAv1Enc.so.* | grep -c ' T ' \
