@@ -14,6 +14,12 @@ clip and matched tools:
   => 6.40 fps (best of 3, measured 2026-08-17 on this host,
   /tmp/svtapp build; 5.44 fps with LR on).
 Secondary: all-intra CIF vs 15.94 fps reference (BENCH_r02 metric).
+
+Budget-safe (the round-3 lesson): the script tracks an internal
+deadline (SVT_TPU_BENCH_DEADLINE seconds, default 1200) and always
+prints its JSON line with whatever completed — a cold (compile-
+inclusive) number beats a timeout.  The XLA compile cache makes
+reruns on the same host start hot.
 """
 import json
 import os
@@ -31,6 +37,13 @@ BASELINE_GOP_FPS = 6.40    # reference preset 6 GOP (no LR), 1 core
 BASELINE_INTRA_FPS = 15.94
 FRAMES = 64
 W, H = 352, 288
+
+_T0 = time.time()
+_DEADLINE = float(os.environ.get("SVT_TPU_BENCH_DEADLINE", "1200"))
+
+
+def _left():
+    return _DEADLINE - (time.time() - _T0)
 
 
 def synth_frames(n, motion=True):
@@ -64,15 +77,28 @@ def run_encode(cfg, frames):
     return done / (time.time() - t0)
 
 
-def bench_gop(frames):
+def _gop_cfg():
     from svt_av1_tpu.api.config import EncoderConfig
-    cfg = lambda: EncoderConfig(
+    return EncoderConfig(
         source_width=W, source_height=H, qp=35, enc_mode=6,
         intra_period_length=15, hierarchical_levels=3,
         enable_tpl_la=1, enable_dlf_flag=1, cdef_level=1)
-    run_encode(cfg(), frames[:33])           # warmup / compile
-    runs = [run_encode(cfg(), frames) for _ in range(2)]
-    return max(runs)
+
+
+def bench_gop(frames):
+    """Cold run (compiles every program), then one hot rerun if the
+    deadline allows.  Returns (best_fps, cold_fps)."""
+    t0 = time.time()
+    cold = run_encode(_gop_cfg(), frames)
+    cold_dur = time.time() - t0
+    best = cold
+    if _left() > 1.3 * (len(frames) / max(cold, 1e-6)) + 30:
+        best = max(best, run_encode(_gop_cfg(), frames))
+    else:
+        print(f"# bench: skipping hot GOP rerun "
+              f"({_left():.0f}s left, cold took {cold_dur:.0f}s)",
+              file=sys.stderr)
+    return best, cold
 
 
 def bench_intra(frames):
@@ -80,34 +106,41 @@ def bench_intra(frames):
     from svt_av1_tpu.api.encoder import Encoder
     cfg = EncoderConfig(source_width=W, source_height=H, qp=35)
     enc = Encoder(cfg)
-    enc.send_pictures(frames[:32])           # warmup / compile
+    enc.recon_enabled = False
+    enc.send_pictures(frames[:8])            # warmup / compile
     while enc.get_packet():
         pass
-    runs = []
-    for _ in range(3):
-        t0 = time.time()
-        done = 0
-        enc.send_pictures(frames)
-        while enc.get_packet() is not None:
-            done += 1
-        runs.append(done / (time.time() - t0))
-    return sorted(runs)[1]
+    t0 = time.time()
+    done = 0
+    enc.send_pictures(frames[:32])
+    while enc.get_packet() is not None:
+        done += 1
+    return done / (time.time() - t0)
 
 
 def main():
     frames = synth_frames(FRAMES)
-    gop_fps = bench_gop(frames)
-    intra_fps = bench_intra(frames)
+    gop_fps, gop_cold = bench_gop(frames)
+    intra_fps = None
+    if _left() > 120:
+        intra_fps = bench_intra(frames)
+    else:
+        print(f"# bench: skipping intra ({_left():.0f}s left)",
+              file=sys.stderr)
+    extra = {
+        "gop_cold_fps": round(gop_cold, 3),
+        "gop_config": "preset6 keyint15 hier3 tpl dlf cdef crf35",
+    }
+    if intra_fps is not None:
+        extra["cif_intra_encode_fps"] = round(intra_fps, 3)
+        extra["intra_vs_baseline"] = round(
+            intra_fps / BASELINE_INTRA_FPS, 4)
     print(json.dumps({
         "metric": "cif_gop_p6_encode_fps",
         "value": round(gop_fps, 3),
         "unit": "fps",
         "vs_baseline": round(gop_fps / BASELINE_GOP_FPS, 4),
-        "extra": {
-            "cif_intra_encode_fps": round(intra_fps, 3),
-            "intra_vs_baseline": round(intra_fps / BASELINE_INTRA_FPS, 4),
-            "gop_config": "preset6 keyint15 hier3 tpl dlf cdef crf35",
-        },
+        "extra": extra,
     }))
 
 

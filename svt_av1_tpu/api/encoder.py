@@ -697,7 +697,8 @@ class Encoder:
             hp=self._feat.hp_mv, obmc=self._feat.obmc,
             interintra=self._feat.interintra,
             exact_rates=self._feat.exact_rates,
-            skip_mode=self.sp.enable_order_hint)
+            skip_mode=self.sp.enable_order_hint,
+            tx_search=self._feat.tx_search)
         slot = min(self._slot_free) if ev.store else None
         # snapshot the reference order hints in DECODE order (collect
         # runs after later dispatches may have overwritten slot hints)

@@ -872,6 +872,12 @@ class TileEncoder(TileCoderBase):
                 and all(d.bsize == cc.BLOCK_16X16
                         and d.tx_type == cc.DCT_DCT
                         and d.qcoeff_u is not None
+                        # the C tile walk codes angle delta 0, no CfL
+                        # alphas, no filter-intra (ec_native.c:667)
+                        and d.angle_delta_y == 0
+                        and d.angle_delta_uv == 0
+                        and d.uv_mode != cc.UV_CFL_PRED
+                        and d.filter_intra_mode < 0
                         for d in blocks.values())):
             return fast_ec.encode_intra_tile(self, blocks)
         if native_ok:

@@ -275,7 +275,7 @@ def _eval_ref(src_y, src_u, src_v, refp_y, refp_u, refp_v,
     on the winner's residual (the inter tx_type search of the
     reference's MD, product_coding_loop.c tx stage; all members must
     share the TX_16X16 default scan).  Returns the per-block winner:
-    (cost_y, mv, skip, qy, rec_y, pred_y_sse, qu, rec_u, qv, rec_v,
+    (cost_tot, cost_y, mv, skip, qy, rec_y, qu, rec_u, qv, rec_v,
     warp_flag, tx_idx)."""
     coef_y, coef_uv, txbb, eob_y, eob_uv = rt
     qpp = quant.QuantParams(*qp)
@@ -364,33 +364,11 @@ def _eval_ref(src_y, src_u, src_v, refp_y, refp_u, refp_v,
     rec_coded = tf.inv_txfm2d_add(bdq, bpred, cc.DCT_DCT, cc.TX_16X16,
                                   bd=bd)
     btx = jnp.zeros((nb,), jnp.int32)
-    if tx_set:
-        # inter luma tx-type search on the winner's residual: each
-        # alternative repays its signaling delta (the ALL16 inter
-        # ext-tx symbol is cheaper for DCT under the default CDF)
-        rows0 = ys[:, None, None] + offs[None, :, None]
-        cols0 = xs[:, None, None] + offs[None, None, :]
-        resid_w = src_y[rows0, cols0] - bpred
-        mvb_w = _mv_bits(bmv)
-        for ti, t in enumerate(tx_set, 1):
-            cf_t = tf.fwd_txfm2d(resid_w, t, cc.TX_16X16)
-            q_t, dq_t = quant.quantize(cf_t, qpp, cc.TX_16X16)
-            s2t = np.float32(tf.coeff_sse_scale(cc.TX_16X16, t))
-            dist_t = s2t * jnp.sum(
-                (cf_t - dq_t.astype(jnp.float32)) ** 2, axis=(1, 2))
-            bits_t = _txb_bits(jnp.abs(q_t), coef_y, txbb[0], eob_y,
-                               pos16) + mvb_w + _ITX_EXTRA_BITS
-            cost_t = dist_t + lam * bits_t
-            take_t = cost_t < bcoded
-            t3 = take_t[:, None, None]
-            bcoded = jnp.where(take_t, cost_t, bcoded)
-            bq = jnp.where(t3, q_t, bq)
-            rec_t = tf.inv_txfm2d_add(dq_t, bpred, t, cc.TX_16X16,
-                                      bd=bd)
-            rec_coded = jnp.where(t3, rec_t, rec_coded)
-            btx = jnp.where(take_t, ti, btx)
     # chroma at the winner MV (gm candidate 0 under warp uses the
-    # warped chroma planes)
+    # warped chroma planes); evaluated BEFORE the luma tx-type search
+    # because AV1 derives the inter chroma tx type from the signaled
+    # luma type (syntax._chroma_tx_type_inter; spec compute_tx_type
+    # plane>0) — a non-DCT luma win re-transforms chroma too
     cys, cxs = ys // 2, xs // 2
     offc = jnp.arange(CBLK)
     crows = cys[:, None, None] + offc[None, :, None]
@@ -404,17 +382,64 @@ def _eval_ref(src_y, src_u, src_v, refp_y, refp_u, refp_v,
         pred_c = jnp.where(warp_flag[:, None, None],
                            wref_c[crows, ccols], pred_c)
         resid_c = src_c[crows, ccols] - pred_c
-        cf = tf.fwd_txfm2d(resid_c, cc.DCT_DCT, cc.TX_8X8)
-        qcc, dqc = quant.quantize(cf, qpp, cc.TX_8X8)
-        s2c = np.float32(tf.coeff_sse_scale(cc.TX_8X8, cc.DCT_DCT))
-        dist_c = s2c * jnp.sum((cf - dqc.astype(jnp.float32)) ** 2,
-                               axis=(1, 2))
-        bits_c = _txb_bits(jnp.abs(qcc), coef_uv, txbb[1], eob_uv, pos8)
-        rec_c = tf.inv_txfm2d_add(dqc, pred_c, cc.DCT_DCT, cc.TX_8X8,
-                                  bd=bd)
         dskip_c = jnp.sum(resid_c.astype(jnp.float32) ** 2, axis=(1, 2))
-        ch.append((qcc, rec_c, pred_c, dist_c + lam * bits_c, dskip_c))
-    (qu, rec_u, pred_u, cu, su), (qv_, rec_v, pred_v, cvq, sv) = ch
+        ch.append((pred_c, resid_c, dskip_c))
+    (pred_u, resid_u, su), (pred_v, resid_v, sv) = ch
+
+    def chroma_rd(t):
+        """Per-plane chroma RD at tx type t: (q, rec, coded_cost)x2."""
+        out = []
+        s2c = np.float32(tf.coeff_sse_scale(cc.TX_8X8, t))
+        for pred_c, resid_c in ((pred_u, resid_u), (pred_v, resid_v)):
+            cf = tf.fwd_txfm2d(resid_c, t, cc.TX_8X8)
+            qcc, dqc = quant.quantize(cf, qpp, cc.TX_8X8)
+            dist_c = s2c * jnp.sum((cf - dqc.astype(jnp.float32)) ** 2,
+                                   axis=(1, 2))
+            bits_c = _txb_bits(jnp.abs(qcc), coef_uv, txbb[1], eob_uv,
+                               pos8)
+            rec_c = tf.inv_txfm2d_add(dqc, pred_c, t, cc.TX_8X8, bd=bd)
+            out.append((qcc, rec_c, dist_c + lam * bits_c))
+        return out
+
+    (qu, rec_u, cu), (qv_, rec_v, cvq) = chroma_rd(cc.DCT_DCT)
+    if tx_set:
+        # inter luma tx-type search on the winner's residual: each
+        # alternative repays its signaling delta, and the comparison is
+        # joint luma+chroma since the chroma tx type is inherited
+        # (TX_8X8 inter is EXT_TX_SET_ALL16, so every searched type
+        # carries over).  A win requires a nonzero luma txb — with
+        # eob==0 the type is never signaled and the decoder falls back
+        # to DCT_DCT for both planes.
+        rows0 = ys[:, None, None] + offs[None, :, None]
+        cols0 = xs[:, None, None] + offs[None, None, :]
+        resid_w = src_y[rows0, cols0] - bpred
+        mvb_w = _mv_bits(bmv)
+        for ti, t in enumerate(tx_set, 1):
+            cf_t = tf.fwd_txfm2d(resid_w, t, cc.TX_16X16)
+            q_t, dq_t = quant.quantize(cf_t, qpp, cc.TX_16X16)
+            s2t = np.float32(tf.coeff_sse_scale(cc.TX_16X16, t))
+            dist_t = s2t * jnp.sum(
+                (cf_t - dq_t.astype(jnp.float32)) ** 2, axis=(1, 2))
+            bits_t = _txb_bits(jnp.abs(q_t), coef_y, txbb[0], eob_y,
+                               pos16) + mvb_w + _ITX_EXTRA_BITS[ti - 1]
+            cost_t = dist_t + lam * bits_t
+            (qu_t, rec_u_t, cu_t), (qv_t, rec_v_t, cv_t) = chroma_rd(t)
+            nz_t = jnp.any(q_t != 0, axis=(1, 2))
+            take_t = nz_t & ((cost_t + cu_t + cv_t)
+                             < (bcoded + cu + cvq))
+            t3 = take_t[:, None, None]
+            bcoded = jnp.where(take_t, cost_t, bcoded)
+            bq = jnp.where(t3, q_t, bq)
+            rec_t = tf.inv_txfm2d_add(dq_t, bpred, t, cc.TX_16X16,
+                                      bd=bd)
+            rec_coded = jnp.where(t3, rec_t, rec_coded)
+            btx = jnp.where(take_t, ti, btx)
+            qu = jnp.where(t3, qu_t, qu)
+            rec_u = jnp.where(t3, rec_u_t, rec_u)
+            cu = jnp.where(take_t, cu_t, cu)
+            qv_ = jnp.where(t3, qv_t, qv_)
+            rec_v = jnp.where(t3, rec_v_t, rec_v)
+            cvq = jnp.where(take_t, cv_t, cvq)
     # joint skip decision across planes (skip flag covers all planes)
     coded_tot = bcoded + cu + cvq
     skip_tot = bskipc + su + sv
@@ -439,9 +464,10 @@ def _eval_ref(src_y, src_u, src_v, refp_y, refp_u, refp_v,
 # scan map serve all of them (intra_encoder.TX_SEARCH_SET rationale)
 ITX_SEARCH_SET = (cc.ADST_ADST, cc.ADST_DCT, cc.DCT_ADST)
 _ITX_ENUM = (cc.DCT_DCT,) + ITX_SEARCH_SET   # itx index -> tx_type
-# inter ext-tx (ALL16 set) signaling delta of a non-DCT member over
-# DCT_DCT under the default CDF (static estimate)
-_ITX_EXTRA_BITS = 2.5
+# luma TX_16X16 inter uses EXT_TX_SET_DTT9_IDTX_1DDCT; per-member
+# signaling delta over DCT_DCT (2.09 bits) under that set's default
+# inter_ext_tx CDF, aligned with ITX_SEARCH_SET
+_ITX_EXTRA_BITS = (1.62, 1.40, 1.31)   # ADST_ADST, ADST_DCT, DCT_ADST
 
 # masked-compound syntax overhead versus plain average (comp_group_idx
 # + compound_type [+ wedge_idx 16-ary + sign | mask_type], minus the
@@ -620,8 +646,9 @@ def _jit_p1(h, w, R, modes, bd=8, ring=True, compound=True,
 def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
               rad2=8, rad0=7, hp=False, obmc=False, interintra=False,
               skip_mode=False, tx_search=False):
-    """Unjitted P1 (17 inputs -> 20 outputs); pure traced JAX, so the
-    multi-stream path can vmap it over a stream axis before jitting."""
+    """Unjitted P1 (17 inputs -> 25 outputs, see the return at the end
+    of ``p1``); pure traced JAX, so the multi-stream path can vmap it
+    over a stream axis before jitting."""
     gh, gw = h // BLK, w // BLK
     nb = gh * gw
     h64 = (h + 63) & ~63

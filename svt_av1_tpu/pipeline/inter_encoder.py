@@ -945,6 +945,30 @@ def _recon_compound_blocks(decisions, refs, recon_y, recon_u, recon_v,
     return recon_y, recon_u, recon_v
 
 
+def _signaled_tx_type(d):
+    """Luma tx type as a decoder derives it: the signaled type is read
+    only for a non-skip luma txb with coefficients; otherwise the spec
+    default DCT_DCT applies (and chroma inherits that default)."""
+    if not np.any(d.qcoeff_y):
+        return cc.DCT_DCT
+    return d.tx_type
+
+
+def _inv_add_mixed(dq, pred, txts, tx_size, bd):
+    """Batched inv_txfm2d_add with a per-block tx type array: one
+    inverse per distinct type present, selected per block.  Needed
+    because the inter tx-type search signals non-DCT luma types (and
+    AV1 derives the chroma type from them, spec compute_tx_type)."""
+    types = sorted(set(int(t) for t in txts))
+    out = tf.inv_txfm2d_add(dq, pred, types[0], tx_size, bd=bd)
+    sel = np.asarray(txts)
+    for t in types[1:]:
+        rec_t = tf.inv_txfm2d_add(dq, pred, t, tx_size, bd=bd)
+        out = jnp.where(jnp.asarray(sel == t)[:, None, None], rec_t,
+                        out)
+    return out
+
+
 def _recon_inter_blocks_for_ref(decisions, renum, ref, recon_y, recon_u,
                                 recon_v, qp_j, bd, gm_model=None,
                                 interp=0):
@@ -984,8 +1008,8 @@ def _recon_inter_blocks_for_ref(decisions, renum, ref, recon_y, recon_u,
         qy = jnp.asarray(np.stack([decisions[k].qcoeff_y
                                    for k in inter_keys]))
         dq = quant.dequantize(qy, quant.QuantParams(*qp_j), cc.TX_16X16)
-        rec_y = tf.inv_txfm2d_add(dq, pred_y, cc.DCT_DCT, cc.TX_16X16,
-                                  bd=bd)
+        txts_y = [_signaled_tx_type(decisions[k]) for k in inter_keys]
+        rec_y = _inv_add_mixed(dq, pred_y, txts_y, cc.TX_16X16, bd)
         offs = jnp.arange(BLK)
         rows = ys[:, None, None] + offs[None, :, None]
         cols = xs[:, None, None] + offs[None, None, :]
@@ -1008,8 +1032,12 @@ def _recon_inter_blocks_for_ref(decisions, renum, ref, recon_y, recon_u,
                  for k in inter_keys]))
             dqc = quant.dequantize(qc, quant.QuantParams(*qp_j),
                                    cc.TX_8X8)
-            rec_c = tf.inv_txfm2d_add(dqc, pred_c, cc.DCT_DCT, cc.TX_8X8,
-                                      bd=bd)
+            from svt_av1_tpu.codec.syntax import _chroma_tx_type_inter
+            txts_c = [_chroma_tx_type_inter(
+                          _signaled_tx_type(decisions[k]), cc.TX_8X8,
+                          False)
+                      for k in inter_keys]
+            rec_c = _inv_add_mixed(dqc, pred_c, txts_c, cc.TX_8X8, bd)
             offc = jnp.arange(CBLK)
             crows = (ys // 2)[:, None, None] + offc[None, :, None]
             ccols = (xs // 2)[:, None, None] + offc[None, None, :]

@@ -110,11 +110,18 @@ def test_hier_fast_merge32_roundtrip():
     bit-exactly with mask-aware DLF on both sides."""
     rng = np.random.default_rng(9)
     h = w = 64
-    base = rng.integers(30, 220, (h, w + 32)).astype(np.uint8)
+    base = rng.integers(30, 220, (h, w)).astype(np.uint8)
     u0 = rng.integers(60, 190, (h // 2, w // 2)).astype(np.uint8)
     n = 6
-    frames = [(base[:, t:t + w].copy(), u0.copy(), u0.copy())
-              for t in range(n)]
+    # static textured background (zero-MV all-skip groups merge) plus a
+    # small moving square so DLF edges and non-skip leaves stay live;
+    # full-frame translation is too marginal — the inter tx-type search
+    # can flip a single borderline block to coded and break every group
+    frames = []
+    for t in range(n):
+        y = base.copy()
+        y[4:12, 2 * t:2 * t + 8] = 235
+        frames.append((y, u0.copy(), u0.copy()))
     cfg = EncoderConfig(source_width=w, source_height=h, qp=40,
                         intra_period_length=31, hierarchical_levels=2,
                         enc_mode=6, enable_dlf_flag=True, cdef_level=1)
