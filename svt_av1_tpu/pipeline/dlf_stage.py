@@ -70,7 +70,7 @@ def maps_from_decisions(decisions, mi_rows: int, mi_cols: int):
     for (r4, c4), d in decisions.items():
         n4 = d.qcoeff_y.shape  # luma tx (rows, cols) in px / 4
         from svt_av1_tpu.codec import constants as cc
-        b4 = {cc.BLOCK_16X16: 4, cc.BLOCK_32X32: 8,
+        b4 = {cc.BLOCK_8X8: 2, cc.BLOCK_16X16: 4, cc.BLOCK_32X32: 8,
               cc.BLOCK_64X64: 16}[d.bsize]
         skip = bool(d.skip) and bool(d.is_inter)
         tw4 = b4 if skip else max(1, n4[1] // 4)

@@ -262,10 +262,139 @@ def _clamp_cands(cand, ys, xs, blk, h, w, pad=mc.PAD, hp=False):
     return jnp.stack([r & ~1, c & ~1], axis=-1)
 
 
+def _eval_split8(src_y, src_u, src_v, refp_y, refp_u, refp_v, cand,
+                 ys, xs, qpp, lam, rt, bd, interp, nb, K, hp, h, w):
+    """8x8 partition-split alternative for one 16x16 block vs ONE
+    reference: each of the four 8x8 sub-blocks picks its own MV from
+    the parent candidate set, codes TX_8X8 luma + TX_4X4 chroma, and
+    decides skip independently (the d1/d2 partition compare of the
+    reference MD, product_coding_loop.c:10350-10420, restricted to
+    SPLIT-at-16 with single-ref translational subs).
+
+    Returns (cost_split, cost_y_split, smv (nb,4,2), sskip (nb,4),
+    qy_comp (nb,16,16), rec_comp, qu_comp (nb,8,8), recu_comp,
+    qv_comp, recv_comp) — composites hold each sub's tx coefficients /
+    recon in its spatial quadrant."""
+    coef_y, coef_uv, txbb, eob_y, eob_uv = rt
+    pos8 = jnp.asarray(_scan_pos(cc.TX_8X8))
+    pos4 = jnp.asarray(_scan_pos(cc.TX_4X4))
+    s2y8 = np.float32(tf.coeff_sse_scale(cc.TX_8X8, cc.DCT_DCT))
+    s2c4 = np.float32(tf.coeff_sse_scale(cc.TX_4X4, cc.DCT_DCT))
+    SUB = BLK // 2          # 8
+    CSUB = CBLK // 2        # 4
+    offs8 = jnp.arange(SUB)
+    offc4 = jnp.arange(CSUB)
+    cost_y_tot = jnp.zeros((nb,), jnp.float32)
+    cost_tot = jnp.zeros((nb,), jnp.float32)
+    smvs, sskips = [], []
+    qy_c = jnp.zeros((nb, BLK, BLK), jnp.int32)
+    rec_c = jnp.zeros((nb, BLK, BLK), jnp.int32)
+    qu_c = jnp.zeros((nb, CBLK, CBLK), jnp.int32)
+    ru_c = jnp.zeros((nb, CBLK, CBLK), jnp.int32)
+    qv_c = jnp.zeros((nb, CBLK, CBLK), jnp.int32)
+    rv_c = jnp.zeros((nb, CBLK, CBLK), jnp.int32)
+    for dy, dx in ((0, 0), (0, SUB), (SUB, 0), (SUB, SUB)):
+        ys_s = ys + dy
+        xs_s = xs + dx
+        cand_s = _clamp_cands(cand, ys_s, xs_s, SUB, h, w, hp=hp)
+        mvsK = cand_s.transpose(1, 0, 2).reshape(nb * K, 2)
+        pred = mc.mc_blocks(refp_y, jnp.tile(ys_s, K),
+                            jnp.tile(xs_s, K), mvsK, SUB, mc.PAD, 0,
+                            bd, kind=interp)
+        rows = jnp.tile(ys_s, K)[:, None, None] + offs8[None, :, None]
+        cols = jnp.tile(xs_s, K)[:, None, None] + offs8[None, None, :]
+        resid = src_y[rows, cols] - pred
+        coeffs = tf.fwd_txfm2d(resid, cc.DCT_DCT, cc.TX_8X8)
+        qc, dq = quant.quantize(coeffs, qpp, cc.TX_8X8)
+        dist = s2y8 * jnp.sum((coeffs - dq.astype(jnp.float32)) ** 2,
+                              axis=(1, 2))
+        mvb = _mv_bits(mvsK)
+        # luma TX_8X8 priced with the 8-wide table set (plane-eff.
+        # mismatch is acceptable MD approximation)
+        bits = _txb_bits(jnp.abs(qc), coef_uv, txbb[1], eob_uv,
+                         pos8) + mvb
+        cost_coded = dist + lam * bits
+        dist_skip = jnp.sum(resid.astype(jnp.float32) ** 2,
+                            axis=(1, 2))
+        cost_skip = dist_skip + lam * (mvb + 2.0)
+        cost_k = jnp.minimum(cost_coded, cost_skip).reshape(K, nb)
+        kbest = jnp.argmin(cost_k, axis=0)
+        sel = kbest[None, :, None, None] == \
+            jnp.arange(K)[:, None, None, None]
+        bq = jnp.sum(jnp.where(sel, qc.reshape(K, nb, SUB, SUB), 0),
+                     axis=0)
+        bdq = jnp.sum(jnp.where(sel, dq.reshape(K, nb, SUB, SUB), 0),
+                      axis=0)
+        bpred = jnp.sum(jnp.where(sel, pred.reshape(K, nb, SUB, SUB),
+                                  0), axis=0)
+        sel1 = kbest[None, :] == jnp.arange(K)[:, None]
+        bmv = jnp.sum(jnp.where(sel1[..., None],
+                                mvsK.reshape(K, nb, 2), 0), axis=0)
+        bcoded = jnp.sum(jnp.where(sel1, cost_coded.reshape(K, nb), 0),
+                         axis=0)
+        bskipc = jnp.sum(jnp.where(sel1, cost_skip.reshape(K, nb), 0),
+                         axis=0)
+        rec_cod = tf.inv_txfm2d_add(bdq, bpred, cc.DCT_DCT, cc.TX_8X8,
+                                    bd=bd)
+        # chroma 4x4 at the sub winner MV
+        cys_s = ys_s // 2
+        cxs_s = xs_s // 2
+        crows = cys_s[:, None, None] + offc4[None, :, None]
+        ccols = cxs_s[:, None, None] + offc4[None, None, :]
+        ch = []
+        for refp_c, src_c in ((refp_u, src_u), (refp_v, src_v)):
+            pred_c = mc.mc_blocks(refp_c, cys_s, cxs_s, bmv, CSUB,
+                                  mc.PAD, 1, bd, kind=interp)
+            resid_c = src_c[crows, ccols] - pred_c
+            cf = tf.fwd_txfm2d(resid_c, cc.DCT_DCT, cc.TX_4X4)
+            qcc, dqc = quant.quantize(cf, qpp, cc.TX_4X4)
+            dist_c = s2c4 * jnp.sum(
+                (cf - dqc.astype(jnp.float32)) ** 2, axis=(1, 2))
+            # analytic level curve (the exact model's table set has no
+            # 4-wide entry; MD-only approximation)
+            af = jnp.abs(qcc).astype(jnp.float32)
+            nzm = af > 0
+            bits_c = (2.0 * jnp.sum(jnp.log2(1.0 + af), axis=(1, 2))
+                      + jnp.sum(nzm, axis=(1, 2)) + 2.0)
+            rcc = tf.inv_txfm2d_add(dqc, pred_c, cc.DCT_DCT,
+                                    cc.TX_4X4, bd=bd)
+            sk_c = jnp.sum(resid_c.astype(jnp.float32) ** 2,
+                           axis=(1, 2))
+            ch.append((qcc, rcc, pred_c, dist_c + lam * bits_c, sk_c))
+        (qu_s, ru_s, pu_s, cu_s, su_s), \
+            (qv_s, rv_s, pv_s, cv_s, sv_s) = ch
+        coded_tot = bcoded + cu_s + cv_s
+        skip_tot = bskipc + su_s + sv_s
+        ssk = skip_tot < coded_tot
+        s3 = ssk[:, None, None]
+        sub_cost = jnp.where(ssk, skip_tot, coded_tot)
+        cost_tot = cost_tot + sub_cost
+        cost_y_tot = cost_y_tot + jnp.where(
+            ssk, bskipc, jnp.minimum(bcoded, bskipc))
+        smvs.append(bmv)
+        sskips.append(ssk)
+        qy_sub = jnp.where(s3, 0, bq)
+        rec_sub = jnp.where(s3, bpred, rec_cod)
+        sl = (slice(None), slice(dy, dy + SUB), slice(dx, dx + SUB))
+        qy_c = qy_c.at[sl].set(qy_sub)
+        rec_c = rec_c.at[sl].set(rec_sub)
+        cdy, cdx = dy // 2, dx // 2
+        slc = (slice(None), slice(cdy, cdy + CSUB),
+               slice(cdx, cdx + CSUB))
+        qu_c = qu_c.at[slc].set(jnp.where(s3, 0, qu_s))
+        ru_c = ru_c.at[slc].set(jnp.where(s3, pu_s, ru_s))
+        qv_c = qv_c.at[slc].set(jnp.where(s3, 0, qv_s))
+        rv_c = rv_c.at[slc].set(jnp.where(s3, pv_s, rv_s))
+    smv = jnp.stack(smvs, axis=1)          # (nb, 4, 2)
+    sskip = jnp.stack(sskips, axis=1)      # (nb, 4)
+    return (cost_tot + lam * _SPLIT_EXTRA_BITS, cost_y_tot, smv,
+            sskip, qy_c, rec_c, qu_c, ru_c, qv_c, rv_c)
+
+
 def _eval_ref(src_y, src_u, src_v, refp_y, refp_u, refp_v,
               wref_y, wref_u, wref_v, cand, is_warp0,
               ys, xs, qp, lam, rt, bd, interp, nb, K, hp=False,
-              h=None, w=None, tx_set=()):
+              h=None, w=None, tx_set=(), split8=False):
     """Pass-A candidate evaluation vs ONE reference (skip-aware).
 
     cand: (nb, K, 2) clamped MVs (slot 0 = global-motion candidate,
@@ -455,8 +584,33 @@ def _eval_ref(src_y, src_u, src_v, refp_y, refp_u, refp_v,
     # luma-only cost for the pass-B intra/inter comparison
     cost_y = jnp.where(skip, bskipc, jnp.minimum(bcoded, bskipc))
     btx = jnp.where(skip, 0, btx)     # skip blocks never signal a type
+    isplit = jnp.zeros((nb,), bool)
+    smv = jnp.zeros((nb, 4, 2), jnp.int32)
+    ssk = jnp.zeros((nb, 4), bool)
+    if split8:
+        (sp_cost, sp_cost_y, sp_mv, sp_skip, sp_qy, sp_rec, sp_qu,
+         sp_ru, sp_qv, sp_rv) = _eval_split8(
+            src_y, src_u, src_v, refp_y, refp_u, refp_v, cand,
+            ys, xs, qpp, lam, rt, bd, interp, nb, K, hp, h, w)
+        take = sp_cost < cost_tot
+        t3 = take[:, None, None]
+        cost_tot = jnp.where(take, sp_cost, cost_tot)
+        cost_y = jnp.where(take, sp_cost_y, cost_y)
+        skip = jnp.where(take, jnp.all(sp_skip, axis=1), skip)
+        qy = jnp.where(t3, sp_qy, qy)
+        rec_y = jnp.where(t3, sp_rec, rec_y)
+        qu = jnp.where(t3, sp_qu, qu)
+        rec_u = jnp.where(t3, sp_ru, rec_u)
+        qv_ = jnp.where(t3, sp_qv, qv_)
+        rec_v = jnp.where(t3, sp_rv, rec_v)
+        warp_flag = jnp.where(take, False, warp_flag)
+        btx = jnp.where(take, 0, btx)
+        bmv = jnp.where(take[:, None], sp_mv[:, 0], bmv)
+        isplit = take
+        smv = sp_mv
+        ssk = sp_skip
     return (cost_tot, cost_y, bmv, skip, qy, rec_y, qu, rec_u, qv_,
-            rec_v, warp_flag, btx)
+            rec_v, warp_flag, btx, isplit, smv, ssk)
 
 
 # extra luma tx types searched on inter winners (beyond DCT_DCT); the
@@ -468,6 +622,12 @@ _ITX_ENUM = (cc.DCT_DCT,) + ITX_SEARCH_SET   # itx index -> tx_type
 # signaling delta over DCT_DCT (2.09 bits) under that set's default
 # inter_ext_tx CDF, aligned with ITX_SEARCH_SET
 _ITX_EXTRA_BITS = (1.62, 1.40, 1.31)   # ADST_ADST, ADST_DCT, DCT_ADST
+
+# 8x8 partition-split signaling overhead vs one 16x16 leaf: the SPLIT
+# symbol at the 16 node + 4 NONE symbols at 8 nodes + three extra
+# per-sub mode/ref/skip header sets (static estimate from default
+# CDFs; refined by BD-rate A/B)
+_SPLIT_EXTRA_BITS = 18.0
 
 # masked-compound syntax overhead versus plain average (comp_group_idx
 # + compound_type [+ wedge_idx 16-ary + sign | mask_type], minus the
@@ -636,17 +796,17 @@ def _eval_pair(src_y, src_u, src_v, p0, p1, mv0, mv1, ys, xs, qp, lam,
 @functools.lru_cache(maxsize=None)
 def _jit_p1(h, w, R, modes, bd=8, ring=True, compound=True,
             rad2=8, rad0=7, hp=False, obmc=False, interintra=False,
-            skip_mode=False, tx_search=False):
+            skip_mode=False, tx_search=False, split8=False):
     return jax.jit(_build_p1(h, w, R, modes, bd, ring, compound,
                              rad2, rad0, hp, obmc, interintra,
-                             skip_mode, tx_search))
+                             skip_mode, tx_search, split8))
 
 
 @functools.lru_cache(maxsize=None)
 def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
               rad2=8, rad0=7, hp=False, obmc=False, interintra=False,
-              skip_mode=False, tx_search=False):
-    """Unjitted P1 (17 inputs -> 25 outputs, see the return at the end
+              skip_mode=False, tx_search=False, split8=False):
+    """Unjitted P1 (17 inputs -> 28 outputs, see the return at the end
     of ``p1``); pure traced JAX, so the multi-stream path can vmap it
     over a stream axis before jitting."""
     gh, gw = h // BLK, w // BLK
@@ -759,7 +919,8 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
                             wy, wu, wv, cand, is_warp0, ys, xs,
                             qp, lam, rt, bd, interp, nb, K, hp=hp,
                             h=h, w=w,
-                            tx_set=ITX_SEARCH_SET if tx_search else ())
+                            tx_set=ITX_SEARCH_SET if tx_search else (),
+                            split8=split8)
             if best is None:
                 best = list(out)
             else:
@@ -769,7 +930,7 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
                     t = take.reshape((nb,) + (1,) * (best[fi].ndim - 1))
                     best[fi] = jnp.where(t, out[fi], best[fi])
         (cost_tot, cost_y, imv, iskip, iqy, irec_y, iqu, irec_u,
-         iqv, irec_v, iwarp, itx) = best
+         iqv, irec_v, iwarp, itx, isplit, ismv, issk) = best
 
         icomp = jnp.zeros((nb,), bool)
         imv2 = jnp.zeros((nb, 2), jnp.int32)
@@ -807,6 +968,7 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
             iskip = jnp.where(take, cskip, iskip)
             iwarp = jnp.where(take, False, iwarp)
             itx = jnp.where(take, 0, itx)
+            isplit = jnp.where(take, False, isplit)
             iref_idx = jnp.where(take, 0, iref_idx)
             iqy = jnp.where(t3, cqy, iqy)
             irec_y = jnp.where(t3, crec_y, irec_y)
@@ -918,9 +1080,12 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
             bid = by * gw + bx
             abid = jnp.maximum(bid - gw, 0)
             lbid = jnp.maximum(bid - 1, 0)
-            a_int = (by > 0) & ca_flat[perm_j[abid]]
-            l_int = (bx > 0) & ca_flat[perm_j[lbid]]
-            el = (va & ~icomp[bid] & ~iwarp[bid] & (a_int | l_int))
+            # split neighbors are excluded as OBMC sources: the spec
+            # blend would use their per-8x8 sub MVs, not one 16-wide MV
+            a_int = (by > 0) & ca_flat[perm_j[abid]] & ~isplit[abid]
+            l_int = (bx > 0) & ca_flat[perm_j[lbid]] & ~isplit[lbid]
+            el = (va & ~icomp[bid] & ~iwarp[bid] & ~isplit[bid]
+                  & (a_int | l_int))
             pred, pred_u, pred_v = base
             my = jnp.asarray(obmc_ops.MASK_Y16)
             mc8 = jnp.asarray(obmc_ops.MASK_C8)
@@ -955,7 +1120,7 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
             from svt_av1_tpu.pipeline.intra_encoder import \
                 _gather_neighbors
             bid = by * gw + bx
-            el = va & ~icomp[bid] & ~iwarp[bid]
+            el = va & ~icomp[bid] & ~iwarp[bid] & ~isplit[bid]
             offs_ = jnp.arange(BLK)
             rws = ys_[:, None, None] + offs_[None, :, None]
             cls_ = xs_[:, None, None] + offs_[None, None, :]
@@ -1151,7 +1316,7 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
         # wedge blocks keep their 16x16 leaf (no 32x32 wedge masks);
         # OBMC blocks keep theirs (the merged 32 would re-derive its
         # own overlap blend)
-        eligible = (choose & iskip & ~(iwarp & choose)
+        eligible = (choose & iskip & ~isplit & ~(iwarp & choose)
                     & (iwedge < 0) & ~iobmc & (iimodes < 0))
 
         def grp(a):
@@ -1217,7 +1382,8 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
                 iref_idx.astype(jnp.uint8), icomp, iwarp & choose,
                 iwedge.astype(jnp.int8), iobmc, iimodes.astype(jnp.int8),
                 qy_f, qu_f, qv_f, gm_mats, gm_trans, gm_kinds, interp,
-                merge32, merge64, itx.astype(jnp.int8))
+                merge32, merge64, itx.astype(jnp.int8),
+                isplit & choose, ismv.astype(jnp.int16), issk)
 
     return p1
 
@@ -1622,7 +1788,8 @@ def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
                     interintra: bool = False,
                     exact_rates: bool = False,
                     skip_mode: bool = False,
-                    tx_search: bool = False):
+                    tx_search: bool = False,
+                    split8: bool = False):
     """Dispatch P1+P2 for one inter frame.  refs: {ref_enum: device
     plane dict} in MD priority order (LAST first).  Returns
     PendingInterFrame; finish with collect_inter_frame.
@@ -1645,7 +1812,8 @@ def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
     rt = md_rate_args(qindex, tuple(modes), _UV_MODES(), cdf_state,
                       inter_frame=True, exact=exact_rates)
     p1 = _jit_p1(h, w, R, tuple(modes), bd, ring, R == 2, rad2, rad0,
-                 hp, obmc, interintra, skip_mode and R == 2, tx_search)
+                 hp, obmc, interintra, skip_mode and R == 2, tx_search,
+                 split8)
     outs = p1(src_pack_u8, refs_y, refs_u, refs_v,
               *(np.asarray(a) for a in qp), lam,
               rt[0], rt[1], rt[2], rt[3], rt[4], rt[5], rt[6])
@@ -1764,8 +1932,8 @@ def collect_inter_frame(pend: PendingInterFrame, bd: int = 8):
     pulled = jax.device_get(small)
     (ymode, umode, choose, iskip, imv, imv2, iref_idx, icomp, iwarp,
      iwedge, iobmc, iimodes, qy_f, qu_f, qv_f, gm_mats, gm_trans,
-     gm_kinds, interp, merge32, merge64, itx, dlf_levels,
-     best_ci) = pulled
+     gm_kinds, interp, merge32, merge64, itx, isplit, ismv, issk,
+     dlf_levels, best_ci) = pulled
     rec_y, rec_u, rec_v = pend.recon["y"], pend.recon["u"], pend.recon["v"]
 
     cdef_info = None
@@ -1833,6 +2001,24 @@ def collect_inter_frame(pend: PendingInterFrame, bd: int = 8):
                 ref2=(int(mv_pred.ALTREF_FRAME) if icomp[bid] else 0),
                 mv2=((int(imv2[bid, 0]), int(imv2[bid, 1]))
                      if icomp[bid] else (0, 0)))
+            continue
+        if choose[bid] and isplit[bid]:
+            # 8x8 partition split: four single-ref leaves, each with
+            # its own MV / TX_8X8 luma / TX_4X4 chroma quadrant
+            ref_e = int(enums[iref_idx[bid]])
+            for si, (dy, dx) in enumerate(((0, 0), (0, 8),
+                                           (8, 0), (8, 8))):
+                cy0, cx0 = dy // 2, dx // 2
+                decisions[(r4 + dy // 4, c4 + dx // 4)] = BlockDecision(
+                    r4=r4 + dy // 4, c4=c4 + dx // 4,
+                    bsize=cc.BLOCK_8X8, y_mode=cc.DC_PRED,
+                    uv_mode=cc.DC_PRED, tx_type=cc.DCT_DCT,
+                    qcoeff_y=qy_f[bid][dy:dy + 8, dx:dx + 8].copy(),
+                    qcoeff_u=qu_f[bid][cy0:cy0 + 4, cx0:cx0 + 4].copy(),
+                    qcoeff_v=qv_f[bid][cy0:cy0 + 4, cx0:cx0 + 4].copy(),
+                    is_inter=True,
+                    mv=(int(ismv[bid, si, 0]), int(ismv[bid, si, 1])),
+                    ref=ref_e)
             continue
         if choose[bid]:
             mcode = int(iwedge[bid]) if icomp[bid] else -1

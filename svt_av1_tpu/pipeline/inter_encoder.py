@@ -677,6 +677,10 @@ def reconstruct_inter_from_decisions(decisions: Dict, ref,
         recon_y, recon_u, recon_v = _recon_inter_blocks_for_ref(
             decisions, renum, refp, recon_y, recon_u, recon_v, qp_j, bd,
             gm_model=(gm or {}).get(renum), interp=interp)
+        # 8x8 partition-split leaves (single-ref translational)
+        recon_y, recon_u, recon_v = _recon_inter_blocks_for_ref(
+            decisions, renum, refp, recon_y, recon_u, recon_v, qp_j, bd,
+            gm_model=(gm or {}).get(renum), interp=interp, blk=8)
     recon_y, recon_u, recon_v = _recon_compound_blocks(
         decisions, refs, recon_y, recon_u, recon_v, qp_j, bd, interp)
     recon_y, recon_u, recon_v = _recon_obmc_blocks(
@@ -971,10 +975,14 @@ def _inv_add_mixed(dq, pred, txts, tx_size, bd):
 
 def _recon_inter_blocks_for_ref(decisions, renum, ref, recon_y, recon_u,
                                 recon_v, qp_j, bd, gm_model=None,
-                                interp=0):
+                                interp=0, blk=BLK):
+    cblk = blk // 2
+    tx_l = cc.TX_16X16 if blk == 16 else cc.TX_8X8
+    tx_c = cc.TX_8X8 if blk == 16 else cc.TX_4X4
     inter_keys = [k for k, d in decisions.items()
                   if d.is_inter and d.ref == renum and not d.ref2
-                  and not d.motion_mode and d.interintra_mode < 0]
+                  and not d.motion_mode and d.interintra_mode < 0
+                  and int(cc.block_size_wide[d.bsize]) == blk]
     if inter_keys:
         ys = np.array([k[0] * 4 for k in inter_keys], np.int32)
         xs = np.array([k[1] * 4 for k in inter_keys], np.int32)
@@ -997,48 +1005,48 @@ def _recon_inter_blocks_for_ref(decisions, renum, ref, recon_y, recon_u,
                                       bd=bd, subsampling=1))
         refp_y = jnp.asarray(mc.pad_plane(ref["y"].astype(np.int32),
                                           mc.PAD))
-        pred_y = mc.mc_blocks(refp_y, ys, xs, mvs, BLK, mc.PAD, 0, bd,
+        pred_y = mc.mc_blocks(refp_y, ys, xs, mvs, blk, mc.PAD, 0, bd,
                               kind=interp)
         if wplanes is not None:
             wy = jnp.asarray(wplanes["y"].astype(np.int32))
-            r0 = ys[:, None, None] + np.arange(BLK)[None, :, None]
-            c0 = xs[:, None, None] + np.arange(BLK)[None, None, :]
+            r0 = ys[:, None, None] + np.arange(blk)[None, :, None]
+            c0 = xs[:, None, None] + np.arange(blk)[None, None, :]
             pred_y = jnp.where(jnp.asarray(wsel)[:, None, None],
                                wy[r0, c0], pred_y)
         qy = jnp.asarray(np.stack([decisions[k].qcoeff_y
                                    for k in inter_keys]))
-        dq = quant.dequantize(qy, quant.QuantParams(*qp_j), cc.TX_16X16)
+        dq = quant.dequantize(qy, quant.QuantParams(*qp_j), tx_l)
         txts_y = [_signaled_tx_type(decisions[k]) for k in inter_keys]
-        rec_y = _inv_add_mixed(dq, pred_y, txts_y, cc.TX_16X16, bd)
-        offs = jnp.arange(BLK)
+        rec_y = _inv_add_mixed(dq, pred_y, txts_y, tx_l, bd)
+        offs = jnp.arange(blk)
         rows = ys[:, None, None] + offs[None, :, None]
         cols = xs[:, None, None] + offs[None, None, :]
         recon_y = recon_y.at[rows, cols].set(rec_y)
         for plane, init in (("u", recon_u), ("v", recon_v)):
             refp_c = jnp.asarray(mc.pad_plane(
                 ref[plane].astype(np.int32), mc.PAD // 2))
-            pred_c = mc.mc_blocks(refp_c, ys // 2, xs // 2, mvs, CBLK,
+            pred_c = mc.mc_blocks(refp_c, ys // 2, xs // 2, mvs, cblk,
                                   mc.PAD, 1, bd, kind=interp)
             if wplanes is not None:
                 wc = jnp.asarray(wplanes[plane].astype(np.int32))
                 rc0 = ((ys // 2)[:, None, None]
-                       + np.arange(CBLK)[None, :, None])
+                       + np.arange(cblk)[None, :, None])
                 cc0 = ((xs // 2)[:, None, None]
-                       + np.arange(CBLK)[None, None, :])
+                       + np.arange(cblk)[None, None, :])
                 pred_c = jnp.where(jnp.asarray(wsel)[:, None, None],
                                    wc[rc0, cc0], pred_c)
             qc = jnp.asarray(np.stack(
                 [getattr(decisions[k], f"qcoeff_{plane}")
                  for k in inter_keys]))
             dqc = quant.dequantize(qc, quant.QuantParams(*qp_j),
-                                   cc.TX_8X8)
+                                   tx_c)
             from svt_av1_tpu.codec.syntax import _chroma_tx_type_inter
             txts_c = [_chroma_tx_type_inter(
-                          _signaled_tx_type(decisions[k]), cc.TX_8X8,
+                          _signaled_tx_type(decisions[k]), tx_c,
                           False)
                       for k in inter_keys]
-            rec_c = _inv_add_mixed(dqc, pred_c, txts_c, cc.TX_8X8, bd)
-            offc = jnp.arange(CBLK)
+            rec_c = _inv_add_mixed(dqc, pred_c, txts_c, tx_c, bd)
+            offc = jnp.arange(cblk)
             crows = (ys // 2)[:, None, None] + offc[None, :, None]
             ccols = (xs // 2)[:, None, None] + offc[None, None, :]
             if plane == "u":

@@ -89,6 +89,14 @@ def write_y4m(path, frames):
 
 
 def run_reference(y4m, crf, preset, keyint, n):
+    # reference points are deterministic per (clip, ladder) config:
+    # cache them so feature A/B sweeps don't re-run the C encoder
+    ck = f"{os.path.basename(y4m)}-{crf}-{preset}-{keyint}-{n}"
+    cache = f"/tmp/bd_refcache_{ck}.json"
+    if os.path.exists(cache):
+        with open(cache) as f:
+            d = json.load(f)
+        return d["bpf"], d["psnr"]
     out = "/tmp/bd_ref.ivf"
     stat = "/tmp/bd_ref_stat.txt"
     cmd = [REF_APP, "-i", y4m, "-b", out, "--preset", str(preset),
@@ -97,7 +105,10 @@ def run_reference(y4m, crf, preset, keyint, n):
            "--stat-file", stat]
     subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
     bits = os.path.getsize(out) * 8
-    return bits / n, _psnr_from_stat(stat)
+    res = bits / n, _psnr_from_stat(stat)
+    with open(cache, "w") as f:
+        json.dump({"bpf": res[0], "psnr": res[1]}, f)
+    return res
 
 
 def _psnr_from_stat(path):
@@ -184,7 +195,12 @@ def main():
                     help="pin JAX to the CPU backend (e.g. when the "
                          "TPU tunnel is unavailable); bits/PSNR are "
                          "backend-independent")
+    ap.add_argument("--feat", default=None,
+                    help="SVT_TPU_FEAT override for OUR side, e.g. "
+                         "'exact_rates=1,rdoq=1' (A/B sweeps)")
     args = ap.parse_args()
+    if args.feat is not None:
+        os.environ["SVT_TPU_FEAT"] = args.feat
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
