@@ -123,6 +123,19 @@ def _skip_map(decisions, gh: int, gw: int) -> np.ndarray:
     return m
 
 
+def _skip_map8(decisions, gh8: int, gw8: int) -> np.ndarray:
+    """(gh8, gw8) bool: skip flag per 8x8 CDEF unit from each leaf's
+    true extent — the spec granularity (an 8x8 unit is skipped iff all
+    its mi are skip), needed once 8x8 partition leaves exist."""
+    m = np.zeros((gh8, gw8), bool)
+    from svt_av1_tpu.codec import constants as cc
+    for d in decisions.values():
+        n8 = max(1, int(cc.block_size_wide[d.bsize]) >> 3)
+        by, bx = d.r4 // 2, d.c4 // 2
+        m[by:by + n8, bx:bx + n8] = d.skip
+    return m
+
+
 class Encoder:
     def __init__(self, config: EncoderConfig):
         self.cfg = config.validate()
@@ -698,7 +711,8 @@ class Encoder:
             interintra=self._feat.interintra,
             exact_rates=self._feat.exact_rates,
             skip_mode=self.sp.enable_order_hint,
-            tx_search=self._feat.tx_search)
+            tx_search=self._feat.tx_search,
+            split8=self._feat.part8)
         slot = min(self._slot_free) if ev.store else None
         # snapshot the reference order hints in DECODE order (collect
         # runs after later dispatches may have overwritten slot hints)

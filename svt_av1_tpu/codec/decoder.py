@@ -161,20 +161,23 @@ class Decoder:
             recon = apply_loop_filter(recon, fp)
         deblocked = recon
         if self.sp.enable_cdef:
-            from svt_av1_tpu.api.encoder import _skip_map
+            from svt_av1_tpu.api.encoder import _skip_map, _skip_map8
             from svt_av1_tpu.pipeline import cdef_stage
             skip16 = _skip_map(decisions, self.sp.height // 16,
                                coded_w // 16)
+            skip8 = _skip_map8(decisions, self.sp.height // 8,
+                               coded_w // 8)
             if fp.cdef_bits:
                 recon = cdef_stage.cdef_apply(
                     recon, skip16, fp.cdef_strength_list,
                     fp.cdef_damping, bd=self.sp.bit_depth,
-                    sb_idx=tdec.cdef_idx)
+                    sb_idx=tdec.cdef_idx, skip8=skip8)
             else:
                 recon = cdef_stage.cdef_apply(recon, skip16,
                                               fp.cdef_strengths,
                                               fp.cdef_damping,
-                                              bd=self.sp.bit_depth)
+                                              bd=self.sp.bit_depth,
+                                              skip8=skip8)
         if fp.superres_denom != 8:
             from svt_av1_tpu.api.encoder import _superres_upscale_frame
             recon = _superres_upscale_frame(recon, self.sp.width,

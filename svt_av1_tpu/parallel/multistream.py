@@ -104,7 +104,8 @@ def _sharded_inter_step(mesh: Mesh, h: int, w: int, R: int, modes,
                         hp: bool = False, obmc: bool = False,
                         interintra: bool = False,
                         skip_mode: bool = False,
-                        tx_search: bool = False):
+                        tx_search: bool = False,
+                        split8: bool = False):
     """P1 (MD) + P2 (DLF/CDEF) fused per frame, vmapped over a stream
     batch and sharded over the mesh's stream axis.  Bodies are the
     SAME traced functions the single-chip fast-GOP path jits
@@ -118,8 +119,9 @@ def _sharded_inter_step(mesh: Mesh, h: int, w: int, R: int, modes,
     from svt_av1_tpu.pipeline import gop_fast as gf
     p1 = gf._build_p1(h, w, R, modes, bd, ring, R == 2, rad2, rad0,
                       hp, obmc, interintra, skip_mode and R == 2,
-                      tx_search)
-    p2 = gf._build_p2(h, w, bd, ncand, dlf_on, cdef_on, True, True)
+                      tx_search, split8)
+    p2 = gf._build_p2(h, w, bd, ncand, dlf_on, cdef_on, True, True,
+                      split8)
     gh, gw = h // ie.BLK, w // ie.BLK
 
     def step(src_pack, refs_y, refs_u, refs_v, zbin, rnd, qv, qshift,
@@ -133,9 +135,15 @@ def _sharded_inter_step(mesh: Mesh, h: int, w: int, R: int, modes,
                   & (jnp.abs(qu_f).max(axis=1) == 0)
                   & (jnp.abs(qv_f).max(axis=1) == 0)).reshape(gh, gw)
         inter16 = outs[5].reshape(gh, gw)
+        extra = ()
+        if split8:
+            split16 = outs[25].reshape(gh, gw)
+            skip8 = gf._derive_skip8(qy_f, qu_f, qv_f, skip16,
+                                     split16, gh, gw)
+            extra = (split16, skip8)
         p2_outs = p2(src_pack, outs[0], outs[1], outs[2], skip16,
                      dlf_y, dlf_uv, cands, damping, outs[22], inter16,
-                     outs[23])
+                     outs[23], *extra)
         return tuple(outs), tuple(p2_outs)
 
     batched = jax.vmap(step, in_axes=(0,) * 19 + (None, 0))
@@ -155,7 +163,8 @@ def run_inter_frames_sharded(src_packs, refs_per_stream, qindices,
                              hp: bool = False, obmc: bool = False,
                              interintra: bool = False,
                              skip_mode: bool = False,
-                             tx_search: bool = False):
+                             tx_search: bool = False,
+                             split8: bool = False):
     """One inter frame for EACH of N independent GOP streams, sharded
     over the mesh.  All streams must share frame geometry and the same
     reference-enum layout (same GOP schedule position); qindex may
@@ -182,7 +191,7 @@ def run_inter_frames_sharded(src_packs, refs_per_stream, qindices,
     step = _sharded_inter_step(mesh, h, w, R, tuple(modes), bd, ring,
                                rad2, rad0, len(cands), dlf_on, cdef_on,
                                hp, obmc, interintra, skip_mode,
-                               tx_search)
+                               tx_search, split8)
     sp = np.stack([np.asarray(s, np.uint8) for s in src_packs])
     ry = jnp.stack([jnp.stack([jnp.asarray(r[e]["y"]).astype(jnp.int32)
                                for e in ref_enums])

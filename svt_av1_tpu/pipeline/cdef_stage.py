@@ -123,7 +123,7 @@ def _block_strengths(h, w, strengths, sb_idx):
 
 def cdef_apply(recon: Dict[str, np.ndarray], skip16: np.ndarray,
                strengths, damping: int, bd: int = 8,
-               sb_idx=None) -> Dict[str, np.ndarray]:
+               sb_idx=None, skip8=None) -> Dict[str, np.ndarray]:
     """Normative CDEF apply over a post-deblock recon.
 
     damping: the SIGNALED cdef_damping (3..6) from the frame header.
@@ -133,7 +133,8 @@ def cdef_apply(recon: Dict[str, np.ndarray], skip16: np.ndarray,
     sb_idx — a sequence of 2^cdef_bits 4-tuples indexed per SB."""
     h, w = recon["y"].shape
     fn = _jit_apply(h, w, damping, bd)
-    skip8 = np.repeat(np.repeat(skip16, 2, 0), 2, 1)
+    if skip8 is None:
+        skip8 = np.repeat(np.repeat(skip16, 2, 0), 2, 1)
     pri_y, sec_y, pri_uv, sec_uv = _block_strengths(h, w, strengths,
                                                     sb_idx)
     y, u, v = fn(jnp.asarray(recon["y"].astype(np.int32)),

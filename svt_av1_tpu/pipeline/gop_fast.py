@@ -1442,19 +1442,52 @@ def _dlf_plane_traced(x, step, blimit, limit, thresh, flen, bd,
     return x
 
 
+def _dlf_plane_flens(x, step, blimit, limit, thresh, bd, fl_v, fl_h,
+                     lens):
+    """Plane deblock at ``step``-px edge spacing with per-edge-line
+    filter lengths (the 8x8-partition case: luma edges every 8 px with
+    flen in {0,8,14}, chroma every 4 px with flen in {0,4,6}).  Same
+    disjoint-span scatter-add argument as ops.dlf._filter_edges_masked,
+    which this wraps with traced thresholds."""
+    from svt_av1_tpu.ops.dlf import _filter_edges_masked
+    h_, w_ = x.shape
+    epos_v = np.arange(step, w_, step)
+    if len(epos_v):
+        x = _filter_edges_masked(x, epos_v, fl_v, blimit, limit,
+                                 thresh, lens, bd)
+    epos_h = np.arange(step, h_, step)
+    if len(epos_h):
+        x = _filter_edges_masked(x.T, epos_h, fl_h.T, blimit, limit,
+                                 thresh, lens, bd).T
+    return x
+
+
+def _derive_skip8(qy_f, qu_f, qv_f, skip16, split16, gh, gw):
+    """(2gh, 2gw) per-8x8-unit coded-skip map: quadrant coefficient
+    zero-ness for split blocks, the block value elsewhere (matches the
+    decoder's per-decision d.skip derivation at 8-px granularity)."""
+    ay = jnp.abs(qy_f).reshape(gh, gw, 2, 8, 2, 8).max(axis=(3, 5))
+    au = jnp.abs(qu_f).reshape(gh, gw, 2, 4, 2, 4).max(axis=(3, 5))
+    av = jnp.abs(qv_f).reshape(gh, gw, 2, 4, 2, 4).max(axis=(3, 5))
+    subz = (ay == 0) & (au == 0) & (av == 0)        # (gh, gw, 2, 2)
+    blk = skip16[:, :, None, None]
+    skip8 = jnp.where(split16[:, :, None, None], subz, blk)
+    return skip8.transpose(0, 2, 1, 3).reshape(2 * gh, 2 * gw)
+
+
 NLVL = 5  # DLF ladder size (padded to fixed shape)
 
 
 @functools.lru_cache(maxsize=None)
 def _jit_p2(h, w, bd=8, ncand=8, dlf_on=True, cdef_on=True,
-            uniform_apply=True, masked=False):
+            uniform_apply=True, masked=False, split8=False):
     return jax.jit(_build_p2(h, w, bd, ncand, dlf_on, cdef_on,
-                             uniform_apply, masked))
+                             uniform_apply, masked, split8))
 
 
 @functools.lru_cache(maxsize=None)
 def _build_p2(h, w, bd=8, ncand=8, dlf_on=True, cdef_on=True,
-              uniform_apply=True, masked=False):
+              uniform_apply=True, masked=False, split8=False):
     """DLF search+apply, CDEF search, pick AND apply — one program.
 
     Inputs: src planes, recon planes (post pass B), skip16, DLF ladder
@@ -1481,7 +1514,8 @@ def _build_p2(h, w, bd=8, ncand=8, dlf_on=True, cdef_on=True,
     gh2, gw2 = gh // 2, gw // 2
 
     def p2(src_pack, rec_y, rec_u, rec_v, skip16, dlf_y, dlf_uv,
-           cands, damping, merge32=None, inter16=None, merge64=None):
+           cands, damping, merge32=None, inter16=None, merge64=None,
+           split16=None, skip8m=None):
         src_y = src_pack[:h].astype(jnp.int32)
         src_u = src_pack[h:, :w // 2].astype(jnp.int32)
         src_v = src_pack[h:, w // 2:].astype(jnp.int32)
@@ -1498,25 +1532,53 @@ def _build_p2(h, w, bd=8, ncand=8, dlf_on=True, cdef_on=True,
                 m4 = merge64.reshape(gh4, gw4)
                 merged64_16 = merged64_16.at[:gh4 * 4, :gw4 * 4].set(
                     jnp.repeat(jnp.repeat(m4, 4, 0), 4, 1))
-            skdlf = skip16 & inter16
-            tx16 = jnp.where(merged64_16, 16,
-                             jnp.where(merged16, 8, 4)).astype(jnp.int32)
+            if split8:
+                tx16 = jnp.where(
+                    merged64_16, 16,
+                    jnp.where(merged16, 8,
+                              jnp.where(split16, 2, 4))) \
+                    .astype(jnp.int32)
+                inter8 = jnp.repeat(jnp.repeat(inter16, 2, 0), 2, 1)
+                sk8dlf = skip8m & inter8
+                skmi = jnp.repeat(jnp.repeat(sk8dlf, 2, 0), 2, 1)
+            else:
+                skdlf = skip16 & inter16
+                tx16 = jnp.where(merged64_16, 16,
+                                 jnp.where(merged16, 8, 4)) \
+                    .astype(jnp.int32)
+                skmi = jnp.repeat(jnp.repeat(skdlf, 4, 0), 4, 1)
             txmi = jnp.repeat(jnp.repeat(tx16, 4, 0), 4, 1)
-            skmi = jnp.repeat(jnp.repeat(skdlf, 4, 0), 4, 1)
             flv = dlf_ops.edge_flens(txmi, txmi, skmi, True)
             flh = dlf_ops.edge_flens(txmi.T, txmi.T, skmi.T, True).T
-            ons["y"] = (jnp.repeat(flv[:, 4::4] > 0, 4, axis=0),
-                        jnp.repeat(flh[4::4, :] > 0, 4, axis=1))
-            ctx16 = jnp.where(merged64_16, 8,
-                              jnp.where(merged16, 4, 2)) \
-                .astype(jnp.int32)
-            ctxmi = jnp.repeat(jnp.repeat(ctx16, 2, 0), 2, 1)
-            cskmi = jnp.repeat(jnp.repeat(skdlf, 2, 0), 2, 1)
-            cflv = dlf_ops.edge_flens(ctxmi, ctxmi, cskmi, False)
-            cflh = dlf_ops.edge_flens(ctxmi.T, ctxmi.T, cskmi.T,
-                                      False).T
-            ons["c"] = (jnp.repeat(cflv[:, 2::2] > 0, 4, axis=0),
-                        jnp.repeat(cflh[2::2, :] > 0, 4, axis=1))
+            if split8:
+                # per-edge-line flen maps, luma edges every 8 px
+                ons["y"] = (jnp.repeat(flv[:, 2::2], 4, axis=0),
+                            jnp.repeat(flh[2::2, :], 4, axis=1))
+                ctx16 = jnp.where(
+                    merged64_16, 8,
+                    jnp.where(merged16, 4,
+                              jnp.where(split16, 1, 2))) \
+                    .astype(jnp.int32)
+                ctxmi = jnp.repeat(jnp.repeat(ctx16, 2, 0), 2, 1)
+                cskmi = sk8dlf          # chroma-mi grid == 8px grid
+                cflv = dlf_ops.edge_flens(ctxmi, ctxmi, cskmi, False)
+                cflh = dlf_ops.edge_flens(ctxmi.T, ctxmi.T, cskmi.T,
+                                          False).T
+                ons["c"] = (jnp.repeat(cflv[:, 1:], 4, axis=0),
+                            jnp.repeat(cflh[1:, :], 4, axis=1))
+            else:
+                ons["y"] = (jnp.repeat(flv[:, 4::4] > 0, 4, axis=0),
+                            jnp.repeat(flh[4::4, :] > 0, 4, axis=1))
+                ctx16 = jnp.where(merged64_16, 8,
+                                  jnp.where(merged16, 4, 2)) \
+                    .astype(jnp.int32)
+                ctxmi = jnp.repeat(jnp.repeat(ctx16, 2, 0), 2, 1)
+                cskmi = jnp.repeat(jnp.repeat(skdlf, 2, 0), 2, 1)
+                cflv = dlf_ops.edge_flens(ctxmi, ctxmi, cskmi, False)
+                cflh = dlf_ops.edge_flens(ctxmi.T, ctxmi.T, cskmi.T,
+                                          False).T
+                ons["c"] = (jnp.repeat(cflv[:, 2::2] > 0, 4, axis=0),
+                            jnp.repeat(cflh[2::2, :] > 0, 4, axis=1))
 
         # ---- DLF: evaluate the ladder per plane, pick min SSE ----
         def search_plane(src, rec, step, flen, params, onk):
@@ -1526,9 +1588,16 @@ def _build_p2(h, w, bd=8, ncand=8, dlf_on=True, cdef_on=True,
             outs = [rec]
             sses = [_sse_plane(src, rec)]
             for li in range(1, NLVL):
-                f = _dlf_plane_traced(rec, step, params[li, 1],
-                                      params[li, 2], params[li, 3],
-                                      flen, bd, on_v, on_h)
+                if masked and split8:
+                    lens = (8, 14) if onk == "y" else (4, 6)
+                    f = _dlf_plane_flens(rec, step // 2,
+                                         params[li, 1], params[li, 2],
+                                         params[li, 3], bd, on_v, on_h,
+                                         lens)
+                else:
+                    f = _dlf_plane_traced(rec, step, params[li, 1],
+                                          params[li, 2], params[li, 3],
+                                          flen, bd, on_v, on_h)
                 outs.append(f)
                 sses.append(_sse_plane(src, f))
             sse = jnp.stack(sses)
@@ -1566,7 +1635,11 @@ def _build_p2(h, w, bd=8, ncand=8, dlf_on=True, cdef_on=True,
         c8 = xs8[:, None, None] + jnp.arange(8)[None, None, :]
         blocks = fy[r8, c8]
         dirs, var = cdef_ops.cdef_find_dir(blocks, bd - 8)
-        skip8 = jnp.repeat(jnp.repeat(skip16, 2, 0), 2, 1).reshape(-1)
+        if split8:
+            skip8 = skip8m.reshape(-1)
+        else:
+            skip8 = jnp.repeat(jnp.repeat(skip16, 2, 0),
+                               2, 1).reshape(-1)
         pad_y = jnp.pad(fy, 2, constant_values=cdef_ops.CDEF_VERY_LARGE)
         pad_u = jnp.pad(fu, 2, constant_values=cdef_ops.CDEF_VERY_LARGE)
         pad_v = jnp.pad(fv, 2, constant_values=cdef_ops.CDEF_VERY_LARGE)
@@ -1820,7 +1893,8 @@ def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
     (ry, ru, rv) = outs[:3]
     cands = np.asarray(cdef_cands if cdef_cands is not None
                        else SEARCH_SET, np.int32)
-    p2 = _jit_p2(h, w, bd, len(cands), dlf_on, cdef_on, masked=True)
+    p2 = _jit_p2(h, w, bd, len(cands), dlf_on, cdef_on, masked=True,
+                 split8=split8)
     # skip16 from the final coeff arrays (device)
     qy_f, qu_f, qv_f = outs[15], outs[16], outs[17]
     skip16 = ((jnp.abs(qy_f).max(axis=1) == 0)
@@ -1828,11 +1902,18 @@ def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
               & (jnp.abs(qv_f).max(axis=1) == 0)).reshape(h // BLK,
                                                           w // BLK)
     inter16 = outs[5].reshape(h // BLK, w // BLK)
+    extra = ()
+    if split8:
+        gh_, gw_ = h // BLK, w // BLK
+        split16 = outs[25].reshape(gh_, gw_)
+        skip8 = _derive_skip8(qy_f, qu_f, qv_f, skip16, split16,
+                              gh_, gw_)
+        extra = (split16, skip8)
     p2_outs = p2(src_pack_u8, ry, ru, rv, skip16,
                  dlf_ladder_params(qindex, False),
                  dlf_ladder_params(qindex, True),
                  cands, np.int32(cdef_damping(qindex)),
-                 outs[22], inter16, outs[23])
+                 outs[22], inter16, outs[23], *extra)
     pend = PendingInterFrame(outs, p2_outs, ref_enums, h, w, qindex)
     pend.cdef_cands = cands
     pend.cdef_on = cdef_on

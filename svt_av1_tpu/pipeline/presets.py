@@ -49,6 +49,8 @@ class PresetFeatures:
                              # (allow_high_precision_mv)
     obmc: bool = False       # OBMC_CAUSAL motion mode (overlapped MC)
     interintra: bool = False  # inter-intra compound (smooth blend)
+    part8: bool = False      # 8x8 partition-split alternative in the
+                             # inter pass-A MD (per-sub MV, TX_8X8)
 
 
 def features_for(enc_mode: int) -> PresetFeatures:
