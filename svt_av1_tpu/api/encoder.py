@@ -230,9 +230,12 @@ class Encoder:
             self._slot_free = set(range(8))
             self._slot_recon: Dict[int, Dict] = {}
             self._slot_state: Dict[int, tuple] = {}
+            # per-slot saved motion fields (spec 7.20 / 7.9 tmvp)
+            self._slot_mvfield: Dict[int, object] = {}
             # order hints: random-access GOPs signal display order so
             # skip-mode (spec 5.9.22) can pick the fwd/bwd ref pair
             self.sp.enable_order_hint = True
+            self.sp.enable_ref_frame_mvs = bool(self._feat.tmvp)
             self._slot_hint = [0] * 8            # per-slot order hints
         # fused fast GOP path (pipeline/gop_fast.py): inter frames run
         # as 2 device programs + 1 bundled pull; DPB recon stays on
@@ -448,6 +451,7 @@ class Encoder:
         self._slot_free = set(range(1, 8))
         self._slot_recon = {0: full}
         self._slot_state = {0: (tenc.cdfs, tenc.nmv)}
+        self._slot_mvfield = {}
         self._chain_cdfs = tenc.cdfs
         self._slot_hint = [poc & ((1 << self.sp.order_hint_bits) - 1)] * 8
         self._h_anchor = poc
@@ -820,6 +824,8 @@ class Encoder:
                    if (fp.reference_select
                        and self.sp.enable_order_hint) else None)
         fp.skip_mode_present = sm_pair is not None
+        fp.use_ref_frame_mvs = bool(self.sp.enable_ref_frame_mvs
+                                    and not fp.error_resilient_mode)
         tenc = TileEncoder(self.sr_w, self.sp.height, qindex,
                            reduced_tx_set=fp.reduced_tx_set,
                            update_cdfs=not fp.disable_cdf_update,
@@ -839,8 +845,25 @@ class Encoder:
             from svt_av1_tpu.codec import mv as mv_mod
             tenc.mv_precision = mv_mod.MV_SUBPEL_HIGH
         tenc.set_gm(fp.gm_trans)
+        hint_map = {e: fp.ref_hints[e - 1] for e in range(1, 8)}
+        tenc.cur_hint = fp.order_hint
+        tenc.ref_hints = hint_map
+        tenc.order_hint_bits = self.sp.order_hint_bits
+        if fp.use_ref_frame_mvs:
+            slot_fields = {e: self._slot_mvfield.get(idx[e - 1])
+                           for e in range(1, 8)}
+            tenc.tmvp = mv_pred.setup_motion_field(
+                slot_fields, hint_map, fp.order_hint,
+                self.sp.order_hint_bits, tenc.mi_rows, tenc.mi_cols,
+                fp.allow_high_precision_mv)
         with stage("host_ec"):
             tile_data = tenc.encode(decisions)
+        if ev.store and self.sp.enable_ref_frame_mvs:
+            side = mv_pred.ref_frame_side(hint_map, fp.order_hint,
+                                          self.sp.order_hint_bits)
+            self._slot_mvfield[slot] = mv_pred.save_motion_field(
+                decisions, tenc.mi_rows, tenc.mi_cols, side,
+                fp.ref_hints, fp.order_hint, is_intra=False)
         tu = obu.temporal_delimiter()
         if not self._seq_hdr_sent:
             tu += obu.write_sequence_header(self.sp)

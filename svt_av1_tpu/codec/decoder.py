@@ -27,6 +27,9 @@ class Decoder:
         # per-slot order hints (spec RefOrderHint[]; skip-mode pair and
         # error-resilient ref_order_hint checks derive from these)
         self.slot_hints: list = [0] * 8
+        # per-slot saved motion fields (spec 7.20 MV storage; feeds the
+        # 7.9 motion-field projection when use_ref_frame_mvs is set)
+        self.slot_mvfield: list = [None] * 8
         # parsed metadata OBUs by metadata_type (HDR CLL/MDCV/T.35)
         self.metadata: dict = {}
 
@@ -106,6 +109,19 @@ class Decoder:
             tdec.skip_mode_frames = obu.skip_mode_refs(
                 fp.order_hint, fp.ref_hints, self.sp.order_hint_bits)
             tdec.interp_filter = fp.interpolation_filter
+        if not is_intra:
+            from svt_av1_tpu.codec import mv_pred
+            hint_map = {e: fp.ref_hints[e - 1] for e in range(1, 8)}
+            tdec.cur_hint = fp.order_hint
+            tdec.ref_hints = hint_map
+            tdec.order_hint_bits = self.sp.order_hint_bits
+            if fp.use_ref_frame_mvs:
+                slot_fields = {e: self.slot_mvfield[fp.ref_frame_idx[e - 1]]
+                               for e in range(1, 8)}
+                tdec.tmvp = mv_pred.setup_motion_field(
+                    slot_fields, hint_map, fp.order_hint,
+                    self.sp.order_hint_bits, tdec.mi_rows, tdec.mi_cols,
+                    fp.allow_high_precision_mv)
         if fp.segmentation is not None:
             tdec.set_segmentation(fp.segmentation)
         if fp.cdef_bits:
@@ -197,12 +213,25 @@ class Decoder:
         end_nmv = (tdec.nmv
                    if not fp.disable_frame_end_update_cdf else init_nmv)
         stored = {k: recon[k] for k in ("y", "u", "v")}
+        from svt_av1_tpu.codec import mv_pred as _mvp
+        if refresh:
+            hint_map = {e: fp.ref_hints[e - 1] for e in range(1, 8)} \
+                if not is_intra else {}
+            side = _mvp.ref_frame_side(hint_map, fp.order_hint,
+                                       self.sp.order_hint_bits) \
+                if not is_intra else [0] * 8
+            field = _mvp.save_motion_field(
+                decisions, (self.sp.height + 3) >> 2,
+                (coded_w + 3) >> 2, side,
+                tuple(hint_map.get(e, 0) for e in range(1, 8)),
+                fp.order_hint, is_intra)
         for i in range(8):
             if refresh & (1 << i):
                 self.slots[i] = stored
                 self.slot_cdfs[i] = end_cdfs
                 self.slot_nmv[i] = end_nmv
                 self.slot_hints[i] = fp.order_hint
+                self.slot_mvfield[i] = field
         recon["decisions"] = decisions
         return recon, fp.show_frame
 
@@ -262,6 +291,7 @@ class Decoder:
         stored = {k: recon[k] for k in ("y", "u", "v")}
         for i in range(8):
             self.slots[i] = stored
+            self.slot_mvfield[i] = None
             self.slot_cdfs[i] = end_cdfs
             self.slot_nmv[i] = end_nmv
         recon["decisions"] = decisions

@@ -112,7 +112,7 @@ class MvStack:
 
 def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int,
                   bh4: int, ref: int = LAST_FRAME, sb_mi: int = 16,
-                  gm_mv=(0, 0)) -> MvStack:
+                  gm_mv=(0, 0), tmvp=None, cur_off: int = 0) -> MvStack:
     """Returns the ranked, clamped reference-MV stack + mode context.
 
     gm_mv: this reference's global motion vector — GLOBALMV neighbors
@@ -201,7 +201,11 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int,
     newmv_count = counts["newmv"]
     st.weights = [w + REF_CAT_LEVEL for w in st.weights]
 
-    # temporal MVs: disabled (enable_ref_frame_mvs = 0)
+    # temporal MVs (spec 7.10.2 use_ref_frame_mvs scan)
+    mode_flags = [0]
+    if tmvp is not None:
+        _temporal_scan(tmvp, mi_row, mi_col, bw4, bh4, (gm_mv,),
+                       (cur_off, 0), st, mode_flags)
 
     scan_blk(-1, -1, "row_match")
     for idx in range(2, MVREF_ROWS + 1):
@@ -232,6 +236,7 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int,
     else:
         mode_context |= 4 if newmv_count >= 1 else 5
         mode_context |= (5 << REFMV_OFFSET)
+    mode_context |= mode_flags[0]
 
     # sort by weight (exact bubble from the reference, stable order)
     mvs, weights = st.mvs, st.weights
@@ -362,7 +367,8 @@ class MvStackComp:
 
 def find_mv_stack_comp(grid: MiGrid, mi_row: int, mi_col: int, bw4: int,
                        bh4: int, ref_pair, sb_mi: int = 16,
-                       gm_mvs=((0, 0), (0, 0))) -> MvStackComp:
+                       gm_mvs=((0, 0), (0, 0)), tmvp=None,
+                       cur_offs=(0, 0)) -> MvStackComp:
     """Compound-pair MV stack (spec 7.10.2 with rf[1] > NONE): the same
     neighbor traversal as the single-ref stack, matching blocks whose
     (ref, ref2) equals the pair; underfull stacks pad with the global
@@ -441,6 +447,15 @@ def find_mv_stack_comp(grid: MiGrid, mi_row: int, mi_col: int, bw4: int,
     newmv_count = counts["newmv"]
     st_w[:] = [w + REF_CAT_LEVEL for w in st_w]
 
+    mode_flags = [0]
+    if tmvp is not None:
+        import types
+        _temporal_scan(tmvp, mi_row, mi_col, bw4, bh4, gm_mvs,
+                       cur_offs, types.SimpleNamespace(
+                           add=lambda pair, len_, weight:
+                               stack_add(pair, len_, weight)),
+                       mode_flags, comp=True)
+
     if mi_row > 0 and mi_col > 0:
         add_candidate(mi_row - 1, mi_col - 1, 2, 2, "row_match")
     for idx in range(2, MVREF_ROWS + 1):
@@ -468,6 +483,7 @@ def find_mv_stack_comp(grid: MiGrid, mi_row: int, mi_col: int, bw4: int,
     else:
         mode_context |= 4 if newmv_count >= 1 else 5
         mode_context |= (5 << REFMV_OFFSET)
+    mode_context |= mode_flags[0]
 
     # weight sort (stable bubble, as single-ref)
     n = len(st_pairs)
@@ -508,3 +524,287 @@ def find_mv_stack_comp(grid: MiGrid, mi_row: int, mi_col: int, bw4: int,
     return MvStackComp(pairs=st_pairs, weights=st_w,
                        count=max(len(st_pairs), 2),
                        mode_context=mode_context)
+
+
+# --------------------------------------------------------------------------
+# Temporal MV prediction (spec 7.9 motion field estimation + the 7.10.2
+# temporal scan).  Behavioral reference: md_config_process.c
+# av1_setup_motion_field/motion_field_projection (:390-530),
+# adaptive_mv_pred.c add_tpl_ref_mv (:340-436) and the temporal loop
+# (:736-840), coding_loop.c av1_copy_frame_mvs (:1208-1239).
+# --------------------------------------------------------------------------
+
+REFMVS_LIMIT = (1 << 12) - 1
+MAX_FRAME_DISTANCE = 31           # (1 << FRAME_OFFSET_BITS) - 1
+MAX_OFFSET_WIDTH = 64
+MAX_OFFSET_HEIGHT = 0
+_MV_CLAMP = (1 << 14) - 1         # MV_UPP - 1
+_DIV_MULT = [0] + [16384 // d for d in range(1, 32)]
+
+
+def get_relative_dist(order_hint_bits: int, a: int, b: int) -> int:
+    """Signed wrap-around order-hint distance (spec get_relative_dist)."""
+    if order_hint_bits <= 0:
+        return 0
+    diff = a - b
+    m = 1 << (order_hint_bits - 1)
+    return (diff & (m - 1)) - (diff & m)
+
+
+def _round_p2_signed(x: int, n: int) -> int:
+    add = 1 << (n - 1)
+    return (x + add) >> n if x >= 0 else -((-x + add) >> n)
+
+
+def get_mv_projection(mv, num: int, den: int):
+    den = min(den, MAX_FRAME_DISTANCE)
+    num = min(num, MAX_FRAME_DISTANCE) if num > 0 \
+        else max(num, -MAX_FRAME_DISTANCE)
+    r = _clamp(_round_p2_signed(int(mv[0]) * num * _DIV_MULT[den], 14),
+               -_MV_CLAMP, _MV_CLAMP)
+    c = _clamp(_round_p2_signed(int(mv[1]) * num * _DIV_MULT[den], 14),
+               -_MV_CLAMP, _MV_CLAMP)
+    return (r, c)
+
+
+def lower_mv_precision(mv, allow_hp: bool):
+    r, c = int(mv[0]), int(mv[1])
+    if not allow_hp:
+        if r & 1:
+            r += -1 if r > 0 else 1
+        if c & 1:
+            c += -1 if c > 0 else 1
+    return (r, c)
+
+
+@dataclasses.dataclass
+class FrameMotionField:
+    """Per-8x8 saved MVs of ONE coded frame (DPB side-band state)."""
+    mvs: np.ndarray            # (rows8, cols8, 2) int16
+    refs: np.ndarray           # (rows8, cols8) int8, 0 = NONE
+    ref_order_hints: tuple     # the 7 ref hints THIS frame saw
+    order_hint: int
+    is_intra: bool
+
+
+def ref_frame_side(ref_hints, cur_hint: int, order_hint_bits: int):
+    """side[ref] per av1_setup_motion_field: 1 = future, -1 = same
+    hint, 0 = past.  ref_hints: {enum: hint} or 7-seq (LAST..ALTREF)."""
+    side = [0] * 8
+    for ref in range(LAST_FRAME, ALTREF_FRAME + 1):
+        h = (ref_hints.get(ref, 0) if isinstance(ref_hints, dict)
+             else ref_hints[ref - 1])
+        if get_relative_dist(order_hint_bits, h, cur_hint) > 0:
+            side[ref] = 1
+        elif h == cur_hint:
+            side[ref] = -1
+    return side
+
+
+def save_motion_field(decisions, mi_rows: int, mi_cols: int,
+                      side, ref_hints, order_hint: int,
+                      is_intra: bool) -> FrameMotionField:
+    """av1_copy_frame_mvs over a frame's leaf decisions: each 8x8 cell
+    stores the block's LAST listed reference whose frame is strictly in
+    the past (side == 0) with |mv| <= REFMVS_LIMIT."""
+    r8 = (mi_rows + 1) >> 1
+    c8 = (mi_cols + 1) >> 1
+    mvs = np.zeros((r8, c8, 2), np.int16)
+    refs = np.zeros((r8, c8), np.int8)
+    if not is_intra:
+        from svt_av1_tpu.codec import constants as cc
+        for d in decisions.values():
+            if not d.is_inter:
+                continue
+            best = None
+            for ref, mv in ((d.ref, d.mv), (d.ref2, d.mv2)):
+                if ref <= INTRA_FRAME:
+                    continue
+                if side[ref]:
+                    continue
+                if abs(mv[0]) > REFMVS_LIMIT or abs(mv[1]) > REFMVS_LIMIT:
+                    continue
+                best = (ref, mv)
+            if best is None:
+                continue
+            n4 = int(cc.block_size_wide[d.bsize]) >> 2
+            m4 = int(cc.block_size_high[d.bsize]) >> 2
+            y0, x0 = d.r4 >> 1, d.c4 >> 1
+            y1 = min(y0 + ((m4 + 1) >> 1), r8)
+            x1 = min(x0 + ((n4 + 1) >> 1), c8)
+            refs[y0:y1, x0:x1] = best[0]
+            mvs[y0:y1, x0:x1, 0] = best[1][0]
+            mvs[y0:y1, x0:x1, 1] = best[1][1]
+    return FrameMotionField(mvs=mvs, refs=refs,
+                            ref_order_hints=tuple(ref_hints),
+                            order_hint=order_hint, is_intra=is_intra)
+
+
+@dataclasses.dataclass
+class Tmvp:
+    """Current-frame projected motion field + per-stack-call offsets."""
+    mfmv: np.ndarray           # (rows8, cols8, 2) int16 saved fwd MVs
+    ref_offset: np.ndarray     # (rows8, cols8) int16, 0 = invalid
+    mi_rows: int
+    mi_cols: int
+    allow_hp: bool
+    cur_offsets: dict          # {ref_enum: get_relative_dist(cur, ref)}
+
+
+def _project_one(mfmv, ref_off, field: FrameMotionField, start_hint,
+                 cur_hint, ohb, mi_rows, mi_cols, dir_):
+    """motion_field_projection for one start frame; returns 1 if run."""
+    if field is None or field.is_intra:
+        return 0
+    r8 = (mi_rows + 1) >> 1
+    c8 = (mi_cols + 1) >> 1
+    if field.mvs.shape[0] != r8 or field.mvs.shape[1] != c8:
+        return 0
+    start_to_cur = get_relative_dist(ohb, field.order_hint, cur_hint)
+    ref_offset = [0] * 8
+    for i in range(LAST_FRAME, ALTREF_FRAME + 1):
+        ref_offset[i] = get_relative_dist(
+            ohb, field.order_hint, field.ref_order_hints[i - 1])
+    if dir_ == 2:
+        start_to_cur = -start_to_cur
+    if abs(start_to_cur) > MAX_FRAME_DISTANCE:
+        return 1
+    sign_bias = dir_ >> 1
+    for br in range(r8):
+        for bc in range(c8):
+            rf = int(field.refs[br, bc])
+            if rf <= INTRA_FRAME:
+                continue
+            rfo = ref_offset[rf]
+            if not (0 < rfo <= MAX_FRAME_DISTANCE):
+                continue
+            fwd = (int(field.mvs[br, bc, 0]), int(field.mvs[br, bc, 1]))
+            pr, pc = get_mv_projection(fwd, start_to_cur, rfo)
+            ro = (pr >> 7) if pr >= 0 else -((-pr) >> 7)
+            co = (pc >> 7) if pc >= 0 else -((-pc) >> 7)
+            row = br - ro if sign_bias == 1 else br + ro
+            col = bc - co if sign_bias == 1 else bc + co
+            if row < 0 or row >= r8 or col < 0 or col >= c8:
+                continue
+            base_r = (br >> 3) << 3
+            base_c = (bc >> 3) << 3
+            if row < base_r - (MAX_OFFSET_HEIGHT >> 3) \
+                    or row >= base_r + 8 + (MAX_OFFSET_HEIGHT >> 3) \
+                    or col < base_c - (MAX_OFFSET_WIDTH >> 3) \
+                    or col >= base_c + 8 + (MAX_OFFSET_WIDTH >> 3):
+                continue
+            mfmv[row, col, 0] = fwd[0]
+            mfmv[row, col, 1] = fwd[1]
+            ref_off[row, col] = rfo
+    return 1
+
+
+def setup_motion_field(slot_fields: dict, ref_hints: dict,
+                       cur_hint: int, order_hint_bits: int,
+                       mi_rows: int, mi_cols: int,
+                       allow_hp: bool) -> Tmvp:
+    """av1_setup_motion_field: project saved fields of (LAST back, BWD
+    fwd, ALTREF2 fwd, ALTREF fwd, LAST2 back) with a 3-projection
+    budget.  slot_fields: {ref_enum: FrameMotionField or None};
+    ref_hints: {ref_enum: order hint}."""
+    r8 = (mi_rows + 1) >> 1
+    c8 = (mi_cols + 1) >> 1
+    mfmv = np.zeros((r8, c8, 2), np.int16)
+    ref_off = np.zeros((r8, c8), np.int16)
+    ohb = order_hint_bits
+    stamp = 2                      # MFMV_STACK_SIZE - 1
+    lf = slot_fields.get(LAST_FRAME)
+    if lf is not None:
+        alt_of_lst = lf.ref_order_hints[ALTREF_FRAME - 1]
+        is_lst_overlay = (alt_of_lst == ref_hints.get(GOLDEN_FRAME, 0))
+        if not is_lst_overlay:
+            _project_one(mfmv, ref_off, lf, ref_hints.get(LAST_FRAME),
+                         cur_hint, ohb, mi_rows, mi_cols, 2)
+        stamp -= 1
+    for ref, dir_ in ((BWDREF_FRAME, 0), (ALTREF2_FRAME, 0)):
+        if get_relative_dist(ohb, ref_hints.get(ref, 0), cur_hint) > 0:
+            if _project_one(mfmv, ref_off, slot_fields.get(ref),
+                            ref_hints.get(ref), cur_hint, ohb,
+                            mi_rows, mi_cols, dir_):
+                stamp -= 1
+    if get_relative_dist(ohb, ref_hints.get(ALTREF_FRAME, 0),
+                         cur_hint) > 0 and stamp >= 0:
+        if _project_one(mfmv, ref_off, slot_fields.get(ALTREF_FRAME),
+                        ref_hints.get(ALTREF_FRAME), cur_hint, ohb,
+                        mi_rows, mi_cols, 0):
+            stamp -= 1
+    if stamp >= 0:
+        _project_one(mfmv, ref_off, slot_fields.get(LAST2_FRAME),
+                     ref_hints.get(LAST2_FRAME), cur_hint, ohb,
+                     mi_rows, mi_cols, 2)
+    return Tmvp(mfmv=mfmv, ref_offset=ref_off, mi_rows=mi_rows,
+                mi_cols=mi_cols, allow_hp=allow_hp, cur_offsets={})
+
+
+def _check_sb_border(mi_row, mi_col, row_offset, col_offset,
+                     sb_mi=16) -> bool:
+    row = mi_row & (sb_mi - 1)
+    col = mi_col & (sb_mi - 1)
+    return (0 <= row + row_offset < sb_mi
+            and 0 <= col + col_offset < sb_mi)
+
+
+def _temporal_scan(tmvp: Tmvp, mi_row, mi_col, bw4, bh4, gm_mvs,
+                   cur_off, st: "_Stack", mode_flags, comp=False):
+    """The use_ref_frame_mvs block of setup_ref_mv_list: sample the
+    projected field over the block (+3 extension points), project each
+    hit to the current offsets, dedupe into the stack with weight 2.
+    mode_flags: 1-element list accumulating mode_context bits."""
+    blk_row_end = min(bh4, 16)
+    blk_col_end = min(bw4, 16)
+    step_h = 4 if bh4 >= 16 else 2
+    step_w = 4 if bw4 >= 16 else 2
+    allow_ext = 2 <= bh4 < 16 and 2 <= bw4 < 16
+
+    def add_tpl(blk_row, blk_col):
+        pos_r = blk_row if (mi_row & 1) else blk_row + 1
+        pos_c = blk_col if (mi_col & 1) else blk_col + 1
+        r = mi_row + pos_r
+        c = mi_col + pos_c
+        if not (0 <= r < tmvp.mi_rows and 0 <= c < tmvp.mi_cols):
+            return 0
+        r8, c8 = r >> 1, c >> 1
+        rfo = int(tmvp.ref_offset[r8, c8])
+        if rfo == 0:
+            return 0
+        fwd = (int(tmvp.mfmv[r8, c8, 0]), int(tmvp.mfmv[r8, c8, 1]))
+        this = lower_mv_precision(
+            get_mv_projection(fwd, cur_off[0], rfo), tmvp.allow_hp)
+        if not comp:
+            if blk_row == 0 and blk_col == 0:
+                if abs(this[0] - gm_mvs[0][0]) >= 16 \
+                        or abs(this[1] - gm_mvs[0][1]) >= 16:
+                    mode_flags[0] |= (1 << GLOBALMV_OFFSET)
+            st.add(this, 1, 2)
+        else:
+            cmv = lower_mv_precision(
+                get_mv_projection(fwd, cur_off[1], rfo), tmvp.allow_hp)
+            if blk_row == 0 and blk_col == 0:
+                if abs(this[0] - gm_mvs[0][0]) >= 16 \
+                        or abs(this[1] - gm_mvs[0][1]) >= 16 \
+                        or abs(cmv[0] - gm_mvs[1][0]) >= 16 \
+                        or abs(cmv[1] - gm_mvs[1][1]) >= 16:
+                    mode_flags[0] |= (1 << GLOBALMV_OFFSET)
+            st.add((this, cmv), 1, 2)
+        return 1
+
+    is_available = 0
+    for blk_row in range(0, blk_row_end, step_h):
+        for blk_col in range(0, blk_col_end, step_w):
+            ret = add_tpl(blk_row, blk_col)
+            if blk_row == 0 and blk_col == 0:
+                is_available = ret
+    if not is_available:
+        mode_flags[0] |= (1 << GLOBALMV_OFFSET)
+    if allow_ext:
+        voffset = max(2, bh4)
+        hoffset = max(2, bw4)
+        for br, bc in ((voffset, -2), (voffset, hoffset),
+                       (voffset - 2, hoffset)):
+            if _check_sb_border(mi_row, mi_col, br, bc):
+                add_tpl(br, bc)

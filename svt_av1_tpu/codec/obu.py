@@ -45,6 +45,7 @@ class SequenceParams:
     enable_intra_edge_filter: bool = False
     enable_order_hint: bool = False
     order_hint_bits: int = 7
+    enable_ref_frame_mvs: bool = False   # temporal MVP available
     enable_masked_compound: bool = True   # wedge compound available
     enable_interintra_compound: bool = False
     enable_superres: bool = False
@@ -143,6 +144,7 @@ class FrameParams:
     allow_high_precision_mv: bool = False
     interpolation_filter: int = 0   # EIGHTTAP
     is_motion_mode_switchable: bool = False
+    use_ref_frame_mvs: bool = False      # temporal MVP this frame
     reference_select: bool = False  # compound refs allowed per block
     # order hints of the 7 references (enum-1 indexed), used to derive
     # skip_mode_params (spec 5.9.22); only meaningful when the sequence
@@ -376,7 +378,7 @@ def write_sequence_header(sp: SequenceParams) -> bytes:
         w.f(int(sp.enable_order_hint), 1)
         if sp.enable_order_hint:
             w.f(0, 1)   # enable_jnt_comp
-            w.f(0, 1)   # enable_ref_frame_mvs
+            w.f(int(sp.enable_ref_frame_mvs), 1)
         # screen content tools: fixed off at sequence level =>
         # seq_force_screen_content_tools = 0 and force_integer_mv
         # implied; frames then code no allow_screen_content_tools bit
@@ -486,7 +488,11 @@ def write_frame_header_bits(w: BitWriter, sp: SequenceParams,
         w.f(0, 1)  # is_filter_switchable = 0
         w.f(fp.interpolation_filter, 2)
         w.f(int(fp.is_motion_mode_switchable), 1)
-        # use_ref_frame_mvs absent (enable_order_hint == 0)
+        # use_ref_frame_mvs (spec 5.9.2: coded when
+        # enable_ref_frame_mvs && enable_order_hint && !error_resilient)
+        if (sp.enable_ref_frame_mvs and sp.enable_order_hint
+                and not fp.error_resilient_mode):
+            w.f(int(fp.use_ref_frame_mvs), 1)
     if not fp.disable_cdf_update:
         w.f(int(fp.disable_frame_end_update_cdf), 1)
     # tile_info()
@@ -788,15 +794,17 @@ def read_sequence_header(payload: bytes) -> SequenceParams:
     order_hint_bits = 0
     masked_compound = 0
     interintra = 0
+    ref_frame_mvs = 0
     if not reduced:
         interintra = r.f(1)
         masked_compound = r.f(1)
         r.f(1)  # warped
         r.f(1)  # dual filter
         order_hint = r.f(1)
+        ref_frame_mvs = 0
         if order_hint:
-            r.f(1)
-            r.f(1)
+            r.f(1)  # enable_jnt_comp
+            ref_frame_mvs = r.f(1)
         choose_sct = r.f(1)
         force_sct = 2 if choose_sct else r.f(1)
         if force_sct > 0:
@@ -827,6 +835,7 @@ def read_sequence_header(payload: bytes) -> SequenceParams:
         enable_filter_intra=bool(filter_intra),
         enable_intra_edge_filter=bool(intra_edge),
         enable_order_hint=bool(order_hint), order_hint_bits=order_hint_bits,
+        enable_ref_frame_mvs=bool(ref_frame_mvs),
         enable_superres=bool(superres), enable_cdef=bool(cdef),
         enable_restoration=bool(restoration),
         film_grain_params_present=bool(fg), seq_level_idx=level,
@@ -909,6 +918,9 @@ def read_frame_header(r: BitReader, sp: SequenceParams,
         assert r.f(1) == 0  # is_filter_switchable
         fp.interpolation_filter = r.f(2)
         fp.is_motion_mode_switchable = bool(r.f(1))
+        if (sp.enable_ref_frame_mvs and sp.enable_order_hint
+                and not fp.error_resilient_mode):
+            fp.use_ref_frame_mvs = bool(r.f(1))
     if not fp.disable_cdf_update:
         fp.disable_frame_end_update_cdf = bool(r.f(1))
     # tile info (uniform spacing)

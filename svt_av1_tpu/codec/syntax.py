@@ -466,6 +466,12 @@ class TileCoderBase:
         self.skip_mode_present = False
         self.skip_mode_frames = (0, 0)
         self.interp_filter = 0
+        # temporal MVP (spec 7.9/7.10.2): projected motion field of
+        # the current frame + order-hint context for per-ref offsets
+        self.tmvp = None
+        self.cur_hint = 0
+        self.ref_hints = {}
+        self.order_hint_bits = 0
         # segmentation (SEG_LVL_ALT_Q on intra frames): params + coded
         # per-mi segment-id map (spec read_segment_id, 5.11.14)
         self.seg = None
@@ -816,6 +822,12 @@ class TileCoderBase:
             self.current_qindex + (reduced << self.delta_q_res), 1, 255))
 
     # shared helpers ---------------------------------------------------------
+    def _tmvp_off(self, ref: int) -> int:
+        """get_relative_dist(cur, ref) for the temporal-MV projection."""
+        return mv_pred.get_relative_dist(
+            self.order_hint_bits, self.cur_hint,
+            self.ref_hints.get(ref, 0))
+
     def tx_type_signaled(self, tx_size: int, is_inter: bool = False) -> bool:
         set_type = get_ext_tx_set_type(tx_size, is_inter,
                                        self.reduced_tx_set)
@@ -958,7 +970,9 @@ class TileEncoder(TileCoderBase):
         w4b = int(cc.block_size_wide[bsize]) >> 2
         h4b = int(cc.block_size_high[bsize]) >> 2
         stackc = mv_pred.find_mv_stack_comp(
-            self.migrid, r4, c4, w4b, h4b, (d.ref, d.ref2))
+            self.migrid, r4, c4, w4b, h4b, (d.ref, d.ref2),
+            tmvp=self.tmvp,
+            cur_offs=(self._tmvp_off(d.ref), self._tmvp_off(d.ref2)))
         if (tuple(d.mv), tuple(d.mv2)) != stackc.pairs[0]:
             return None
         if self.interp_filter != 0 and any(
@@ -1049,7 +1063,9 @@ class TileEncoder(TileCoderBase):
                     h4b = int(cc.block_size_high[bsize]) >> 2
                     stackc = mv_pred.find_mv_stack_comp(
                         self.migrid, r4, c4, w4b, h4b,
-                        (d.ref, d.ref2))
+                        (d.ref, d.ref2), tmvp=self.tmvp,
+                        cur_offs=(self._tmvp_off(d.ref),
+                                  self._tmvp_off(d.ref2)))
                     pair = (tuple(d.mv), tuple(d.mv2))
                     cmode = 0 if pair == stackc.pairs[0] else 7
                     self._code_comp_mode_and_drl(cmode, stackc)
@@ -1076,7 +1092,8 @@ class TileEncoder(TileCoderBase):
                         self.migrid, r4, c4,
                         int(cc.block_size_wide[bsize]) >> 2,
                         int(cc.block_size_high[bsize]) >> 2, ref=d.ref,
-                        gm_mv=gm_mv)
+                        gm_mv=gm_mv, tmvp=self.tmvp,
+                        cur_off=self._tmvp_off(d.ref))
                     inter_mode = self._map_inter_mode(
                         d.mv, stack, gm_mv, use_warp=d.use_warp,
                         gm_is_warp=(gm_model is not None
@@ -1400,7 +1417,9 @@ class TileDecoder(TileCoderBase):
             stackc = mv_pred.find_mv_stack_comp(
                 self.migrid, r4, c4,
                 int(cc.block_size_wide[bsize]) >> 2,
-                int(cc.block_size_high[bsize]) >> 2, (ref, ref2))
+                int(cc.block_size_high[bsize]) >> 2, (ref, ref2),
+                tmvp=self.tmvp,
+                cur_offs=(self._tmvp_off(ref), self._tmvp_off(ref2)))
             mv, mv2 = stackc.pairs[0]
             inter_mode = mv_pred.NEARESTMV
         elif self.frame_is_intra:
@@ -1428,7 +1447,10 @@ class TileDecoder(TileCoderBase):
                     w4b = int(cc.block_size_wide[bsize]) >> 2
                     h4b = int(cc.block_size_high[bsize]) >> 2
                     stackc = mv_pred.find_mv_stack_comp(
-                        self.migrid, r4, c4, w4b, h4b, (ref, ref2))
+                        self.migrid, r4, c4, w4b, h4b, (ref, ref2),
+                        tmvp=self.tmvp,
+                        cur_offs=(self._tmvp_off(ref),
+                                  self._tmvp_off(ref2)))
                     cmode = self._code_comp_mode_and_drl(
                         None, stackc, dec=dec)
                     if cmode == 7:
@@ -1459,7 +1481,8 @@ class TileDecoder(TileCoderBase):
                         self.migrid, r4, c4,
                         int(cc.block_size_wide[bsize]) >> 2,
                         int(cc.block_size_high[bsize]) >> 2, ref=ref,
-                        gm_mv=gm_mv)
+                        gm_mv=gm_mv, tmvp=self.tmvp,
+                        cur_off=self._tmvp_off(ref))
                     inter_mode, drl = self._read_inter_mode(stack)
                     if inter_mode == mv_pred.NEWMV:
                         mv = mv_mod.decode_mv(dec, stack.mvs[drl],

@@ -51,6 +51,8 @@ class PresetFeatures:
     interintra: bool = False  # inter-intra compound (smooth blend)
     part8: bool = False      # 8x8 partition-split alternative in the
                              # inter pass-A MD (per-sub MV, TX_8X8)
+    tmvp: bool = False       # temporal MV prediction (spec 7.9
+                             # projected motion field in the MV stacks)
 
 
 def features_for(enc_mode: int) -> PresetFeatures:
