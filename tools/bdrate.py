@@ -78,7 +78,31 @@ def clip_noise(n, rng):
     return frames
 
 
-CLIPS = {"pan": clip_pan, "sin": clip_sin, "noise": clip_noise}
+def clip_obj(n, rng):
+    """Moving textured objects over a static textured background:
+    motion boundaries cross 16x16 blocks (the 8x8-partition /
+    per-sub-MV content class the other clips lack)."""
+    bg = np.kron(rng.integers(40, 210, (H // 4, W // 4))
+                 .astype(np.uint8), np.ones((4, 4), np.uint8))
+    spr = np.kron(rng.integers(20, 235, (20, 20)).astype(np.uint8),
+                  np.ones((3, 3), np.uint8))          # 60x60 sprite
+    frames = []
+    for t in range(n):
+        y = bg.copy()
+        x0 = (23 + 5 * t) % (W - 60)
+        y0 = (37 + 2 * t) % (H - 60)
+        y[y0:y0 + 60, x0:x0 + 60] = spr
+        x1 = (W - 90 - 3 * t) % (W - 60)
+        y1 = (H - 100 - 4 * t) % (H - 60)
+        y[y1:y1 + 60, x1:x1 + 60] = spr[::-1, ::-1]
+        u = np.full((H // 2, W // 2), 115, np.uint8)
+        v = np.full((H // 2, W // 2), 135, np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+CLIPS = {"pan": clip_pan, "sin": clip_sin, "noise": clip_noise,
+         "obj": clip_obj}
 
 
 def write_y4m(path, frames):
@@ -189,7 +213,7 @@ def main():
     ap.add_argument("--preset", type=int, default=6)
     ap.add_argument("--frames", type=int, default=48)
     ap.add_argument("--keyint", type=int, default=16)
-    ap.add_argument("--clips", default="pan,sin,noise")
+    ap.add_argument("--clips", default="pan,sin,noise,obj")
     ap.add_argument("--out", default="BDRATE.md")
     ap.add_argument("--cpu", action="store_true",
                     help="pin JAX to the CPU backend (e.g. when the "
