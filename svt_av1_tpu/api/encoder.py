@@ -187,6 +187,8 @@ class Encoder:
         self._rc = RateControlState.create(config, fps)
         from svt_av1_tpu.pipeline.presets import features_for
         self._feat = features_for(config.enc_mode)
+        self.sp.enable_screen_content = bool(
+            self._feat.palette and config.encoder_bit_depth == 8)
         # filter-intra: sequence flag + MD pseudo-mode candidates
         self.sp.enable_filter_intra = self._feat.filter_intra
         self.sp.enable_interintra_compound = self._feat.interintra
@@ -420,13 +422,20 @@ class Encoder:
                 qmap = None
         else:
             qindex = max(1, qindex - qindex // self._feat.kf_boost_div)
+        pal_cands = None
+        if (self.sp.enable_screen_content and qmap is None
+                and not self._feat.varpart):
+            pal_cands = intra_encoder.palette_md_candidates(
+                y, qindex, bd=self.cfg.encoder_bit_depth)
+        self._frame_allow_sct = pal_cands is not None
         decisions, recon = intra_encoder.encode_intra_frame(
             y, u, v, qindex, modes=self._md_modes,
             bd=self.cfg.encoder_bit_depth, qmap=qmap,
             rdoq=self._feat.rdoq, tx_search=self._feat.tx_search,
             angle_deltas=self._feat.angle_deltas, cfl=self._feat.cfl,
             exact_rates=(self._feat.exact_rates
-                         and self._feat.exact_rates_intra))
+                         and self._feat.exact_rates_intra),
+            palette_cands=pal_cands)
         prefilt = None
         dlf_wants = bool(self.cfg.enable_dlf_flag)
         if (self._fast and (dlf_wants or self.sp.enable_cdef)
@@ -1273,6 +1282,11 @@ class Encoder:
                         y, u, v, qindex, modes=self._md_modes,
                         bd=self.cfg.encoder_bit_depth)
             else:
+                pal_cands = None
+                if self.sp.enable_screen_content and qmap is None:
+                    pal_cands = intra_encoder.palette_md_candidates(
+                        y, qindex, bd=self.cfg.encoder_bit_depth)
+                self._frame_allow_sct = pal_cands is not None
                 with stage("device_md_intra"):
                     decisions, recon = intra_encoder.encode_intra_frame(
                         y, u, v, qindex, modes=self._md_modes,
@@ -1282,7 +1296,8 @@ class Encoder:
                         angle_deltas=self._feat.angle_deltas,
                         cfl=self._feat.cfl,
                         exact_rates=(self._feat.exact_rates
-                                     and self._feat.exact_rates_intra))
+                                     and self._feat.exact_rates_intra),
+                        palette_cands=pal_cands)
         else:
             with stage("device_md_inter"):
                 decisions, recon, gm, interp = \
@@ -1359,6 +1374,9 @@ class Encoder:
                              base_q_idx=qindex,
                              render_width=self.render_w,
                              render_height=self.render_h)
+        if is_key and getattr(self, "_frame_allow_sct", False):
+            fp.allow_screen_content_tools = True
+            self._frame_allow_sct = False
         auto_chain = chain == "auto"
         if not is_key and auto_chain:
             fp.refresh_frame_flags = 0x01
@@ -1501,6 +1519,8 @@ class Encoder:
         if lr_info is not None:
             tenc.set_lr(lr_info)
         tenc.enable_filter_intra = self.sp.enable_filter_intra
+        tenc.allow_palette = bool(fp.allow_screen_content_tools)
+        tenc.bit_depth = self.cfg.encoder_bit_depth
         tenc.enable_masked_compound = self.sp.enable_masked_compound
         tenc.enable_interintra = self.sp.enable_interintra_compound
         tenc.is_motion_mode_switchable = fp.is_motion_mode_switchable

@@ -100,6 +100,8 @@ class Decoder:
                 from svt_av1_tpu.codec import mv as mv_mod
                 tdec.mv_precision = mv_mod.MV_SUBPEL_HIGH
         tdec.enable_filter_intra = self.sp.enable_filter_intra
+        tdec.allow_palette = bool(fp.allow_screen_content_tools)
+        tdec.bit_depth = self.sp.bit_depth
         tdec.enable_masked_compound = self.sp.enable_masked_compound
         tdec.enable_interintra = self.sp.enable_interintra_compound
         tdec.is_motion_mode_switchable = fp.is_motion_mode_switchable
@@ -264,6 +266,8 @@ class Decoder:
                                update_cdfs=not fp.disable_cdf_update,
                                frame_is_intra=True)
             tdec.enable_filter_intra = self.sp.enable_filter_intra
+            tdec.allow_palette = bool(fp.allow_screen_content_tools)
+            tdec.bit_depth = self.sp.bit_depth
             if (s, e) == layout[0]:   # context_update_tile_id = 0
                 t0 = tdec
             for (r4, c4), d in tdec.decode(data).items():

@@ -46,6 +46,8 @@ class SequenceParams:
     enable_order_hint: bool = False
     order_hint_bits: int = 7
     enable_ref_frame_mvs: bool = False   # temporal MVP available
+    enable_screen_content: bool = False  # seq_force_sct == SELECT (2);
+                                         # frames then code allow_sct
     enable_masked_compound: bool = True   # wedge compound available
     enable_interintra_compound: bool = False
     enable_superres: bool = False
@@ -379,11 +381,15 @@ def write_sequence_header(sp: SequenceParams) -> bytes:
         if sp.enable_order_hint:
             w.f(0, 1)   # enable_jnt_comp
             w.f(int(sp.enable_ref_frame_mvs), 1)
-        # screen content tools: fixed off at sequence level =>
-        # seq_force_screen_content_tools = 0 and force_integer_mv
-        # implied; frames then code no allow_screen_content_tools bit
-        w.f(0, 1)   # seq_choose_screen_content_tools
-        w.f(0, 1)   # seq_force_screen_content_tools = 0
+        if sp.enable_screen_content:
+            # SELECT: every frame codes allow_screen_content_tools;
+            # integer-MV forcing stays off (seq_force_integer_mv = 0)
+            w.f(1, 1)   # seq_choose_screen_content_tools
+            w.f(0, 1)   # seq_choose_integer_mv
+            w.f(0, 1)   # seq_force_integer_mv = 0
+        else:
+            w.f(0, 1)   # seq_choose_screen_content_tools
+            w.f(0, 1)   # seq_force_screen_content_tools = 0
         if sp.enable_order_hint:
             w.f(sp.order_hint_bits - 1, 3)
     w.f(int(sp.enable_superres), 1)
@@ -434,6 +440,10 @@ def write_frame_header_bits(w: BitWriter, sp: SequenceParams,
         # seq_force_screen_content_tools == SELECT in reduced mode
         w.f(int(fp.allow_screen_content_tools), 1)
         assert not fp.allow_screen_content_tools
+    elif sp.enable_screen_content:
+        # seq_force_sct == SELECT: per-frame allow bit (imv forced off
+        # at sequence level, so no force_integer_mv bit follows)
+        w.f(int(fp.allow_screen_content_tools), 1)
     else:
         # seq_force_screen_content_tools == 0 => allow_sct = 0, no bit
         assert not fp.allow_screen_content_tools, \
@@ -807,10 +817,12 @@ def read_sequence_header(payload: bytes) -> SequenceParams:
             ref_frame_mvs = r.f(1)
         choose_sct = r.f(1)
         force_sct = 2 if choose_sct else r.f(1)
+        force_imv = 0
         if force_sct > 0:
             choose_imv = r.f(1)
             force_imv = 2 if choose_imv else r.f(1)
-        assert force_sct == 0, "verifier assumes screen content off"
+        assert force_sct in (0, 2) and force_imv == 0, \
+            "verifier supports SELECT screen content with imv off"
         if order_hint:
             order_hint_bits = r.f(3) + 1
     superres = r.f(1)
@@ -836,6 +848,7 @@ def read_sequence_header(payload: bytes) -> SequenceParams:
         enable_intra_edge_filter=bool(intra_edge),
         enable_order_hint=bool(order_hint), order_hint_bits=order_hint_bits,
         enable_ref_frame_mvs=bool(ref_frame_mvs),
+        enable_screen_content=(force_sct == 2),
         enable_superres=bool(superres), enable_cdef=bool(cdef),
         enable_restoration=bool(restoration),
         film_grain_params_present=bool(fg), seq_level_idx=level,
@@ -871,6 +884,8 @@ def read_frame_header(r: BitReader, sp: SequenceParams,
     if reduced:
         fp.allow_screen_content_tools = bool(r.f(1))  # force == SELECT
         assert not fp.allow_screen_content_tools
+    elif sp.enable_screen_content:
+        fp.allow_screen_content_tools = bool(r.f(1))
     else:
         fp.allow_screen_content_tools = False  # seq_force_sct == 0
     if not reduced and fp.frame_type != S_FRAME:

@@ -153,6 +153,10 @@ class BlockDecision:
     qindex: int = 0
     # recursive filter-intra (y_mode == DC_PRED carrier); -1 = off
     filter_intra_mode: int = -1
+    # palette (y_mode == DC_PRED carrier): sorted base colors + the
+    # per-pixel color index map (block luma dims)
+    palette: Optional[np.ndarray] = None
+    palette_map: Optional[np.ndarray] = None
     # AV1 skip_mode: block coded as one symbol implying compound
     # NEAREST_NEARESTMV on the frame's skip-mode ref pair with skip=1
     # (set by the tile coder on eligible blocks; decode mirrors)
@@ -466,6 +470,14 @@ class TileCoderBase:
         self.skip_mode_present = False
         self.skip_mode_frames = (0, 0)
         self.interp_filter = 0
+        # palette (spec 5.11.46-49): allowed when the frame signals
+        # allow_screen_content_tools; per-mi size/colors feed the mode
+        # context and color cache of later blocks
+        self.allow_palette = False
+        self.bit_depth = 8
+        self.pal_size = np.zeros((self.mi_rows, self.mi_cols), np.int8)
+        self.pal_colors = np.zeros((self.mi_rows, self.mi_cols, 8),
+                                   np.uint16)
         # temporal MVP (spec 7.9/7.10.2): projected motion field of
         # the current frame + order-hint context for per-ref offsets
         self.tmvp = None
@@ -760,12 +772,51 @@ class TileCoderBase:
             update_cdf(wcdf, wi, 16)
         return 1, wi, ws
 
-    def _filter_intra_allowed(self, bsize, is_inter, y_mode) -> bool:
-        """Spec FilterIntraAllowed (palette is never coded here)."""
+    def _filter_intra_allowed(self, bsize, is_inter, y_mode,
+                              pal_n: int = 0) -> bool:
+        """Spec FilterIntraAllowed (requires PaletteSizeY == 0)."""
         return (self.enable_filter_intra and not is_inter
-                and y_mode == cc.DC_PRED
+                and y_mode == cc.DC_PRED and pal_n == 0
                 and int(cc.block_size_wide[bsize]) <= 32
                 and int(cc.block_size_high[bsize]) <= 32)
+
+    # ---- palette (spec 5.11.46-49) ----
+    def _palette_allowed(self, bsize, is_inter, y_mode) -> bool:
+        return (self.allow_palette and self.frame_is_intra
+                and not is_inter and y_mode == cc.DC_PRED
+                and 8 <= int(cc.block_size_wide[bsize]) <= 64
+                and 8 <= int(cc.block_size_high[bsize]) <= 64)
+
+    def _palette_cache(self, r4, c4):
+        from svt_av1_tpu.codec import palette as pal
+        above = None
+        # above palettes are not referenced across a 64px SB row
+        if r4 > 0 and (r4 % 16) != 0 and self.pal_size[r4 - 1, c4] > 0:
+            n = int(self.pal_size[r4 - 1, c4])
+            above = self.pal_colors[r4 - 1, c4, :n]
+        left = None
+        if c4 > 0 and self.pal_size[r4, c4 - 1] > 0:
+            n = int(self.pal_size[r4, c4 - 1])
+            left = self.pal_colors[r4, c4 - 1, :n]
+        return pal.merge_cache(above, left)
+
+    def _palette_mode_ctx(self, r4, c4) -> int:
+        ctx = 0
+        if r4 > 0:
+            ctx += int(self.pal_size[r4 - 1, c4] > 0)
+        if c4 > 0:
+            ctx += int(self.pal_size[r4, c4 - 1] > 0)
+        return ctx
+
+    def _set_palette_maps(self, r4, c4, bsize, colors) -> None:
+        w4 = int(cc.block_size_wide[bsize]) >> 2
+        h4 = int(cc.block_size_high[bsize]) >> 2
+        sl = (slice(r4, r4 + h4), slice(c4, c4 + w4))
+        n = 0 if colors is None else len(colors)
+        self.pal_size[sl] = n
+        if n:
+            self.pal_colors[sl + (slice(0, n),)] = \
+                np.asarray(colors, np.uint16)
 
     def set_cdef(self, bits: int, idx_map=None) -> None:
         """Enable per-SB cdef_idx coding.  idx_map: (sb_rows, sb_cols)
@@ -1133,7 +1184,39 @@ class TileEncoder(TileCoderBase):
                 self._encode_cfl_alphas(d.cfl_alpha_u, d.cfl_alpha_v)
             self._encode_angle(d.uv_mode, d.angle_delta_uv)
 
-        if self._filter_intra_allowed(bsize, is_inter, d.y_mode):
+        pal_n = 0
+        if self._palette_allowed(bsize, is_inter, d.y_mode):
+            from svt_av1_tpu.codec import palette as pal
+            pal_n = 0 if d.palette is None else len(d.palette)
+            bctx = pal.bsize_ctx(bsize)
+            mctx = self._palette_mode_ctx(r4, c4)
+            mcdf = cdfs.palette_y_mode[bctx][mctx]
+            enc.encode_symbol(int(pal_n > 0), mcdf, 2)
+            if self.update:
+                update_cdf(mcdf, int(pal_n > 0), 2)
+            if pal_n:
+                scdf = cdfs.palette_y_size[bctx]
+                enc.encode_symbol(pal_n - pal.PALETTE_MIN_SIZE, scdf,
+                                  pal.PALETTE_SIZES)
+                if self.update:
+                    update_cdf(scdf, pal_n - pal.PALETTE_MIN_SIZE,
+                               pal.PALETTE_SIZES)
+                cache = self._palette_cache(r4, c4)
+                found, out = pal.index_color_cache(cache, d.palette)
+                n_in = 0
+                for i, fl in enumerate(found):
+                    if n_in >= pal_n:
+                        break
+                    enc.encode_literal(int(fl), 1)
+                    n_in += fl
+                pal.delta_encode_colors(enc, out, self.bit_depth)
+            if has_chroma and d.uv_mode == cc.DC_PRED:
+                ucdf2 = cdfs.palette_uv_mode[int(pal_n > 0)]
+                enc.encode_symbol(0, ucdf2, 2)
+                if self.update:
+                    update_cdf(ucdf2, 0, 2)
+
+        if self._filter_intra_allowed(bsize, is_inter, d.y_mode, pal_n):
             use = d.filter_intra_mode >= 0
             cdf = cdfs.filter_intra[bsize]
             enc.encode_symbol(int(use), cdf, 2)
@@ -1146,6 +1229,21 @@ class TileEncoder(TileCoderBase):
                 if self.update:
                     update_cdf(mcdf, d.filter_intra_mode,
                                cc.FILTER_INTRA_MODES)
+
+        if pal_n:
+            from svt_av1_tpu.codec import palette as pal
+            cmap = np.asarray(d.palette_map, np.uint8)
+            pal.write_uniform(enc, pal_n, int(cmap[0, 0]))
+            size_idx = pal_n - pal.PALETTE_MIN_SIZE
+            for (rr, cc_) in pal.diagonal_scan(*cmap.shape):
+                cctx, coded = pal.color_index_ctx(cmap, rr, cc_)
+                ccdf = cdfs.palette_y_color[size_idx][cctx]
+                enc.encode_symbol(coded, ccdf, pal_n)
+                if self.update:
+                    update_cdf(ccdf, coded, pal_n)
+        if not is_inter:
+            self._set_palette_maps(r4, c4, bsize,
+                                   d.palette if pal_n else None)
 
         ctx.set_block(r4, c4, bsize, d.y_mode, skip, is_inter, d.ref,
                       ref2=d.ref2 if is_inter else 0)
@@ -1526,8 +1624,43 @@ class TileDecoder(TileCoderBase):
                 cfl_au, cfl_av = self._read_cfl_alphas()
             angle_uv = self._read_angle(uv_mode)
 
+        pal_n = 0
+        pal_colors = None
+        if self._palette_allowed(bsize, is_inter, y_mode):
+            from svt_av1_tpu.codec import palette as pal
+            bctx = pal.bsize_ctx(bsize)
+            mctx = self._palette_mode_ctx(r4, c4)
+            mcdf2 = cdfs.palette_y_mode[bctx][mctx]
+            has_pal = dec.read_symbol(mcdf2, 2)
+            if self.update:
+                update_cdf(mcdf2, has_pal, 2)
+            if has_pal:
+                scdf = cdfs.palette_y_size[bctx]
+                pal_n = dec.read_symbol(scdf, pal.PALETTE_SIZES) \
+                    + pal.PALETTE_MIN_SIZE
+                if self.update:
+                    update_cdf(scdf, pal_n - pal.PALETTE_MIN_SIZE,
+                               pal.PALETTE_SIZES)
+                cache = self._palette_cache(r4, c4)
+                reused = []
+                for cv in cache:
+                    if len(reused) >= pal_n:
+                        break
+                    if dec.read_literal(1):
+                        reused.append(int(cv))
+                fresh = pal.delta_decode_colors(
+                    dec, pal_n - len(reused), self.bit_depth)
+                pal_colors = np.array(sorted(reused + fresh),
+                                      np.uint16)
+            if uv_mode == cc.DC_PRED:
+                ucdf2 = cdfs.palette_uv_mode[int(pal_n > 0)]
+                uv_pal = dec.read_symbol(ucdf2, 2)
+                if self.update:
+                    update_cdf(ucdf2, uv_pal, 2)
+                assert uv_pal == 0, "uv palette unsupported"
+
         fi_mode = -1
-        if self._filter_intra_allowed(bsize, is_inter, y_mode):
+        if self._filter_intra_allowed(bsize, is_inter, y_mode, pal_n):
             cdf = cdfs.filter_intra[bsize]
             use = dec.read_symbol(cdf, 2)
             if self.update:
@@ -1537,6 +1670,26 @@ class TileDecoder(TileCoderBase):
                 fi_mode = dec.read_symbol(mcdf, cc.FILTER_INTRA_MODES)
                 if self.update:
                     update_cdf(mcdf, fi_mode, cc.FILTER_INTRA_MODES)
+
+        pal_map = None
+        if pal_n:
+            from svt_av1_tpu.codec import palette as pal
+            bw_px = int(cc.block_size_wide[bsize])
+            bh_px = int(cc.block_size_high[bsize])
+            pal_map = np.zeros((bh_px, bw_px), np.uint8)
+            pal_map[0, 0] = pal.read_uniform(dec, pal_n)
+            size_idx = pal_n - pal.PALETTE_MIN_SIZE
+            for (rr, cc_) in pal.diagonal_scan(bh_px, bw_px):
+                cctx, _ = pal.color_index_ctx(pal_map, rr, cc_)
+                ccdf = cdfs.palette_y_color[size_idx][cctx]
+                coded = dec.read_symbol(ccdf, pal_n)
+                if self.update:
+                    update_cdf(ccdf, coded, pal_n)
+                pal_map[rr, cc_] = pal.inv_color_index(pal_map, rr,
+                                                       cc_, coded)
+        if not is_inter:
+            self._set_palette_maps(r4, c4, bsize,
+                                   pal_colors if pal_n else None)
 
         ctx.set_block(r4, c4, bsize, y_mode, skip, is_inter, ref,
                       ref2=ref2, skip_mode=sm)
@@ -1609,7 +1762,8 @@ class TileDecoder(TileCoderBase):
                     if self.delta_q_res is not None
                     else (self.seg.qindex_for(seg_id, self.base_q_idx)
                           if self.seg is not None else 0)),
-            filter_intra_mode=fi_mode, skip_mode=bool(sm))
+            filter_intra_mode=fi_mode, skip_mode=bool(sm),
+            palette=pal_colors, palette_map=pal_map)
 
     def _read_cfl_alphas(self):
         dec = self.dec

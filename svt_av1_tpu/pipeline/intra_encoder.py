@@ -518,7 +518,7 @@ def _natural_maxb(gh: int, gw: int) -> int:
 
 def _frame_program_fn(gh, gw, modes, bd=8, aq=False, tile_starts=(0,),
                       rdoq=False, tx_search=False, angle_deltas=False,
-                      cfl=False):
+                      cfl=False, palette=False):
     """Whole-key-frame program: fori_loop over waves, each iteration runs
     luma MD (all modes) + chroma MD and scatters recon in place.
 
@@ -548,7 +548,8 @@ def _frame_program_fn(gh, gw, modes, bd=8, aq=False, tile_starts=(0,),
     rdt = jnp.uint8 if bd == 8 else jnp.uint16
 
     def frame(src_y8, src_u8, src_v8, zbin, rnd, qv, qshift, deq, lam,
-              cy_t, cuv_t, txbb, modeb, uvb, eoby, eobuv, rqly, rqluv):
+              cy_t, cuv_t, txbb, modeb, uvb, eoby, eobuv, rqly, rqluv,
+              pal_cost=None, pal_rec=None, pal_qy=None):
         src_y = src_y8.astype(jnp.int32)
         src_u = src_u8.astype(jnp.int32)
         src_v = src_v8.astype(jnp.int32)
@@ -563,9 +564,11 @@ def _frame_program_fn(gh, gw, modes, bd=8, aq=False, tile_starts=(0,),
         qv_acc = jnp.zeros((nw, maxb, CBLK, CBLK), jnp.int16)
         au_acc = jnp.zeros((nw, maxb), jnp.int8)
         av_acc = jnp.zeros((nw, maxb), jnp.int8)
+        pc_acc = jnp.zeros((nw, maxb), bool)
 
         def body(i, carry):
-            ry, ru, rv, ma, uma, qya, qua, qva, aua, ava = carry
+            (ry, ru, rv, ma, uma, qya, qua, qva, aua, ava,
+             pca) = carry
             by = jnp.asarray(bys)[i]
             bx = jnp.asarray(bxs)[i]
             va = jnp.asarray(valid)[i]
@@ -578,14 +581,29 @@ def _frame_program_fn(gh, gw, modes, bd=8, aq=False, tile_starts=(0,),
             else:
                 qp = qp_all
                 lam_w = lam
-            m, q, ry = _rd_step(ry, src_y, by * BLK, bx * BLK, va, ha, hl,
-                                qp, lam_w, BLK, cc.TX_16X16, cand_modes,
-                                0, tx_types=cand_txs,
-                                tr_avail=jnp.asarray(trs)[i] & va,
-                                bl_avail=jnp.asarray(bls)[i] & va,
-                                bd=bd, rates=(cy_t, txbb, modeb, eoby),
-                                rdoq=rdoq, rdoq_tbl=rqly,
-                                return_index=tx_search)
+            pal_choose = jnp.zeros(va.shape, bool)
+            if palette:
+                bid_w = by * gw + bx
+                ov = (pal_cost[bid_w], pal_rec[bid_w])
+                m, q, ry, pal_choose = _rd_step(
+                    ry, src_y, by * BLK, bx * BLK, va, ha, hl,
+                    qp, lam_w, BLK, cc.TX_16X16, cand_modes,
+                    0, tx_types=cand_txs,
+                    tr_avail=jnp.asarray(trs)[i] & va,
+                    bl_avail=jnp.asarray(bls)[i] & va,
+                    bd=bd, rates=(cy_t, txbb, modeb, eoby),
+                    rdoq=rdoq, rdoq_tbl=rqly,
+                    return_index=tx_search, inter=ov)
+            else:
+                m, q, ry = _rd_step(
+                    ry, src_y, by * BLK, bx * BLK, va, ha, hl,
+                    qp, lam_w, BLK, cc.TX_16X16, cand_modes,
+                    0, tx_types=cand_txs,
+                    tr_avail=jnp.asarray(trs)[i] & va,
+                    bl_avail=jnp.asarray(bls)[i] & va,
+                    bd=bd, rates=(cy_t, txbb, modeb, eoby),
+                    rdoq=rdoq, rdoq_tbl=rqly,
+                    return_index=tx_search)
             # chroma: joint mode decision over U+V (one signaled uv_mode)
             if cfl:
                 lblk = _gather_block(ry, by * BLK, bx * BLK, BLK, BLK)
@@ -606,11 +624,12 @@ def _frame_program_fn(gh, gw, modes, bd=8, aq=False, tile_starts=(0,),
                     qua.at[i].set(qu.astype(jnp.int16)),
                     qva.at[i].set(qvq.astype(jnp.int16)),
                     aua.at[i].set(au.astype(jnp.int8)),
-                    ava.at[i].set(av.astype(jnp.int8)))
+                    ava.at[i].set(av.astype(jnp.int8)),
+                    pca.at[i].set(pal_choose))
 
         init = (recon_y, recon_u, recon_v, modes_acc, uv_modes_acc,
-                qy_acc, qu_acc, qv_acc, au_acc, av_acc)
-        (ry, ru, rv, ma, uma, qya, qua, qva, aua, ava) = \
+                qy_acc, qu_acc, qv_acc, au_acc, av_acc, pc_acc)
+        (ry, ru, rv, ma, uma, qya, qua, qva, aua, ava, pca) = \
             jax.lax.fori_loop(0, nw, body, init)
         # dense raster re-layout (static gather) + output narrowing
         pj = jnp.asarray(perm)
@@ -621,6 +640,12 @@ def _frame_program_fn(gh, gw, modes, bd=8, aq=False, tile_starts=(0,),
         qvp = qva.reshape(nw * maxb, CBLK * CBLK)[pj]
         auf = aua.reshape(-1)[pj]
         avf = ava.reshape(-1)[pj]
+        if palette:
+            pchoose = pca.reshape(-1)[pj]
+            ym = jnp.where(pchoose, cc.DC_PRED, ym).astype(jnp.uint8)
+            qy = jnp.where(pchoose[:, None], pal_qy, qy)
+            return (ry.astype(rdt), ru.astype(rdt), rv.astype(rdt),
+                    ym, um, qy, qu, qvp, auf, avf, pchoose)
         return (ry.astype(rdt), ru.astype(rdt), rv.astype(rdt),
                 ym, um, qy, qu, qvp, auf, avf)
 
@@ -630,11 +655,12 @@ def _frame_program_fn(gh, gw, modes, bd=8, aq=False, tile_starts=(0,),
 @functools.lru_cache(maxsize=None)
 def _jit_frame_program(gh, gw, modes, bd=8, aq=False, tile_starts=(0,),
                        rdoq=False, tx_search=False, angle_deltas=False,
-                       cfl=False):
+                       cfl=False, palette=False):
     return jax.jit(_frame_program_fn(gh, gw, modes, bd, aq=aq,
                                      tile_starts=tile_starts, rdoq=rdoq,
                                      tx_search=tx_search,
-                                     angle_deltas=angle_deltas, cfl=cfl))
+                                     angle_deltas=angle_deltas, cfl=cfl,
+                                     palette=palette))
 
 
 def _rd_step_chroma(recon_u, recon_v, src_u, src_v, ys, xs, valid,
@@ -1024,11 +1050,69 @@ def _collect_decisions_dense(gh, gw, ym, um, qy, qu, qv_,
     return decisions
 
 
+def palette_md_candidates(src_y: np.ndarray, qindex: int, bd: int = 8,
+                          max_colors: int = 8):
+    """Per-16x16 palette candidates for screen content: blocks whose
+    pixels use <= max_colors distinct values get an exact palette, the
+    argmin index map, and a device-batch RD evaluation (pred -> DCT ->
+    quant -> dist + rate + header-bits estimate).
+
+    Returns None when no block qualifies, else (cost (nb,), rec
+    (nb,16,16) i32, qy (nb,256) i16, info {bid: (colors, cmap)}).
+    Behavioral reference: palette_rd_y / av1_k_means (palette.c) —
+    redesigned: exact palettes only, batched RD on device."""
+    from svt_av1_tpu.codec import palette as pal
+    h, w = src_y.shape
+    gh, gw = h // BLK, w // BLK
+    nb = gh * gw
+    src = np.asarray(src_y)
+    info = {}
+    preds = np.zeros((nb, BLK, BLK), np.int32)
+    use = np.zeros(nb, bool)
+    hdr_bits = np.zeros(nb, np.float32)
+    for by in range(gh):
+        for bx in range(gw):
+            blk = src[by * BLK:(by + 1) * BLK, bx * BLK:(bx + 1) * BLK]
+            colors, counts = np.unique(blk, return_counts=True)
+            if not (pal.PALETTE_MIN_SIZE <= len(colors) <= max_colors):
+                continue
+            bid = by * gw + bx
+            cmap = np.searchsorted(colors, blk).astype(np.uint8)
+            info[bid] = (colors.astype(np.uint16), cmap)
+            preds[bid] = colors[cmap].astype(np.int32)
+            use[bid] = True
+            hdr_bits[bid] = (4.0 + len(colors) * (bd - 2)
+                             + pal.map_bits_estimate(cmap, len(colors)))
+    if not use.any():
+        return None
+    qp = quant.make_quant_params(qindex, bd=bd)
+    qstep = quant.dc_q(qindex, bd=bd) / 8.0
+    lam = np.float32(0.7 * qstep * qstep)
+    resid = (src.reshape(gh, BLK, gw, BLK).transpose(0, 2, 1, 3)
+             .reshape(nb, BLK, BLK).astype(np.int32) - preds)
+    cf = tf.fwd_txfm2d(jnp.asarray(resid), cc.DCT_DCT, cc.TX_16X16)
+    qc, dq = quant.quantize(cf, quant.QuantParams(
+        *(jnp.asarray(a) for a in qp)), cc.TX_16X16)
+    s2 = np.float32(tf.coeff_sse_scale(cc.TX_16X16, cc.DCT_DCT))
+    dist = s2 * jnp.sum((cf - dq.astype(jnp.float32)) ** 2,
+                        axis=(1, 2))
+    af = jnp.abs(qc).astype(jnp.float32)
+    coef_bits = (2.0 * jnp.sum(jnp.log2(1.0 + af), axis=(1, 2))
+                 + jnp.sum(af > 0, axis=(1, 2)) + 4.0)
+    rec = tf.inv_txfm2d_add(dq, jnp.asarray(preds), cc.DCT_DCT,
+                            cc.TX_16X16, bd=bd)
+    cost = np.asarray(dist) + lam * (np.asarray(coef_bits) + hdr_bits)
+    cost = np.where(use, cost, np.float32(3.0e38))
+    qy = np.asarray(qc, np.int16).reshape(nb, BLK * BLK)
+    return (cost.astype(np.float32), np.asarray(rec, np.int32),
+            qy, info)
+
+
 def encode_intra_frame(src_y: np.ndarray, src_u: np.ndarray,
                        src_v: np.ndarray, qindex: int, modes=MODES,
                        bd: int = 8, qmap=None, rdoq=False,
                        tx_search=False, angle_deltas=False, cfl=False,
-                       exact_rates=False
+                       exact_rates=False, palette_cands=None
                        ) -> Tuple[Dict, Dict[str, np.ndarray]]:
     """Encode one key frame.  Returns ({(r4,c4): BlockDecision}, recon).
 
@@ -1063,9 +1147,11 @@ def encode_intra_frame(src_y: np.ndarray, src_u: np.ndarray,
         lam = np.float32(0.7 * qstep * qstep)
 
     sdt = np.uint8 if bd == 8 else np.uint16
+    use_pal = palette_cands is not None
     prog = _jit_frame_program(gh, gw, tuple(modes), bd, aq=aq,
                               rdoq=rdoq, tx_search=tx_search,
-                              angle_deltas=angle_deltas, cfl=cfl)
+                              angle_deltas=angle_deltas, cfl=cfl,
+                              palette=use_pal)
     from svt_av1_tpu.codec.rate_est import md_rate_args
     if tx_search:
         cand_modes, cand_txs = expand_tx_cands(tuple(modes),
@@ -1075,14 +1161,34 @@ def encode_intra_frame(src_y: np.ndarray, src_u: np.ndarray,
     else:
         mode_ids, cands = tuple(modes), None
     rt = md_rate_args(qindex, mode_ids, UV_MODES, exact=exact_rates)
+    extra = ()
+    if use_pal:
+        pc, prc, pqy, pinfo = palette_cands
+        extra = (pc, prc, pqy.astype(np.int16))
     out = prog(np.asarray(src_y, sdt), np.asarray(src_u, sdt),
                np.asarray(src_v, sdt),
-               *(np.asarray(a) for a in qp_y), np.asarray(lam), *rt)
-    (recon_y, recon_u, recon_v, ym_a, um_a, qy_a, qu_a, qv_a, au_a,
-     av_a) = [np.asarray(o) for o in out]
+               *(np.asarray(a) for a in qp_y), np.asarray(lam), *rt,
+               *extra)
+    if use_pal:
+        (recon_y, recon_u, recon_v, ym_a, um_a, qy_a, qu_a, qv_a,
+         au_a, av_a, pchoose) = [np.asarray(o) for o in out]
+    else:
+        (recon_y, recon_u, recon_v, ym_a, um_a, qy_a, qu_a, qv_a,
+         au_a, av_a) = [np.asarray(o) for o in out]
     decisions = _collect_decisions_dense(gh, gw, ym_a, um_a, qy_a, qu_a,
                                          qv_a, qmap=qmap, cands=cands,
                                          au=au_a, av=av_a)
+    if use_pal:
+        import dataclasses as _dc
+        for bid, (colors, cmap) in pinfo.items():
+            if not pchoose[bid]:
+                continue
+            by, bx = bid // gw, bid % gw
+            k = (by * 4, bx * 4)
+            decisions[k] = _dc.replace(
+                decisions[k], y_mode=cc.DC_PRED, tx_type=cc.DCT_DCT,
+                angle_delta_y=0, filter_intra_mode=-1,
+                palette=colors, palette_map=cmap)
     recon = dict(y=recon_y, u=recon_u, v=recon_v)
     return decisions, recon
 
@@ -1147,11 +1253,25 @@ def reconstruct_from_decisions(decisions: Dict, width: int, height: int,
                 if d.qindex else qp)
         y_md_mode = (cc.FI_MODE_BASE + d.filter_intra_mode
                      if d.filter_intra_mode >= 0 else d.y_mode)
-        state["y"] = _recon_block(state["y"], d.qcoeff_y, y_md_mode,
-                                  d.r4 * 4, d.c4 * 4, n, tx, d.tx_type,
-                                  qp_b, tr, bl, bd,
-                                  have_left=tile_left,
-                                  delta=d.angle_delta_y)
+        if getattr(d, "palette", None) is not None:
+            # palette luma: pred = colors[index map], residual as usual
+            pred = np.asarray(d.palette, np.int32)[
+                np.asarray(d.palette_map, np.int32)]
+            dq = quant.dequantize(
+                jnp.asarray(d.qcoeff_y, jnp.int32)[None],
+                quant.QuantParams(*(jnp.asarray(a) for a in qp_b)), tx)
+            rec = tf.inv_txfm2d_add(dq, jnp.asarray(pred)[None],
+                                    cc.DCT_DCT, tx, bd=bd)[0]
+            state["y"] = state["y"].at[
+                d.r4 * 4:d.r4 * 4 + n,
+                d.c4 * 4:d.c4 * 4 + n].set(rec)
+        else:
+            state["y"] = _recon_block(state["y"], d.qcoeff_y, y_md_mode,
+                                      d.r4 * 4, d.c4 * 4, n, tx,
+                                      d.tx_type,
+                                      qp_b, tr, bl, bd,
+                                      have_left=tile_left,
+                                      delta=d.angle_delta_y)
         ctx_tx = max_chroma_tx_size(d.bsize)
         cn = n >> 1
         uv_tx = _chroma_tx_type(d.uv_mode, ctx_tx)

@@ -53,6 +53,8 @@ class PresetFeatures:
                              # inter pass-A MD (per-sub MV, TX_8X8)
     tmvp: bool = False       # temporal MV prediction (spec 7.9
                              # projected motion field in the MV stacks)
+    palette: bool = False    # screen-content palette MD on key frames
+                             # (+ sequence SELECT screen content tools)
 
 
 def features_for(enc_mode: int) -> PresetFeatures:
