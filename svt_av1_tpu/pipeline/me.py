@@ -95,22 +95,40 @@ def hme_core(h, w, rad2, rad1, rad0):
         gh, gw = h // BLK, w // BLK
         by = jnp.arange(gh * gw) // gw
         bx = jnp.arange(gh * gw) % gw
-        sb_of_blk = (by // 4) * g4w + (bx // 4)
-        seed_y = my2[sb_of_blk] * 4
-        seed_x = mx2[sb_of_blk] * 4
-        # level 0: full-res refinement around the seed
+        # level 0: full-res per-16-block refinement around MULTIPLE
+        # superblock seeds — the block's own SB plus its 4 neighbor
+        # SBs.  A 64-SB straddling an object/background boundary locks
+        # its coarse MV to the majority motion; blocks carrying the
+        # minority content recover theirs from an adjacent SB's seed
+        # (the multi-predictor fullpel search role of
+        # motion_estimation.c open_loop_me_fullpel_search_sblock:781).
         blocks, _, _ = _block_grid(src, BLK)
-        base_y = by * BLK + seed_y
-        base_x = bx * BLK + seed_x
-        my0, mx0 = _search_level(blocks, ref, base_y, base_x, BLK, rad0)
-        mv_y = seed_y + my0
-        mv_x = seed_x + mx0
-        # final SSD at the chosen MV
-        wins = _gather_windows(ref, by * BLK + mv_y, bx * BLK + mv_x,
-                               BLK, 0)
-        ssd = jnp.sum((wins - blocks) ** 2, axis=(1, 2))
+        best_ssd = None
+        mv_y = mv_x = None
+        for dy, dx in ((0, 0), (0, -1), (0, 1), (-1, 0), (1, 0)):
+            sb_r = jnp.clip(by // 4 + dy, 0, g4h - 1)
+            sb_c = jnp.clip(bx // 4 + dx, 0, g4w - 1)
+            sb_i = sb_r * g4w + sb_c
+            seed_y = my2[sb_i] * 4
+            seed_x = mx2[sb_i] * 4
+            base_y = by * BLK + seed_y
+            base_x = bx * BLK + seed_x
+            my0, mx0 = _search_level(blocks, ref, base_y, base_x, BLK,
+                                     rad0)
+            cy = seed_y + my0
+            cx = seed_x + mx0
+            wins = _gather_windows(ref, by * BLK + cy, bx * BLK + cx,
+                                   BLK, 0)
+            ssd = jnp.sum((wins - blocks) ** 2, axis=(1, 2))
+            if best_ssd is None:
+                best_ssd, mv_y, mv_x = ssd, cy, cx
+            else:
+                take = ssd < best_ssd
+                best_ssd = jnp.where(take, ssd, best_ssd)
+                mv_y = jnp.where(take, cy, mv_y)
+                mv_x = jnp.where(take, cx, mv_x)
         return (mv_y.reshape(gh, gw), mv_x.reshape(gh, gw),
-                ssd.reshape(gh, gw))
+                best_ssd.reshape(gh, gw))
     return run
 
 
