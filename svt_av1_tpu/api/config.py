@@ -31,6 +31,7 @@ class EncoderConfig:
     pred_structure: int = 2           # random access
     # rate control
     rate_control_mode: int = 0        # 0=CQP/CRF, 1=VBR, 2=CBR
+    max_bit_rate: int = 0             # capped CRF: bits/s cap (0=off)
     qp: int = 35                      # quantizer / CRF
     target_bit_rate: int = 2_000_000
     max_qp_allowed: int = 63
@@ -98,6 +99,7 @@ _PARAM_MAP = {
     "qp": ("qp", int),
     "crf": ("qp", int),
     "rc": ("rate_control_mode", int),
+    "mbr": ("max_bit_rate", int),
     "tbr": ("target_bit_rate", int),
     "keyint": ("intra_period_length", int),
     "irefresh-type": ("intra_refresh_type", int),

@@ -1,10 +1,15 @@
 """Preset feature matrix: enc_mode (M0..M13) -> tool levels.
 
 The reference's enc_mode_config.c (8.8k LoC) maps presets to feature
-levels for every tool; this is our (round-1) analog controlling the
-mode-decision width and in-loop search effort.  Speed presets shrink
-the intra candidate set, the CDEF/LR search spaces, and the motion
-search, trading quality for throughput."""
+levels for every tool; this is our analog controlling mode-decision
+width and in-loop search effort.  Speed presets shrink the intra
+candidate set, the CDEF/LR search spaces, and the motion search,
+trading quality for throughput.
+
+Round-4 calibration: exact_rates measured -9% mean BD-rate (tools/
+bdrate.py A/B, BDRATE.md); hp_mv and rdoq measured BD-negative on the
+bdrate suite and stay dark.
+"""
 from __future__ import annotations
 
 import dataclasses
@@ -46,7 +51,8 @@ class PresetFeatures:
                                     # decisions; intra mode ranking may
                                     # prefer the biased curves)
     hp_mv: bool = False      # 1/8-pel MVs + subpel refinement ring
-                             # (allow_high_precision_mv)
+                             # (allow_high_precision_mv; measured
+                             # BD-negative on the bdrate suite)
     obmc: bool = False       # OBMC_CAUSAL motion mode (overlapped MC)
     interintra: bool = False  # inter-intra compound (smooth blend)
     part8: bool = False      # 8x8 partition-split alternative in the
@@ -57,27 +63,43 @@ class PresetFeatures:
                              # (+ sequence SELECT screen content tools)
 
 
+# Per-preset operating points (enc_mode_config.c role): a lookup key is
+# the smallest ladder entry >= enc_mode.  Columns most sensitive to
+# speed: intra candidate count, HME radii, CDEF/LR search width;
+# quality tools turn off top-down.
+_QUALITY_EXTRAS = dict(varpart=True, tx_search=True, angle_deltas=True,
+                       cfl=True, dlf_search=True, cdef_sb=True,
+                       filter_intra=True, obmc=True, interintra=True,
+                       exact_rates=True, part8=True, tmvp=True,
+                       palette=True)
+_LADDER = {
+    # m: (n_modes, rad2, rad0, ring, cdef_n, lr_step, extras)
+    0:  (11, 10, 7, True, 8, 1, _QUALITY_EXTRAS),
+    2:  (11, 8, 7, True, 8, 1, _QUALITY_EXTRAS),
+    4:  (10, 8, 6, True, 8, 2, _QUALITY_EXTRAS),
+    6:  (8, 8, 5, True, 6, 2, dict(tx_search=True, angle_deltas=True,
+                                   cfl=True, dlf_search=True,
+                                   obmc=True, interintra=True,
+                                   exact_rates=True, part8=True,
+                                   tmvp=True, palette=True)),
+    8:  (8, 8, 5, True, 6, 2, dict(tx_search=True, angle_deltas=True,
+                                   cfl=True, dlf_search=True,
+                                   obmc=True, interintra=True,
+                                   exact_rates=True, palette=True)),
+    10: (6, 6, 4, True, 4, 4, dict(exact_rates=True)),
+    11: (6, 6, 4, True, 4, 4, dict()),
+    12: (4, 4, 3, False, 3, 8, dict()),
+    13: (4, 4, 3, False, 2, 8, dict()),
+}
+
+
 def features_for(enc_mode: int) -> PresetFeatures:
     m = max(0, min(13, int(enc_mode)))
-    if m <= 4:        # quality presets
-        f = PresetFeatures(_ALL_MODES, 8, 7, True, 8,
-                           tuple(range(16)), 3, varpart=True,
-                           tx_search=True, angle_deltas=True,
-                           cfl=True, dlf_search=True, cdef_sb=True,
-                           filter_intra=True, obmc=True,
-                           interintra=True)
-    elif m <= 8:
-        f = PresetFeatures(_ALL_MODES[:8], 8, 5, True, 6,
-                           tuple(range(0, 16, 2)), 3, tx_search=True,
-                           angle_deltas=True, cfl=True,
-                           dlf_search=True, obmc=True,
-                           interintra=True)
-    elif m <= 11:
-        f = PresetFeatures(_ALL_MODES[:6], 6, 4, True, 4,
-                           (0, 4, 8, 12), 4)
-    else:
-        f = PresetFeatures(_ALL_MODES[:4], 4, 3, False, 3,
-                           (0, 8), 4)
+    key = min(k for k in _LADDER if k >= m)
+    nmod, rad2, rad0, ring, cdef_n, lr_step, extras = _LADDER[key]
+    f = PresetFeatures(_ALL_MODES[:nmod], rad2, rad0, ring, cdef_n,
+                       tuple(range(0, 16, lr_step)),
+                       3 if m <= 8 else 4, **extras)
     env = os.environ.get("SVT_TPU_FEAT")
     if env:
         # A/B hook (tools/bdrate.py): "adapted_rates=1,exact_rates=0"

@@ -28,6 +28,12 @@ class RateControlState:
     # CBR reacts faster and bounds the buffer harder
     gain: float = 0.04
     onepass: object = None     # rc_onepass.OnePassRC for modes 1/2
+    # capped CRF (reference max_bit_rate / capped_crf role): a virtual
+    # buffer at the cap drives a non-negative qindex offset on top of
+    # the CRF-planned qindex
+    cap_bits_per_frame: float = 0.0
+    cap_level: float = 0.0
+    cap_offset: int = 0
 
     @classmethod
     def create(cls, cfg, fps: float):
@@ -44,10 +50,17 @@ class RateControlState:
             from svt_av1_tpu.pipeline.rc_onepass import OnePassRC
             rc.onepass = OnePassRC.create(cfg, fps, cfg.source_width,
                                           cfg.source_height)
+        if mode == 0 and getattr(cfg, "max_bit_rate", 0) > 0:
+            rc.cap_bits_per_frame = cfg.max_bit_rate / max(fps, 1e-6)
         return rc
 
+    @property
+    def capped_crf(self) -> bool:
+        return self.mode == 0 and self.cap_bits_per_frame > 0
+
     def frame_qindex(self) -> int:
-        return int(np.clip(self.qindex, self.min_qindex, self.max_qindex))
+        return int(np.clip(self.qindex + self.cap_offset,
+                           self.min_qindex, self.max_qindex))
 
     def pick_q(self, is_key: bool = False, layer: int = 0,
                frame_offset: int = 1) -> int:
@@ -63,6 +76,14 @@ class RateControlState:
     def feedback(self, frame_bits: int, qindex: int, is_key: bool,
                  layer: int = 0, showable: bool = True):
         """Post-encode update (RC_PACKETIZATION_FEEDBACK role)."""
+        if self.capped_crf:
+            # virtual buffer at the cap; drains at the cap rate, never
+            # goes negative (undershoot is free under capped CRF)
+            self.cap_level = max(
+                0.0, self.cap_level + frame_bits
+                - self.cap_bits_per_frame)
+            over = self.cap_level / max(self.cap_bits_per_frame, 1.0)
+            self.cap_offset = int(np.clip(12.0 * over, 0, 96))
         if self.mode == 0:
             return
         if getattr(self, "two_pass_q", None) is not None:
@@ -250,21 +271,37 @@ def unpack_first_pass_stats(buf: bytes) -> np.ndarray:
 def plan_second_pass(stats: np.ndarray, target_bit_rate: float,
                      fps: float, min_q: int = 4, max_q: int = 255
                      ) -> np.ndarray:
-    """Per-frame qindex plan from first-pass complexity.
+    """Per-frame qindex plan from first-pass complexity with two-level
+    (sequence -> kf-group -> frame) bit allocation.
 
-    Bit allocation proportional to first-pass bits (complexity proxy),
-    inverted through the R ~ 1/qstep model around the first-pass
-    operating point (the pass2_strategy.c group-allocation analog,
-    flattened to per-frame for the round-1 IPPP structure)."""
+    Structure mirrors pass2_strategy.c: the sequence budget is split
+    across keyframe groups in proportion to each group's first-pass
+    complexity (get_kf_group_bits :719 role); within a group the key
+    frame receives a boost share (kf boost role) and the remaining
+    frames split the rest proportionally; targets invert through the
+    R ~ 1/qstep model around the first-pass operating point."""
     from svt_av1_tpu.ops.quant import ac_q
     n = len(stats)
     total_budget = target_bit_rate / max(fps, 1e-6) * n
     bits1 = np.maximum(stats[:, 0], 1.0)
     q1 = stats[:, 1].astype(np.int32)
-    # proportional allocation with a mild flattening exponent (avoids
-    # starving easy frames entirely)
-    share = bits1 ** 0.75
-    target = total_budget * share / share.sum()
+    is_key = stats[:, 2] > 0.5 if stats.shape[1] > 2 \
+        else np.zeros(n, bool)
+    # keyframe-group boundaries (group 0 starts at frame 0 even if the
+    # stats begin mid-stream)
+    starts = [0] + [i for i in range(1, n) if is_key[i]]
+    bounds = list(zip(starts, starts[1:] + [n]))
+    # sequence -> group: proportional to flattened complexity share
+    gshare = np.array([np.sum(bits1[a:b] ** 0.75) for a, b in bounds])
+    gbits = total_budget * gshare / gshare.sum()
+    KF_BOOST = 2.0   # key frames earn ~2x their proportional share
+    target = np.zeros(n, np.float64)
+    for (a, b), gb in zip(bounds, gbits):
+        share = bits1[a:b] ** 0.75
+        if is_key[a] or a == 0:
+            share = share.copy()
+            share[0] *= KF_BOOST
+        target[a:b] = gb * share / share.sum()
     qsteps1 = np.array([ac_q(int(q), bd=8) for q in q1], np.float64)
     # R ~ c / qstep  =>  qstep2 = qstep1 * bits1 / target
     qstep2 = qsteps1 * bits1 / np.maximum(target, 1.0)

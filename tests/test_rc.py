@@ -109,3 +109,42 @@ def test_compute_qindex_by_rate_ratio():
     q = compute_qindex_by_rate_ratio(base, 2.0, False)
     assert q < base
     assert bits_per_mb(False, q) >= 1.9 * bits_per_mb(False, base)
+
+
+def test_capped_crf_bounds_rate():
+    """Capped CRF (max_bit_rate, reference capped-CRF role): the cap's
+    virtual buffer raises qindex until the average rate obeys the cap,
+    while plain CRF at the same qp spends freely."""
+    import numpy as np
+
+    from svt_av1_tpu.api.config import EncoderConfig
+    from svt_av1_tpu.api.encoder import Encoder
+
+    rng = np.random.default_rng(3)
+    frames = []
+    for t in range(12):
+        y = rng.integers(0, 255, (64, 64)).astype(np.uint8)  # incompressible
+        u = np.full((32, 32), 120, np.uint8)
+        frames.append((y, u, u.copy()))
+
+    def total_bits(mbr):
+        cfg = EncoderConfig(source_width=64, source_height=64, qp=20,
+                            enc_mode=12, intra_period_length=-1,
+                            max_bit_rate=mbr)
+        enc = Encoder(cfg)
+        bits = 0
+        for i, (y, u, v) in enumerate(frames):
+            enc.send_picture(y, u, v, eos=(i == len(frames) - 1))
+            p = enc.get_packet()
+            if p is not None:
+                bits += len(p.data) * 8
+        while True:
+            p = enc.get_packet()
+            if p is None:
+                break
+            bits += len(p.data) * 8
+        return bits
+
+    free = total_bits(0)
+    capped = total_bits(60000)   # 60 kbit/s at 30 fps = 2000 bits/frame
+    assert capped < 0.7 * free, (free, capped)
