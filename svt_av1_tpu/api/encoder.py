@@ -228,6 +228,7 @@ class Encoder:
             self._h_anchor = None     # display poc of last coded anchor
             self._h_anchor_src = None  # anchor's padded source luma (TPL)
             self._h_cuts = set()      # scene-cut pocs
+            self._h_activity = {}     # poc -> mean AHD (dynamic GoP)
             self._dpb: Dict[int, int] = {}       # stored poc -> slot
             self._slot_free = set(range(8))
             self._slot_recon: Dict[int, Dict] = {}
@@ -301,6 +302,7 @@ class Encoder:
             self._detect_scene_cut(y)
             if self._scene_cut:
                 self._h_cuts.add(self._h_next_in)
+            self._h_activity[self._h_next_in] = self._last_ahd
             self._h_frames[self._h_next_in] = (
                 np.asarray(y), np.asarray(u), np.asarray(v))
             self._h_next_in += 1
@@ -371,12 +373,22 @@ class Encoder:
             avail = 0
             while p0 + avail in self._h_frames:
                 avail += 1
+            # dynamic mini-GoP sizing (pd_process.c:639-860 role):
+            # high-activity windows (histogram AHD above half the
+            # scene threshold) halve the pyramid so deep B layers do
+            # not span unstable content
+            N_eff = N
+            if N >= 4:
+                win = [self._h_activity.get(p0 + i, 0.0)
+                       for i in range(min(N, max(avail, 1)))]
+                if win and max(win) > 0.5 * self._SCENE_TH:
+                    N_eff = N // 2
             n = 0
-            while n < min(N, avail):
+            while n < min(N_eff, avail):
                 if self._is_key_poc(p0 + n):
                     break
                 n += 1
-            if (n < N and n == avail and not flush
+            if (n < N_eff and n == avail and not flush
                     and not self._is_key_poc(p0 + n)):
                 return  # mini-GoP may still grow
             self._encode_minigop(p0, n)
@@ -1193,6 +1205,7 @@ class Encoder:
         hist /= npix[:, None]
         means = (np.bincount(flat_id, weights=yy.reshape(-1),
                              minlength=R * C) / npix)
+        self._last_ahd = 0.0
         if self._prev_hist is None:
             self._scene_cut = False
             self._ahd_running = None
@@ -1210,6 +1223,7 @@ class Encoder:
                 (3.0 * self._ahd_running + ahd) / 4.0)
             vote_th = (R * C + 1) // 2
             self._scene_cut = int(scene.sum()) >= vote_th
+            self._last_ahd = float(ahd.mean())
             if int(abrupt.sum()) >= vote_th:
                 self._ahd_running = ahd.copy()
         self._prev_hist = (hist, means)

@@ -238,3 +238,41 @@ def test_hier_fast_hp_mv_roundtrip(monkeypatch):
         for pl in ("y", "u", "v"):
             assert np.array_equal(rec[pl], p.recon[pl]), (i, pl)
     assert odd > 0, "expected odd (1/8-pel) MVs on subpel motion"
+
+
+def test_dynamic_minigop_shrinks_on_activity():
+    """High-activity content (strong per-frame histogram change below
+    the scene-cut threshold) halves the mini-GoP pyramid
+    (pd_process.c dynamic GoP role) and the stream still decodes."""
+    rng = np.random.default_rng(11)
+    h = w = 64
+    frames = []
+    base = rng.integers(30, 220, (h, w)).astype(np.uint8)
+    for t in range(9):
+        # strong flicker: big AHD but stable mean (not a scene cut)
+        y = np.clip(base.astype(np.int32)
+                    + (40 if t % 2 else -40), 0, 255).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 100, np.uint8)
+        frames.append((y, u, u.copy()))
+    cfg = EncoderConfig(source_width=w, source_height=h, qp=40,
+                        intra_period_length=31, hierarchical_levels=2,
+                        enc_mode=10, enable_tf=0)
+    enc = Encoder(cfg)
+    for i, (y, u, v) in enumerate(frames):
+        enc.send_picture(y, u, v, eos=(i == len(frames) - 1))
+    pkts = []
+    while True:
+        p = enc.get_packet()
+        if p is None:
+            break
+        pkts.append(p)
+    disp = [p for p in pkts if p.displayed]
+    assert [p.pts for p in disp] == list(range(9))
+    dec = Decoder()
+    decoded = []
+    for p in pkts:
+        decoded.extend(dec.decode_temporal_unit(p.data))
+    assert len(decoded) == 9
+    for i, (p, rec) in enumerate(zip(disp, decoded)):
+        for pl in ("y", "u", "v"):
+            assert np.array_equal(rec[pl], p.recon[pl]), (i, pl)
