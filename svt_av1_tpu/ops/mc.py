@@ -43,12 +43,17 @@ def clamp_mv_for_pad(mv, y: int, x: int, blk: int, h: int, w: int,
 def clamp_mvs_for_pad(mvs: np.ndarray, ys: np.ndarray, xs: np.ndarray,
                       blk: int, h: int, w: int,
                       pad: int = PAD) -> np.ndarray:
-    """Vectorized clamp_mv_for_pad: mvs (..., 2) against ys/xs blocks."""
+    """Vectorized clamp_mv_for_pad: mvs (..., 2) against ys/xs blocks.
+
+    Margin 8 (not 4): at the bound, the chroma half-resolution gather
+    window (full-pel offset mv>>4 plus the 8-tap reach of -3..+4)
+    lands exactly one row past a pad of pad/2 with a 4-px margin —
+    hit by far HME seeds at frame edges."""
     mvs = np.asarray(mvs, np.int64)
-    r = np.clip(mvs[..., 0], (-(ys + pad - 4)) * 8,
-                (h + pad - 4 - (ys + blk)) * 8)
-    c = np.clip(mvs[..., 1], (-(xs + pad - 4)) * 8,
-                (w + pad - 4 - (xs + blk)) * 8)
+    r = np.clip(mvs[..., 0], (-(ys + pad - 8)) * 8,
+                (h + pad - 8 - (ys + blk)) * 8)
+    c = np.clip(mvs[..., 1], (-(xs + pad - 8)) * 8,
+                (w + pad - 8 - (xs + blk)) * 8)
     return np.stack([r & ~1, c & ~1], axis=-1).astype(np.int32)
 
 
