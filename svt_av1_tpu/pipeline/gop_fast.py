@@ -161,7 +161,17 @@ def _gm_fit(mv_y, mv_x, gh, gw):
     thr = jnp.maximum(1.5, jnp.median(r0) * 2.0)
     keep = (r0 <= thr).astype(jnp.float32)
     enough = keep.sum() >= 8
-    a, b, tx, ty, _ = fit(jnp.where(enough, keep, ones))
+    keep = jnp.where(enough, keep, ones)
+    # second trimmed round (the RANSAC-consensus role of
+    # global_motion.c:363/ransac.c, as iterated reweighting): refit on
+    # the inliers, re-trim against the inlier residual median — local
+    # objects with independent motion drop out of the model entirely
+    a1, b1, tx1, ty1, r1 = fit(keep)
+    med1 = jnp.nanmedian(jnp.where(keep > 0, r1, jnp.nan))
+    thr2 = jnp.maximum(1.0, med1 * 2.0)
+    keep2 = keep * (r1 <= thr2).astype(jnp.float32)
+    enough2 = keep2.sum() >= 8
+    a, b, tx, ty, _ = fit(jnp.where(enough2, keep2, keep))
     # quantize to coded grids (inter_encoder.estimate_global_rotzoom)
     mat2 = jnp.clip((jnp.round((1.0 + a) * WM / 2) * 2).astype(jnp.int32),
                     WM - 8190, WM + 8190)
