@@ -846,6 +846,7 @@ class Encoder:
                        and self.sp.enable_order_hint) else None)
         fp.skip_mode_present = sm_pair is not None
         fp.use_ref_frame_mvs = bool(self.sp.enable_ref_frame_mvs
+                                    and self.sp.enable_order_hint
                                     and not fp.error_resilient_mode)
         tenc = TileEncoder(self.sr_w, self.sp.height, qindex,
                            reduced_tx_set=fp.reduced_tx_set,

@@ -805,6 +805,7 @@ def read_sequence_header(payload: bytes) -> SequenceParams:
     masked_compound = 0
     interintra = 0
     ref_frame_mvs = 0
+    force_sct = 0
     if not reduced:
         interintra = r.f(1)
         masked_compound = r.f(1)

@@ -97,6 +97,9 @@ class OnePassRC:
     rc_2_frame: int = 0
     frames_since_key: int = 0
     frames_updated: int = 0
+    max_layer_seen: int = 0    # deepest layer observed (dynamic
+                               # mini-GoP sizing can shrink the pyramid
+                               # below cfg.hierarchical_levels)
     last_base_q: int = 255     # newest base-layer (arf-role) qindex
     last_q_layer: dict = dataclasses.field(default_factory=dict)
     vbr_bits_off: float = 0.0  # VBR cumulative (target - actual)
@@ -148,10 +151,12 @@ class OnePassRC:
                 target += target * pct / 200.0
         else:
             # reactive VBR: spend accumulated savings / recover debt
-            # smoothly over ~2 seconds (the one-pass VBR role without
-            # first-pass stats)
-            corr = self.vbr_bits_off / max(2 * self.fps, 1.0)
-            target += float(np.clip(corr, -0.5 * target, 0.5 * target))
+            # smoothly over ~1 second (the one-pass VBR role without
+            # first-pass stats); debt recovery may cut a frame's
+            # target to a quarter so keyframe boosts amortize inside
+            # the clip rather than spilling past its end
+            corr = self.vbr_bits_off / max(self.fps, 1.0)
+            target += float(np.clip(corr, -0.75 * target, 0.5 * target))
         return max(target,
                    max(self.avg_frame_bandwidth / 16,
                        FRAME_OVERHEAD_BITS))
@@ -285,10 +290,12 @@ class OnePassRC:
             rcf = max(rcf * correction / 100.0, MIN_BPB_FACTOR)
         self.rcf[cls_] = rcf
 
+        self.max_layer_seen = max(self.max_layer_seen, layer)
+        leaf_layer = min(self.hier, self.max_layer_seen)
         if is_key:
             self.avg_q_key = (3 * self.avg_q_key + qindex) / 4
             self.frames_since_key = 0
-        elif self.hier == 0 or layer >= self.hier:
+        elif self.hier == 0 or layer >= leaf_layer:
             # ambient tracks leaf / normal (LF_UPDATE) frames only —
             # GF/ARF/internal-ARF q's are boosted and excluded
             # (rc_process.c:2455-2461); leaf q rides active_worst, so

@@ -34,10 +34,20 @@ def _smooth(a):
              + a[2:, 2:]) / 9)
 
 
-def test_obmc_e2e_roundtrip():
+def test_obmc_e2e_roundtrip(monkeypatch):
     """Non-affine motion (sinusoidal row displacement) gives adjacent
     block rows different MVs; OBMC wins on the seams, the motion_mode
-    flag codes, and encoder recon == decoder recon bit-exactly."""
+    flag codes, and encoder recon == decoder recon bit-exactly.
+    part8 is pinned off: 8x8 splits out-RD OBMC on exactly this seam
+    content (they model the per-row motion directly), and this test
+    exercises the OBMC machinery."""
+    import dataclasses
+
+    from svt_av1_tpu.pipeline import presets as presets_mod
+    orig = presets_mod.features_for
+    monkeypatch.setattr(
+        presets_mod, "features_for",
+        lambda m: dataclasses.replace(orig(m), part8=False))
     rng = np.random.default_rng(11)
     h = w = 64
     tex = _smooth(rng.integers(0, 255, (h, w + 48)).astype(np.float32))

@@ -109,10 +109,12 @@ def test_onepass_gop_holds_target(mode):
     target = 120_000
     n = 120
     frames = _moving_clip(n, w, h)
+    # enc_mode 10: the RC contract is what's tested — a slimmer MD
+    # decouples the rate assertion from quality-preset tool churn
     cfg = EncoderConfig(source_width=w, source_height=h, qp=40,
                         rate_control_mode=mode, target_bit_rate=target,
                         intra_period_length=31, hierarchical_levels=2,
-                        enc_mode=6, enable_tf=0,
+                        enc_mode=10, enable_tf=0,
                         frame_rate_numerator=30)
     pkts = _encode_collect(cfg, frames)
     shown = sum(1 for p in pkts if getattr(p, "displayed", True))
