@@ -315,6 +315,16 @@ class Encoder:
         if eos:
             self._eos_sent = True
 
+    def flush(self):
+        """Signal EOS without a new picture — the reference's
+        ``svt_av1_enc_send_picture`` with ``p_buffer == NULL`` and the
+        EOS flag set (the pattern ffmpeg's libsvtav1 wrapper uses)."""
+        if self._hier:
+            self._drain_hier(flush=True)
+        else:
+            self._drain(flush=True)
+        self._eos_sent = True
+
     def _tf_active(self) -> bool:
         return (self.cfg.enable_tf > 0
                 and self.cfg.intra_period_length not in (-2, 0))
@@ -395,13 +405,16 @@ class Encoder:
             self._h_sched = p0 + n
 
     def _encode_key_job(self, poc: int):
+        from svt_av1_tpu.utils.profiling import stage
         y, u, v = self._h_frames.pop(poc)
         if self._tf_active():
             from svt_av1_tpu.pipeline import tf_stage
             neighbors = [self._h_frames[p] for p in (poc + 1, poc + 2)
                          if p in self._h_frames]
             if neighbors:
-                y, u, v = tf_stage.mctf_filter_frame((y, u, v), neighbors)
+                with stage("key_tf"):
+                    y, u, v = tf_stage.mctf_filter_frame((y, u, v),
+                                                         neighbors)
         y, u, v = self._pad(y, u, v)
         qindex = self._base_q_for(poc)
         qmap = None
@@ -417,7 +430,8 @@ class Encoder:
             deps = [None] + [[i - 1] for i in range(1, len(chain))]
             if self._fast:
                 from svt_av1_tpu.pipeline import gop_fast
-                stats = gop_fast.tpl_group_stats(chain, deps)
+                with stage("key_tpl"):
+                    stats = gop_fast.tpl_group_stats(chain, deps)
             else:
                 stats = [tpl.tpl_frame_stats(chain[0], None)]
                 for i in range(1, len(chain)):
@@ -440,14 +454,16 @@ class Encoder:
             pal_cands = intra_encoder.palette_md_candidates(
                 y, qindex, bd=self.cfg.encoder_bit_depth)
         self._frame_allow_sct = pal_cands is not None
-        decisions, recon = intra_encoder.encode_intra_frame(
-            y, u, v, qindex, modes=self._md_modes,
-            bd=self.cfg.encoder_bit_depth, qmap=qmap,
-            rdoq=self._feat.rdoq, tx_search=self._feat.tx_search,
-            angle_deltas=self._feat.angle_deltas, cfl=self._feat.cfl,
-            exact_rates=(self._feat.exact_rates
-                         and self._feat.exact_rates_intra),
-            palette_cands=pal_cands)
+        with stage("key_intra_md"):
+            decisions, recon = intra_encoder.encode_intra_frame(
+                y, u, v, qindex, modes=self._md_modes,
+                bd=self.cfg.encoder_bit_depth, qmap=qmap,
+                rdoq=self._feat.rdoq, tx_search=self._feat.tx_search,
+                angle_deltas=self._feat.angle_deltas,
+                cfl=self._feat.cfl,
+                exact_rates=(self._feat.exact_rates
+                             and self._feat.exact_rates_intra),
+                palette_cands=pal_cands)
         prefilt = None
         dlf_wants = bool(self.cfg.enable_dlf_flag)
         if (self._fast and (dlf_wants or self.sp.enable_cdef)
@@ -456,16 +472,20 @@ class Encoder:
             from svt_av1_tpu.pipeline.cdef_stage import SEARCH_SET
             skip16 = _skip_map(decisions, self.coded_h // 16,
                                self.sr_w // 16)
+            _key_filters_stage = stage("key_filters")
+            _key_filters_stage.__enter__()
             prefilt = gop_fast.run_key_filters(
                 dict(y=y, u=u, v=v), recon, skip16, qindex,
                 bd=self.cfg.encoder_bit_depth,
                 cdef_cands=SEARCH_SET[:self._feat.cdef_candidates],
                 dlf_on=dlf_wants, cdef_on=self.sp.enable_cdef,
                 max_bits=3 if self._feat.cdef_sb else 0)
-        pkt, full, tenc = self._packetize(
-            decisions, recon, qindex, poc, is_key=True,
-            src=dict(y=y, u=u, v=v), chain=None, return_state=True,
-            delta_q=qmap is not None, prefilt=prefilt)
+            _key_filters_stage.__exit__(None, None, None)
+        with stage("key_packetize"):
+            pkt, full, tenc = self._packetize(
+                decisions, recon, qindex, poc, is_key=True,
+                src=dict(y=y, u=u, v=v), chain=None, return_state=True,
+                delta_q=qmap is not None, prefilt=prefilt)
         self._h_anchor_src = y
         # key refresh (0xFF): our map keeps the key in slot 0 only
         self._dpb = {poc: 0}
@@ -517,8 +537,11 @@ class Encoder:
                                end_poc + 2)
                      if p in self._h_frames and not self._is_key_poc(p)]
             if neigh:
-                self._h_frames[end_poc] = tf_stage.mctf_filter_frame(
-                    self._h_frames[end_poc], neigh[:3])
+                from svt_av1_tpu.utils.profiling import stage
+                with stage("gop_tf"):
+                    self._h_frames[end_poc] = \
+                        tf_stage.mctf_filter_frame(
+                            self._h_frames[end_poc], neigh[:3])
         last_use: Dict[int, int] = {}
         for i, ev in enumerate(events):
             if isinstance(ev, gop.CodeEvent):
@@ -561,18 +584,21 @@ class Encoder:
                 order.append(p)
                 deps.append([idx_of[tail]])
                 tail = p
+            from svt_av1_tpu.utils.profiling import stage
             if self._fast:
                 # whole-group dispenser: ONE device program + pull
                 from svt_av1_tpu.pipeline import gop_fast
-                stats = gop_fast.tpl_group_stats(
-                    [src_of[p] for p in order], deps)
+                with stage("gop_tpl"):
+                    stats = gop_fast.tpl_group_stats(
+                        [src_of[p] for p in order], deps)
             else:
                 stats = []
                 for i, p in enumerate(order):
                     refs = (None if deps[i] is None
                             else [src_of[order[j]] for j in deps[i]])
                     stats.append(tpl.tpl_frame_stats(src_of[p], refs))
-            mc_dep = tpl.synthesize(stats, deps)
+            with stage("gop_tpl_synth"):
+                mc_dep = tpl.synthesize(stats, deps)
             tpl_r0 = {p: tpl.r0_of(stats[i], mc_dep[i])
                       for i, p in enumerate(order)}
             self._h_anchor_src = src_of[end_poc]
@@ -702,6 +728,11 @@ class Encoder:
         programs (pipeline/gop_fast.py) and register the frame's device
         recon futures as its DPB slot — NO host pull happens here, so a
         whole mini-GoP of dispatches queues back-to-back."""
+        from svt_av1_tpu.utils.profiling import stage
+        with stage("dispatch_inter"):
+            return self._dispatch_inter_fast_inner(ev, qindex)
+
+    def _dispatch_inter_fast_inner(self, ev, qindex: int):
         from svt_av1_tpu.codec import mv_pred
         from svt_av1_tpu.pipeline import gop_fast
         from svt_av1_tpu.pipeline.cdef_stage import SEARCH_SET
@@ -874,18 +905,20 @@ class Encoder:
         if fp.use_ref_frame_mvs:
             slot_fields = {e: self._slot_mvfield.get(idx[e - 1])
                            for e in range(1, 8)}
-            tenc.tmvp = mv_pred.setup_motion_field(
-                slot_fields, hint_map, fp.order_hint,
-                self.sp.order_hint_bits, tenc.mi_rows, tenc.mi_cols,
-                fp.allow_high_precision_mv)
+            with stage("tmvp_setup"):
+                tenc.tmvp = mv_pred.setup_motion_field(
+                    slot_fields, hint_map, fp.order_hint,
+                    self.sp.order_hint_bits, tenc.mi_rows,
+                    tenc.mi_cols, fp.allow_high_precision_mv)
         with stage("host_ec"):
             tile_data = tenc.encode(decisions)
         if ev.store and self.sp.enable_ref_frame_mvs:
             side = mv_pred.ref_frame_side(hint_map, fp.order_hint,
                                           self.sp.order_hint_bits)
-            self._slot_mvfield[slot] = mv_pred.save_motion_field(
-                decisions, tenc.mi_rows, tenc.mi_cols, side,
-                fp.ref_hints, fp.order_hint, is_intra=False)
+            with stage("save_mvfield"):
+                self._slot_mvfield[slot] = mv_pred.save_motion_field(
+                    decisions, tenc.mi_rows, tenc.mi_cols, side,
+                    fp.ref_hints, fp.order_hint, is_intra=False)
         tu = obu.temporal_delimiter()
         if not self._seq_hdr_sent:
             tu += obu.write_sequence_header(self.sp)

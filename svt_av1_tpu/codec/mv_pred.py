@@ -680,8 +680,10 @@ def _project_one(mfmv, ref_off, field: FrameMotionField, start_hint,
                 continue
             fwd = (int(field.mvs[br, bc, 0]), int(field.mvs[br, bc, 1]))
             pr, pc = get_mv_projection(fwd, start_to_cur, rfo)
-            ro = (pr >> 7) if pr >= 0 else -((-pr) >> 7)
-            co = (pc >> 7) if pc >= 0 else -((-pc) >> 7)
+            # 1/8-pel -> 8x8-block units: >> (4 + MI_SIZE_LOG2) == 6
+            # (md_config_process.c:361 get_block_position)
+            ro = (pr >> 6) if pr >= 0 else -((-pr) >> 6)
+            co = (pc >> 6) if pc >= 0 else -((-pc) >> 6)
             row = br - ro if sign_bias == 1 else br + ro
             col = bc - co if sign_bias == 1 else bc + co
             if row < 0 or row >= r8 or col < 0 or col >= c8:

@@ -490,8 +490,10 @@ def write_frame_header_bits(w: BitWriter, sp: SequenceParams,
         w.f(fp.render_width - 1, 16)
         w.f(fp.render_height - 1, 16)
     if is_intra:
-        if fp.allow_screen_content_tools:
-            w.f(0, 1)  # allow_intrabc (UpscaledWidth == FrameWidth)
+        # spec 5.9.11: allow_intrabc is only coded when
+        # UpscaledWidth == FrameWidth (i.e. no superres scaling)
+        if fp.allow_screen_content_tools and fp.superres_denom == 8:
+            w.f(0, 1)  # allow_intrabc
     else:
         # force_integer_mv == 0 (screen content off at sequence level)
         w.f(int(fp.allow_high_precision_mv), 1)
@@ -927,8 +929,8 @@ def read_frame_header(r: BitReader, sp: SequenceParams,
         fp.render_width = r.f(16) + 1
         fp.render_height = r.f(16) + 1
     if is_intra:
-        if fp.allow_screen_content_tools:
-            assert r.f(1) == 0  # allow_intrabc
+        if fp.allow_screen_content_tools and fp.superres_denom == 8:
+            assert r.f(1) == 0  # allow_intrabc (spec 5.9.11)
     else:
         fp.allow_high_precision_mv = bool(r.f(1))
         assert r.f(1) == 0  # is_filter_switchable

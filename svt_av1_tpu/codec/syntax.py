@@ -781,11 +781,19 @@ class TileCoderBase:
                 and int(cc.block_size_high[bsize]) <= 32)
 
     # ---- palette (spec 5.11.46-49) ----
-    def _palette_allowed(self, bsize, is_inter, y_mode) -> bool:
+    def _palette_block_allowed(self, bsize, is_inter) -> bool:
+        """palette_mode_info gate WITHOUT the luma-mode condition
+        (spec 5.11.46 / entropy_coding.c:4272): inside the block gate,
+        the y bit is coded only for y_mode==DC_PRED but the uv bit is
+        coded for ANY intra luma mode when uv_mode==DC_PRED."""
         return (self.allow_palette and self.frame_is_intra
-                and not is_inter and y_mode == cc.DC_PRED
+                and not is_inter
                 and 8 <= int(cc.block_size_wide[bsize]) <= 64
                 and 8 <= int(cc.block_size_high[bsize]) <= 64)
+
+    def _palette_allowed(self, bsize, is_inter, y_mode) -> bool:
+        return (self._palette_block_allowed(bsize, is_inter)
+                and y_mode == cc.DC_PRED)
 
     def _palette_cache(self, r4, c4):
         from svt_av1_tpu.codec import palette as pal
@@ -1185,15 +1193,16 @@ class TileEncoder(TileCoderBase):
             self._encode_angle(d.uv_mode, d.angle_delta_uv)
 
         pal_n = 0
-        if self._palette_allowed(bsize, is_inter, d.y_mode):
+        if self._palette_block_allowed(bsize, is_inter):
             from svt_av1_tpu.codec import palette as pal
-            pal_n = 0 if d.palette is None else len(d.palette)
             bctx = pal.bsize_ctx(bsize)
-            mctx = self._palette_mode_ctx(r4, c4)
-            mcdf = cdfs.palette_y_mode[bctx][mctx]
-            enc.encode_symbol(int(pal_n > 0), mcdf, 2)
-            if self.update:
-                update_cdf(mcdf, int(pal_n > 0), 2)
+            if d.y_mode == cc.DC_PRED:
+                pal_n = 0 if d.palette is None else len(d.palette)
+                mctx = self._palette_mode_ctx(r4, c4)
+                mcdf = cdfs.palette_y_mode[bctx][mctx]
+                enc.encode_symbol(int(pal_n > 0), mcdf, 2)
+                if self.update:
+                    update_cdf(mcdf, int(pal_n > 0), 2)
             if pal_n:
                 scdf = cdfs.palette_y_size[bctx]
                 enc.encode_symbol(pal_n - pal.PALETTE_MIN_SIZE, scdf,
@@ -1626,14 +1635,16 @@ class TileDecoder(TileCoderBase):
 
         pal_n = 0
         pal_colors = None
-        if self._palette_allowed(bsize, is_inter, y_mode):
+        if self._palette_block_allowed(bsize, is_inter):
             from svt_av1_tpu.codec import palette as pal
             bctx = pal.bsize_ctx(bsize)
-            mctx = self._palette_mode_ctx(r4, c4)
-            mcdf2 = cdfs.palette_y_mode[bctx][mctx]
-            has_pal = dec.read_symbol(mcdf2, 2)
-            if self.update:
-                update_cdf(mcdf2, has_pal, 2)
+            has_pal = 0
+            if y_mode == cc.DC_PRED:
+                mctx = self._palette_mode_ctx(r4, c4)
+                mcdf2 = cdfs.palette_y_mode[bctx][mctx]
+                has_pal = dec.read_symbol(mcdf2, 2)
+                if self.update:
+                    update_cdf(mcdf2, has_pal, 2)
             if has_pal:
                 scdf = cdfs.palette_y_size[bctx]
                 pal_n = dec.read_symbol(scdf, pal.PALETTE_SIZES) \

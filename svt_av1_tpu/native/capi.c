@@ -47,8 +47,15 @@ typedef struct {
     PyObject *encoder;         /* svt_av1_tpu.api.encoder.Encoder */
     EbSvtAv1EncConfigurationTpu cfg;
     uint64_t pts_in;
-    PyObject *last_packet;     /* bytes kept alive for p_buffer */
 } EbComponentTypeTpu;
+
+/* each returned packet owns a reference to its Python bytes object;
+ * svt_av1_enc_release_out_buffer drops it (reference semantics: every
+ * buffer stays valid until explicitly released) */
+typedef struct {
+    EbBufferHeaderTypeTpu hdr;  /* must be first: caller sees &hdr */
+    PyObject *owner;
+} PacketWrapTpu;
 
 static int ensure_python(void) {
     if (!Py_IsInitialized()) {
@@ -174,6 +181,10 @@ EbErrorType svt_av1_enc_send_picture(EbComponentTypeTpu *h,
         Py_XDECREF(ybytes); Py_XDECREF(ubytes); Py_XDECREF(vbytes);
         Py_XDECREF(frombuf); Py_XDECREF(np);
         h->pts_in++;
+    } else if (eos) {
+        /* NULL-picture EOS (the standard flush pattern): drain the
+         * pipeline so get_packet returns the tail frames */
+        res = PyObject_CallMethod(h->encoder, "flush", NULL);
     }
     if (PyErr_Occurred()) {
         PyErr_Print();
@@ -200,14 +211,13 @@ EbErrorType svt_av1_enc_get_packet(EbComponentTypeTpu *h,
         PyObject *data = PyObject_GetAttrString(pkt, "data");
         PyObject *pts = PyObject_GetAttrString(pkt, "pts");
         if (data && PyBytes_Check(data)) {
-            EbBufferHeaderTypeTpu *b = calloc(1, sizeof(*b));
-            b->p_buffer = (uint8_t *)PyBytes_AsString(data);
-            b->n_filled_len = (uint32_t)PyBytes_Size(data);
-            b->pts = pts ? (uint64_t)PyLong_AsLongLong(pts) : 0;
-            Py_XDECREF(h->last_packet);
+            PacketWrapTpu *b = calloc(1, sizeof(*b));
+            b->hdr.p_buffer = (uint8_t *)PyBytes_AsString(data);
+            b->hdr.n_filled_len = (uint32_t)PyBytes_Size(data);
+            b->hdr.pts = pts ? (uint64_t)PyLong_AsLongLong(pts) : 0;
             Py_INCREF(data);
-            h->last_packet = data;  /* keeps p_buffer alive */
-            *out = b;
+            b->owner = data;  /* keeps p_buffer alive until release */
+            *out = &b->hdr;
         }
         Py_XDECREF(data);
         Py_XDECREF(pts);
@@ -223,7 +233,13 @@ EbErrorType svt_av1_enc_get_packet(EbComponentTypeTpu *h,
 
 EbErrorType svt_av1_enc_release_out_buffer(EbBufferHeaderTypeTpu **b) {
     if (b && *b) {
-        free(*b);
+        PacketWrapTpu *w = (PacketWrapTpu *)*b;
+        if (w->owner) {
+            PyGILState_STATE g = PyGILState_Ensure();
+            Py_CLEAR(w->owner);
+            PyGILState_Release(g);
+        }
+        free(w);
         *b = NULL;
     }
     return EB_ErrorNone;
@@ -234,7 +250,6 @@ EbErrorType svt_av1_enc_deinit(EbComponentTypeTpu *h) {
         return EB_ErrorBadParameter;
     if (h->encoder) {
         PyGILState_STATE g = PyGILState_Ensure();
-        Py_CLEAR(h->last_packet);
         Py_CLEAR(h->encoder);
         PyGILState_Release(g);
     }

@@ -999,6 +999,7 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
         ob_acc = jnp.zeros((nw, maxb), bool)
         ii_acc = jnp.full((nw, maxb), -1, jnp.int32)
         obs_acc = jnp.zeros((nw, maxb), bool)
+        txo_acc = jnp.zeros((nw, maxb), jnp.int32)
         qyo_acc = jnp.zeros((nw, maxb, BLK, BLK), jnp.int16)
         quo_acc = jnp.zeros((nw, maxb, CBLK, CBLK), jnp.int16)
         qvo_acc = jnp.zeros((nw, maxb, CBLK, CBLK), jnp.int16)
@@ -1019,14 +1020,41 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
                 out = jnp.where((ridx == r)[:, None, None], pr, out)
             return out
 
+        alt_tx_set = ITX_SEARCH_SET if tx_search else ()
+
         def _rd_joint(pred, pred_u, pred_v, mvb, ys_, xs_):
             """Joint luma+chroma RD of an alternative inter prediction
-            (mirrors the _eval_ref cost structure).  Returns
-            (tot, skip, cost_y, rec_y, qy, rec_u, qu, rec_v, qv)."""
+            (mirrors the _eval_ref cost structure, INCLUDING the luma
+            tx-type search when the preset enables it — motion-mode
+            alternatives must pass the same tx funnel as the pass-A
+            winner or they are systematically out-RD'd).  Returns
+            (tot, skip, cost_y, rec_y, qy, rec_u, qu, rec_v, qv, txi)."""
             offs_ = jnp.arange(BLK)
             rws = ys_[:, None, None] + offs_[None, :, None]
             cls_ = xs_[:, None, None] + offs_[None, None, :]
             resid = src_y[rws, cls_] - pred
+            offc_ = jnp.arange(CBLK)
+            crws = (ys_ // 2)[:, None, None] + offc_[None, :, None]
+            ccls = (xs_ // 2)[:, None, None] + offc_[None, None, :]
+            resid_u = src_u[crws, ccls] - pred_u
+            resid_v = src_v[crws, ccls] - pred_v
+
+            def chroma_rd(t):
+                out = []
+                s2ct = np.float32(tf.coeff_sse_scale(cc.TX_8X8, t))
+                for pc, rc in ((pred_u, resid_u), (pred_v, resid_v)):
+                    cf = tf.fwd_txfm2d(rc, t, cc.TX_8X8)
+                    qcc, dqc = quant.quantize(cf, qpp_b, cc.TX_8X8)
+                    dc_ = s2ct * jnp.sum(
+                        (cf - dqc.astype(jnp.float32)) ** 2,
+                        axis=(1, 2))
+                    bc = _txb_bits(jnp.abs(qcc), cuv_t, txbb[1], eobuv,
+                                   pos8)
+                    rcc = tf.inv_txfm2d_add(dqc, pc, t, cc.TX_8X8,
+                                            bd=bd)
+                    out.append((qcc, rcc, dc_ + lam * bc))
+                return out
+
             coeffs = tf.fwd_txfm2d(resid, cc.DCT_DCT, cc.TX_16X16)
             qc, dq = quant.quantize(coeffs, qpp_b, cc.TX_16X16)
             dist = s2y * jnp.sum((coeffs - dq.astype(jnp.float32)) ** 2,
@@ -1038,24 +1066,39 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
                              axis=(1, 2)) + lam * (mvb + 2.0)
             rec_cod = tf.inv_txfm2d_add(dq, pred, cc.DCT_DCT,
                                         cc.TX_16X16, bd=bd)
-            offc_ = jnp.arange(CBLK)
-            crws = (ys_ // 2)[:, None, None] + offc_[None, :, None]
-            ccls = (xs_ // 2)[:, None, None] + offc_[None, None, :]
-            ch = []
-            for pc, sc in ((pred_u, src_u), (pred_v, src_v)):
-                rc = sc[crws, ccls] - pc
-                cf = tf.fwd_txfm2d(rc, cc.DCT_DCT, cc.TX_8X8)
-                qcc, dqc = quant.quantize(cf, qpp_b, cc.TX_8X8)
-                dc_ = s2c * jnp.sum(
-                    (cf - dqc.astype(jnp.float32)) ** 2, axis=(1, 2))
-                bc = _txb_bits(jnp.abs(qcc), cuv_t, txbb[1], eobuv,
-                               pos8)
-                rcc = tf.inv_txfm2d_add(dqc, pc, cc.DCT_DCT, cc.TX_8X8,
-                                        bd=bd)
-                sk = jnp.sum(rc.astype(jnp.float32) ** 2, axis=(1, 2))
-                ch.append((qcc, rcc, pc, dc_ + lam * bc, sk))
-            (qu_o, rec_u_o, pu_o, cu_o, su_o), \
-                (qv_o, rec_v_o, pv_o, cv_o, sv_o) = ch
+            (qu_o, rec_u_o, cu_o), (qv_o, rec_v_o, cv_o) = \
+                chroma_rd(cc.DCT_DCT)
+            su_o = jnp.sum(resid_u.astype(jnp.float32) ** 2,
+                           axis=(1, 2))
+            sv_o = jnp.sum(resid_v.astype(jnp.float32) ** 2,
+                           axis=(1, 2))
+            txi = jnp.zeros(coded_y.shape, jnp.int32)
+            for ti, t in enumerate(alt_tx_set, 1):
+                cf_t = tf.fwd_txfm2d(resid, t, cc.TX_16X16)
+                q_t, dq_t = quant.quantize(cf_t, qpp_b, cc.TX_16X16)
+                s2t = np.float32(tf.coeff_sse_scale(cc.TX_16X16, t))
+                dist_t = s2t * jnp.sum(
+                    (cf_t - dq_t.astype(jnp.float32)) ** 2, axis=(1, 2))
+                bits_t = _txb_bits(jnp.abs(q_t), cy_t, txbb[0], eoby,
+                                   pos16) + mvb + _ITX_EXTRA_BITS[ti - 1]
+                cost_t = dist_t + lam * bits_t
+                (qu_t, ru_t, cu_t), (qv_t, rv_t, cv_t) = chroma_rd(t)
+                nz_t = jnp.any(q_t != 0, axis=(1, 2))
+                take = nz_t & ((cost_t + cu_t + cv_t)
+                               < (coded_y + cu_o + cv_o))
+                t3 = take[:, None, None]
+                coded_y = jnp.where(take, cost_t, coded_y)
+                qc = jnp.where(t3, q_t, qc)
+                rec_cod = jnp.where(
+                    t3, tf.inv_txfm2d_add(dq_t, pred, t, cc.TX_16X16,
+                                          bd=bd), rec_cod)
+                txi = jnp.where(take, ti, txi)
+                qu_o = jnp.where(t3, qu_t, qu_o)
+                rec_u_o = jnp.where(t3, ru_t, rec_u_o)
+                cu_o = jnp.where(take, cu_t, cu_o)
+                qv_o = jnp.where(t3, qv_t, qv_o)
+                rec_v_o = jnp.where(t3, rv_t, rec_v_o)
+                cv_o = jnp.where(take, cv_t, cv_o)
             coded_tot = coded_y + cu_o + cv_o
             skip_tot = skip_y + su_o + sv_o
             oskip = skip_tot < coded_tot
@@ -1065,10 +1108,11 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
                               jnp.minimum(coded_y, skip_y)),
                     jnp.where(s3, pred, rec_cod),
                     jnp.where(s3, 0, qc),
-                    jnp.where(s3, pu_o, rec_u_o),
+                    jnp.where(s3, pred_u, rec_u_o),
                     jnp.where(s3, 0, qu_o),
-                    jnp.where(s3, pv_o, rec_v_o),
-                    jnp.where(s3, 0, qv_o))
+                    jnp.where(s3, pred_v, rec_v_o),
+                    jnp.where(s3, 0, qv_o),
+                    jnp.where(oskip, 0, txi))
 
         def _base_preds(bid, ys_, xs_):
             mv_self = imv[bid]
@@ -1180,8 +1224,8 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
             return (el, best) + out
 
         def body(i, carry):
-            (ry, ru, rv, ma, uma, ca, qya, qua, qva, oa, iia, osa, qyo,
-             quo, qvo) = carry
+            (ry, ru, rv, ma, uma, ca, qya, qua, qva, oa, iia, osa, txo,
+             qyo, quo, qvo) = carry
             by = jnp.asarray(bys)[i]
             bx = jnp.asarray(bxs)[i]
             va = jnp.asarray(valid)[i]
@@ -1194,6 +1238,7 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
             irec_v_b = irec_v[bid]
             ow = jnp.zeros_like(va)
             osk = jnp.zeros_like(va)
+            atxi = jnp.zeros(va.shape, jnp.int32)
             iimode = jnp.full(va.shape, -1, jnp.int32)
             if obmc or interintra:
                 ys_ = by * BLK
@@ -1203,26 +1248,28 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
                 alt_q = None
                 if obmc:
                     (ow, otot, osk, ocost_y, orec_y, oqy, orec_u, oqu,
-                     orec_v, oqv) = _obmc_alt(ca.reshape(-1), by, bx,
-                                              va, base, ys_, xs_)
+                     orec_v, oqv, otxi) = _obmc_alt(ca.reshape(-1), by,
+                                                    bx, va, base, ys_,
+                                                    xs_)
                     best_tot = jnp.where(ow, otot, best_tot)
                     alt_q = (ow, osk, ocost_y, orec_y, oqy, orec_u,
-                             oqu, orec_v, oqv)
+                             oqu, orec_v, oqv, otxi)
                 if interintra:
                     (el_ii, iibest, itot, iskp, iicost_y, iirec_y,
-                     iiqy, iirec_u, iiqu, iirec_v, iiqv) = _ii_alt(
-                        ry, ru, rv, by, bx, va, ha, hl, base, ys_, xs_)
+                     iiqy, iirec_u, iiqu, iirec_v, iiqv, iitxi) = \
+                        _ii_alt(ry, ru, rv, by, bx, va, ha, hl, base,
+                                ys_, xs_)
                     iw = el_ii & (itot < best_tot)
                     iimode = jnp.where(iw, iibest, -1)
                     if alt_q is None:
                         alt_q = (iw, iskp, iicost_y, iirec_y, iiqy,
-                                 iirec_u, iiqu, iirec_v, iiqv)
+                                 iirec_u, iiqu, iirec_v, iiqv, iitxi)
                     else:
                         merged_alt = []
                         for a, b_ in zip(alt_q,
                                          (iw, iskp, iicost_y, iirec_y,
                                           iiqy, iirec_u, iiqu, iirec_v,
-                                          iiqv)):
+                                          iiqv, iitxi)):
                             shp = iw.reshape(
                                 iw.shape + (1,) * (a.ndim - 1))
                             merged_alt.append(
@@ -1233,7 +1280,7 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
                         alt_q = tuple(merged_alt)
                         ow = ow & ~iw
                 (aw, ask, acost_y, arec_y, aqy, arec_u, aqu, arec_v,
-                 aqv) = alt_q
+                 aqv, atxi) = alt_q
                 a3 = aw[:, None, None]
                 icost = jnp.where(aw, acost_y, icost)
                 irec = jnp.where(a3, arec_y, irec)
@@ -1266,15 +1313,17 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
                     qva.at[i].set(qv2.astype(jnp.int16)),
                     oa.at[i].set(ow & choose),
                     iia.at[i].set(jnp.where(choose, iimode, -1)),
-                    osa.at[i].set(osk), qyo, quo, qvo)
+                    osa.at[i].set(osk), txo.at[i].set(atxi),
+                    qyo, quo, qvo)
 
         init = (jnp.zeros((h, w), jnp.int32),
                 jnp.zeros((h // 2, w // 2), jnp.int32),
                 jnp.zeros((h // 2, w // 2), jnp.int32),
                 modes_acc, uv_acc0, choose_acc, qy_acc, qu_acc, qv_acc,
-                ob_acc, ii_acc, obs_acc, qyo_acc, quo_acc, qvo_acc)
-        (ry, ru, rv, ma, uma, ca, qya, qua, qva, oa, iia, osa, qyo,
-         quo, qvo) = jax.lax.fori_loop(0, nw, body, init)
+                ob_acc, ii_acc, obs_acc, txo_acc, qyo_acc, quo_acc,
+                qvo_acc)
+        (ry, ru, rv, ma, uma, ca, qya, qua, qva, oa, iia, osa, txo,
+         qyo, quo, qvo) = jax.lax.fori_loop(0, nw, body, init)
 
         # dense raster re-layout + device-side decision merge
         pj = jnp.asarray(perm)
@@ -1299,7 +1348,7 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
                 o2, qvo.reshape(nw * maxb, CBLK * CBLK)[pj]
                 .astype(jnp.int32), iqv.reshape(nb, -1))
             iskip = jnp.where(alt, osa.reshape(-1)[pj], iskip)
-            itx = jnp.where(alt, 0, itx)
+            itx = jnp.where(alt, txo.reshape(-1)[pj], itx)
         else:
             iqy = iqy.reshape(nb, -1)
             iqu = iqu.reshape(nb, -1)
@@ -2015,12 +2064,14 @@ def collect_inter_frame(pend: PendingInterFrame, bd: int = 8):
     slot content, final after the device-side DLF+CDEF pick)."""
     from svt_av1_tpu.codec import mv_pred
     from svt_av1_tpu.codec.syntax import BlockDecision
+    from svt_av1_tpu.utils.profiling import stage
     h, w = pend.h, pend.w
     gh, gw = h // BLK, w // BLK
     nb = gh * gw
     # the single round trip: every host-needed array in one device_get
     small = list(pend.outs[3:]) + [pend.p2_outs[3], pend.p2_outs[5]]
-    pulled = jax.device_get(small)
+    with stage("collect_pull"):
+        pulled = jax.device_get(small)
     (ymode, umode, choose, iskip, imv, imv2, iref_idx, icomp, iwarp,
      iwedge, iobmc, iimodes, qy_f, qu_f, qv_f, gm_mats, gm_trans,
      gm_kinds, interp, merge32, merge64, itx, isplit, ismv, issk,

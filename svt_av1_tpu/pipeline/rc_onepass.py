@@ -97,6 +97,15 @@ class OnePassRC:
     rc_2_frame: int = 0
     frames_since_key: int = 0
     frames_updated: int = 0
+    # per-rcf-class oscillation state:
+    # {cls: (q_1, q_2, rc_1, rc_2, bits_1, bits_2)}
+    # (libaom av1_rc_regulate_q resonance-guard role, applied within a
+    # class because pyramid layers legitimately run different q; the
+    # recovery step is a secant on the two observed (q, bits) outcomes
+    # because the bits-vs-q curve is locally cliff-like — e.g. all-skip
+    # above a threshold q — and the multiplicative rcf model rings
+    # between the cliff edges)
+    osc: dict = dataclasses.field(default_factory=dict)
     max_layer_seen: int = 0    # deepest layer observed (dynamic
                                # mini-GoP sizing can shrink the pyramid
                                # below cfg.hierarchical_levels)
@@ -151,12 +160,15 @@ class OnePassRC:
                 target += target * pct / 200.0
         else:
             # reactive VBR: spend accumulated savings / recover debt
-            # smoothly over ~1 second (the one-pass VBR role without
-            # first-pass stats); debt recovery may cut a frame's
-            # target to a quarter so keyframe boosts amortize inside
-            # the clip rather than spilling past its end
-            corr = self.vbr_bits_off / max(self.fps, 1.0)
-            target += float(np.clip(corr, -0.75 * target, 0.5 * target))
+            # (the one-pass VBR role without first-pass stats).
+            # Asymmetric on purpose: debt repays fast (over ~0.5 s,
+            # down to a tenth of a frame's target) while savings are
+            # spent slowly (+25% cap) — boosted frames already land on
+            # the steep side of the bits-vs-q cliff, so handing them
+            # big extra targets converts savings into overshoot debt
+            # that the clip end never repays
+            corr = self.vbr_bits_off / max(self.fps / 2, 1.0)
+            target += float(np.clip(corr, -0.9 * target, 0.25 * target))
         return max(target,
                    max(self.avg_frame_bandwidth / 16,
                        FRAME_OVERHEAD_BITS))
@@ -241,6 +253,27 @@ class OnePassRC:
         if q > active_best and bpm(q) <= desired_bpm:
             if (desired_bpm - bpm(q)) > (bpm(q - 1) - desired_bpm):
                 q -= 1
+        # resonance guard (libaom av1_rc_regulate_q role): when the
+        # last two frames of this class alternated over/undershoot,
+        # place q by a secant through their observed (q, bits) points
+        # instead of the rcf model — the model rings on cliff-like
+        # bits-vs-q curves
+        # (VBR only: CBR has its own resonance control, the
+        # max_delta_down clamp in _adjust_q_cbr)
+        cls_ = self._rcf_class(is_key, layer)
+        q1, q2, rc1, rc2, b1, b2 = self.osc.get(
+            cls_, (0, 0, 0, 0, 0.0, 0.0))
+        if (not self.cbr and not is_key and self.frames_since_key > 1
+                and rc1 * rc2 == -1 and q1 != q2
+                and b1 > 0 and b2 > 0 and target_bits > 0):
+            (lo_q, lo_b), (hi_q, hi_b) = sorted(((q1, b1), (q2, b2)))
+            if lo_b > hi_b > 0:   # bits must decrease in q to secant
+                t = ((np.log(lo_b) - np.log(max(target_bits, 1.0)))
+                     / (np.log(lo_b) - np.log(hi_b)))
+                q = int(np.clip(round(lo_q + t * (hi_q - lo_q)),
+                                lo_q, hi_q))
+            else:
+                q = int(np.clip(q, lo_q, hi_q))
         if self.cbr:
             q = self._adjust_q_cbr(q, is_key, layer)
         return int(np.clip(q, self.best_q, self.worst_q))
@@ -282,6 +315,10 @@ class OnePassRC:
         self.rc_2_frame = self.rc_1_frame
         self.rc_1_frame = (-1 if correction > 110
                            else 1 if correction < 90 else 0)
+        q1, _q2, rc1, _rc2, b1, _b2 = self.osc.get(
+            cls_, (0, 0, 0, 0, 0.0, 0.0))
+        self.osc[cls_] = (int(qindex), q1, self.rc_1_frame, rc1,
+                          float(frame_bits), b1)
         if correction > 102:
             correction = 100 + (correction - 100) * adjustment_limit
             rcf = min(rcf * correction / 100.0, MAX_BPB_FACTOR)

@@ -1,16 +1,24 @@
 """Motion-compensated temporal filtering (MCTF) stage.
 
-Encoder-side denoiser applied to key-frame sources before encoding
-(reference: temporal_filtering.c via the picture-decision process,
-Docs/Appendix-Alt-Refs.md).  TPU design: per neighbor frame, one HME
-call gives per-16x16 MVs + errors; one batched MC gathers predictions;
-the NLM weighting (ops/tf.py) then filters every 32x32 block of the
-frame in a single device batch.  Luma only in round 1 (chroma passes
-through) — the filter is non-normative."""
+Encoder-side denoiser applied to key-frame sources and mini-GoP bases
+before encoding (reference: temporal_filtering.c via the
+picture-decision process, Docs/Appendix-Alt-Refs.md).
+
+TPU design (round-5 rewrite): the WHOLE filter — per-neighbor HME,
+batched luma+chroma MC, the 32x32 tile assembly, NLM subblock
+weighting and the weighted average for all three planes — is ONE
+jitted device program with a single host pull of the three filtered
+planes.  The previous host-orchestrated version issued ~10 separate
+device round trips per call plus per-block Python assembly loops,
+which cost 3.5-4.7 s per filtered frame on a tunneled TPU; the fused
+program runs the same math in one dispatch."""
 from __future__ import annotations
 
+import functools
 from typing import List, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from svt_av1_tpu.ops import mc, tf as tf_ops
@@ -19,10 +27,119 @@ from svt_av1_tpu.pipeline import me as me_pipe
 BLK32 = 32
 
 
+def _tile16_to_32(a16, g32h, g32w):
+    """(nb16, 16, 16) quadrant blocks -> (nb32, 32, 32) tiles."""
+    g16h, g16w = g32h * 2, g32w * 2
+    a = a16.reshape(g16h, g16w, 16, 16)
+    a = a.reshape(g32h, 2, g32w, 2, 16, 16).transpose(0, 2, 1, 4, 3, 5)
+    return a.reshape(g32h * g32w, 32, 32)
+
+
+def _quad16(a16, g32h, g32w):
+    """(nb16, ...) per-16-block values -> (nb32, 4, ...) quadrants in
+    (0,0),(0,1),(1,0),(1,1) order."""
+    g16h, g16w = g32h * 2, g32w * 2
+    a = a16.reshape((g16h, g16w) + a16.shape[1:])
+    a = a.reshape((g32h, 2, g32w, 2) + a16.shape[1:])
+    a = jnp.moveaxis(a, 2, 1)                  # (g32h, g32w, 2, 2, ...)
+    return a.reshape((g32h * g32w, 4) + a16.shape[1:])
+
+
+def _clamp_mvs_traced(mvs, ys, xs, blk, h, w, pad=mc.PAD):
+    r = jnp.clip(mvs[..., 0], (-(ys + pad - 8)) * 8,
+                 (h + pad - 8 - (ys + blk)) * 8)
+    c = jnp.clip(mvs[..., 1], (-(xs + pad - 8)) * 8,
+                 (w + pad - 8 - (xs + blk)) * 8)
+    return jnp.stack([r & ~1, c & ~1], axis=-1).astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_tf(h32: int, w32: int, F: int, decay: float):
+    """One fused program: (center y/u/v, neighbors y/u/v stacked) ->
+    filtered (y, u, v)."""
+    g16h, g16w = h32 // 16, w32 // 16
+    nb16 = g16h * g16w
+    g32h, g32w = h32 // 32, w32 // 32
+    nb32 = g32h * g32w
+    ys16 = jnp.asarray((np.arange(nb16) // g16w * 16), jnp.int32)
+    xs16 = jnp.asarray((np.arange(nb16) % g16w * 16), jnp.int32)
+    h64 = (h32 + 63) & ~63
+    w64 = (w32 + 63) & ~63
+    hme = me_pipe.hme_core(h64, w64, 8, 8, 7)
+    pad64 = ((0, h64 - h32), (0, w64 - w32))
+
+    def run(cy, cu, cv, ny, nu, nv):
+        src64 = jnp.pad(cy, pad64, mode="edge")
+        preds = []       # (F, nb16, 16, 16)
+        errs = []        # (F, nb16)
+        mvss = []        # (F, nb16, 2)
+        cpreds = {"u": [], "v": []}
+        for f in range(F):
+            ref64 = jnp.pad(ny[f], pad64, mode="edge")
+            mvy, mvx, ssd = hme(src64, ref64)
+            mvy = mvy[:g16h, :g16w].reshape(nb16)
+            mvx = mvx[:g16h, :g16w].reshape(nb16)
+            ssd = ssd[:g16h, :g16w].reshape(nb16)
+            mvs = jnp.stack([mvy * 8, mvx * 8], axis=-1)
+            mvs = _clamp_mvs_traced(mvs, ys16, xs16, 16, h32, w32)
+            refp = jnp.pad(ny[f], mc.PAD, mode="edge")
+            preds.append(mc.mc_blocks(refp, ys16, xs16, mvs, 16,
+                                      mc.PAD, 0))
+            errs.append(ssd)
+            mvss.append(mvs)
+            for plane, nc in (("u", nu), ("v", nv)):
+                refc = jnp.pad(nc[f], mc.PAD // 2, mode="edge")
+                cpreds[plane].append(
+                    mc.mc_blocks(refc, ys16 // 2, xs16 // 2, mvs, 8,
+                                 mc.PAD, 1))
+
+        centers = cy.reshape(g32h, 32, g32w, 32).transpose(0, 2, 1, 3)
+        centers = centers.reshape(nb32, 32, 32)
+        preds32 = jnp.stack([_tile16_to_32(p, g32h, g32w)
+                             for p in preds], axis=1)  # (nb32, F, 32, 32)
+        berr = jnp.stack([_quad16(e, g32h, g32w) for e in errs],
+                         axis=1).astype(jnp.float32) / 256.0
+        bmvs = jnp.stack([_quad16(m, g32h, g32w) for m in mvss],
+                         axis=1).astype(jnp.float32) / 8.0
+        wsub = tf_ops.subblock_weights(centers, preds32, berr, bmvs,
+                                       decay, 16.0)       # (nb32, F, 4)
+        out = tf_ops.temporal_filter(centers, preds32, berr, bmvs,
+                                     decay_factor=decay)
+        fy = out.reshape(g32h, g32w, 32, 32).transpose(0, 2, 1, 3)
+        fy = fy.reshape(h32, w32)
+
+        # chroma: luma MVs (halved by MC subsampling) + luma NLM weights
+        wq = wsub.reshape(nb32, F, 2, 2)
+        wpix = jnp.repeat(jnp.repeat(wq, 8, axis=2), 8, axis=3)
+        couts = []
+        for plane, cp in (("u", cu), ("v", cv)):
+            cc_ = cp.reshape(g32h, 16, g32w, 16).transpose(0, 2, 1, 3)
+            cc_ = cc_.reshape(nb32, 16, 16).astype(jnp.float32)
+            cpred = jnp.stack([_tile16_to_16(p, g32h, g32w)
+                               for p in cpreds[plane]], axis=1)
+            accum = (cc_ * tf_ops.TF_WEIGHT_SCALE
+                     + (cpred.astype(jnp.float32) * wpix).sum(axis=1))
+            count = tf_ops.TF_WEIGHT_SCALE + wpix.sum(axis=1)
+            fc32 = jnp.clip(jnp.round(accum / count), 0, 255)
+            fc = fc32.reshape(g32h, g32w, 16, 16).transpose(0, 2, 1, 3)
+            couts.append(fc.reshape(h32 // 2, w32 // 2))
+        return fy, couts[0], couts[1]
+
+    return jax.jit(run)
+
+
+def _tile16_to_16(a8, g32h, g32w):
+    """(nb16, 8, 8) chroma quadrant blocks -> (nb32, 16, 16) tiles."""
+    g16h, g16w = g32h * 2, g32w * 2
+    a = a8.reshape(g16h, g16w, 8, 8)
+    a = a.reshape(g32h, 2, g32w, 2, 8, 8).transpose(0, 2, 1, 4, 3, 5)
+    return a.reshape(g32h * g32w, 16, 16)
+
+
 def mctf_filter_frame(center: Tuple[np.ndarray, np.ndarray, np.ndarray],
                       neighbors: List[Tuple[np.ndarray, ...]],
                       decay: float = 80.0) -> Tuple[np.ndarray, ...]:
-    """Filter the luma of ``center`` against motion-compensated
+    """Filter ``center`` (y, u, v) against motion-compensated
     ``neighbors`` (list of (y, u, v) source frames).
 
     decay ~ 2*(5.5 + noise_sigma)^2 in the reference's error domain
@@ -34,93 +151,20 @@ def mctf_filter_frame(center: Tuple[np.ndarray, np.ndarray, np.ndarray],
     h32 = (h + 31) & ~31
     w32 = (w + 31) & ~31
     pad = ((0, h32 - h), (0, w32 - w))
-    cyp = np.pad(cy, pad, mode="edge").astype(np.int32)
-    g16h, g16w = h32 // 16, w32 // 16
-    nb16 = g16h * g16w
-    ys16 = (np.arange(nb16) // g16w * 16).astype(np.int32)
-    xs16 = (np.arange(nb16) % g16w * 16).astype(np.int32)
-
     ch, cw = cu.shape
     cpadc = ((0, h32 // 2 - ch), (0, w32 // 2 - cw))
+    F = len(neighbors)
+    run = _jit_tf(h32, w32, F, float(decay))
+    cyp = np.pad(cy, pad, mode="edge").astype(np.int32)
     cup = np.pad(cu, cpadc, mode="edge").astype(np.int32)
     cvp = np.pad(cv, cpadc, mode="edge").astype(np.int32)
-    preds16 = []
-    errs16 = []
-    mvs16 = []
-    cpreds16 = {"u": [], "v": []}
-    for (ny, nu, nv) in neighbors:
-        nyp = np.pad(ny, pad, mode="edge").astype(np.int32)
-        mv_y, mv_x, ssd = me_pipe.hierarchical_me(cyp, nyp)
-        mvs = np.stack([mv_y.reshape(-1) * 8, mv_x.reshape(-1) * 8],
-                       axis=-1).astype(np.int32)
-        mvs = mc.clamp_mvs_for_pad(mvs, ys16, xs16, 16, h32, w32)
-        refp = np.asarray(mc.pad_plane(nyp, mc.PAD))
-        p = np.asarray(mc.mc_blocks(refp, ys16, xs16, mvs, 16, mc.PAD))
-        preds16.append(p)
-        errs16.append(ssd.reshape(-1))
-        mvs16.append(mvs)
-        for plane, nc in (("u", nu), ("v", nv)):
-            ncp = np.pad(nc, cpadc, mode="edge").astype(np.int32)
-            refc = np.asarray(mc.pad_plane(ncp, mc.PAD // 2))
-            pc = np.asarray(mc.mc_blocks(refc, ys16 // 2, xs16 // 2,
-                                         mvs, 8, mc.PAD, 1))
-            cpreds16[plane].append(pc)
-
-    # assemble 16x16 tiles into (nb32, F, 32, 32) + per-quadrant stats
-    g32h, g32w = h32 // 32, w32 // 32
-    nb32 = g32h * g32w
-    F = len(neighbors)
-    preds = np.zeros((nb32, F, 32, 32), np.int32)
-    berr = np.zeros((nb32, F, 4), np.float32)
-    bmvs = np.zeros((nb32, F, 4, 2), np.float32)
-    centers = np.zeros((nb32, 32, 32), np.int32)
-    for b32 in range(nb32):
-        r32, c32 = b32 // g32w, b32 % g32w
-        centers[b32] = cyp[r32 * 32:r32 * 32 + 32, c32 * 32:c32 * 32 + 32]
-        for q, (dr, dc) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
-            b16 = (r32 * 2 + dr) * g16w + (c32 * 2 + dc)
-            for f in range(F):
-                preds[b32, f, dr * 16:dr * 16 + 16,
-                      dc * 16:dc * 16 + 16] = preds16[f][b16]
-                berr[b32, f, q] = errs16[f][b16] / 256.0
-                bmvs[b32, f, q] = mvs16[f][b16] / 8.0
-    import jax.numpy as jnp
-    wsub = np.asarray(tf_ops.subblock_weights(
-        jnp.asarray(centers), jnp.asarray(preds), jnp.asarray(berr),
-        jnp.asarray(bmvs), decay, 16.0))             # (nb32, F, 4)
-    out = np.asarray(tf_ops.temporal_filter(
-        centers, preds, berr, bmvs, decay_factor=decay))
-    fy = np.zeros((h32, w32), np.int32)
-    for b32 in range(nb32):
-        r32, c32 = b32 // g32w, b32 % g32w
-        fy[r32 * 32:r32 * 32 + 32, c32 * 32:c32 * 32 + 32] = out[b32]
-
-    # chroma: luma MVs (halved by MC subsampling) + luma NLM weights
-    couts = {}
-    for plane, cp in (("u", cup), ("v", cvp)):
-        cpreds = np.zeros((nb32, F, 16, 16), np.float32)
-        cc_ = np.zeros((nb32, 16, 16), np.float32)
-        for b32 in range(nb32):
-            r32, c32 = b32 // g32w, b32 % g32w
-            cc_[b32] = cp[r32 * 16:r32 * 16 + 16,
-                          c32 * 16:c32 * 16 + 16]
-            for q, (dr, dc) in enumerate(((0, 0), (0, 1), (1, 0),
-                                          (1, 1))):
-                b16 = (r32 * 2 + dr) * g16w + (c32 * 2 + dc)
-                for f in range(F):
-                    cpreds[b32, f, dr * 8:dr * 8 + 8,
-                           dc * 8:dc * 8 + 8] = \
-                        cpreds16[plane][f][b16]
-        wq = wsub.reshape(nb32, F, 2, 2)
-        wpix = np.repeat(np.repeat(wq, 8, axis=2), 8, axis=3)
-        accum = (cc_ * tf_ops.TF_WEIGHT_SCALE
-                 + (cpreds * wpix).sum(axis=1))
-        count = tf_ops.TF_WEIGHT_SCALE + wpix.sum(axis=1)
-        fc32 = np.clip(np.round(accum / count), 0, 255)
-        fc = np.zeros((h32 // 2, w32 // 2), np.float64)
-        for b32 in range(nb32):
-            r32, c32 = b32 // g32w, b32 % g32w
-            fc[r32 * 16:r32 * 16 + 16, c32 * 16:c32 * 16 + 16] = \
-                fc32[b32]
-        couts[plane] = fc[:ch, :cw].astype(cu.dtype)
-    return fy[:h, :w].astype(cy.dtype), couts["u"], couts["v"]
+    ny = np.stack([np.pad(n[0], pad, mode="edge") for n in neighbors]
+                  ).astype(np.int32)
+    nu = np.stack([np.pad(n[1], cpadc, mode="edge") for n in neighbors]
+                  ).astype(np.int32)
+    nv = np.stack([np.pad(n[2], cpadc, mode="edge") for n in neighbors]
+                  ).astype(np.int32)
+    fy, fu, fv = jax.device_get(run(cyp, cup, cvp, ny, nu, nv))
+    return (fy[:h, :w].astype(cy.dtype),
+            fu[:ch, :cw].astype(cu.dtype),
+            fv[:ch, :cw].astype(cv.dtype))

@@ -36,10 +36,25 @@ def _smooth(a):
              + a[2:, 2:]) / 9)
 
 
-def test_interintra_e2e_roundtrip():
+def test_interintra_e2e_roundtrip(monkeypatch):
     """A smooth gradient region wiping over textured motion: the intra
     component predicts the gradient, the inter component the texture —
-    interintra wins at the boundary and decodes bit-exactly."""
+    interintra wins at the boundary and decodes bit-exactly.
+
+    Tool-isolation test (see test_obmc_e2e_roundtrip): part8 and
+    tx_search are pinned off — 8x8 splits and ADST types absorb the
+    wipe-boundary residual that interintra's blend removes, so with
+    them on the interintra candidate legitimately stops winning on
+    this synthetic clip.  The interintra machinery (masks, mode pick,
+    syntax, decode) is what is under test."""
+    import dataclasses
+
+    from svt_av1_tpu.pipeline import presets as presets_mod
+    orig = presets_mod.features_for
+    monkeypatch.setattr(
+        presets_mod, "features_for",
+        lambda m: dataclasses.replace(orig(m), part8=False,
+                                      tx_search=False))
     rng = np.random.default_rng(21)
     h = w = 64
     tex = _smooth(rng.integers(0, 255, (h, w + 32)).astype(np.float32))
@@ -48,16 +63,19 @@ def test_interintra_e2e_roundtrip():
     n = 5
     frames = []
     for t in range(n):
-        y = tex[:, 2 * t:2 * t + w].copy()
-        m = (yy + xx) < min(h, 16 * t)
+        # texture pans 4 px/frame under a diagonal gradient wipe: at
+        # the boundary neither pure inter (texture MV) nor pure intra
+        # (gradient) predicts the block; the smooth-mask blend does.
+        # qp 45 keeps enough rate pressure that the residual cannot
+        # simply be coded away (round-5 recalibration after multi-seed
+        # HME improved the pure-inter baseline).
+        y = tex[:, 4 * t:4 * t + w].copy()
+        m = (yy + xx) < min(2 * h, 20 * t)
         y[m] = grad[m]
         u = np.full((h // 2, w // 2), 120, np.uint8)
         v = np.full((h // 2, w // 2), 135, np.uint8)
         frames.append((y.astype(np.uint8), u, v))
-    # qp 30: with true intra-mode pricing on inter frames (round-3
-    # rate fix) interintra needs enough rate pressure to out-compete
-    # plain inter at the boundary
-    cfg = EncoderConfig(source_width=w, source_height=h, qp=30,
+    cfg = EncoderConfig(source_width=w, source_height=h, qp=45,
                         intra_period_length=31, hierarchical_levels=2,
                         enc_mode=6, enable_tf=0)
     enc = Encoder(cfg)

@@ -38,16 +38,23 @@ def test_obmc_e2e_roundtrip(monkeypatch):
     """Non-affine motion (sinusoidal row displacement) gives adjacent
     block rows different MVs; OBMC wins on the seams, the motion_mode
     flag codes, and encoder recon == decoder recon bit-exactly.
-    part8 is pinned off: 8x8 splits out-RD OBMC on exactly this seam
-    content (they model the per-row motion directly), and this test
-    exercises the OBMC machinery."""
+
+    This is a tool-isolation test: part8 and tx_search are pinned off
+    because both legitimately out-RD OBMC on exactly this seam content
+    (8x8 splits model the per-row motion directly; ADST tx types code
+    the smooth seam residual almost as well as the OBMC blend removes
+    it — verified by A/B in round 5, where OBMC wins 1 block without
+    tx_search and 0 with it, with the motion-mode alternatives priced
+    through the same tx funnel).  The OBMC machinery itself (masks,
+    blend order, syntax, decode) is what is under test."""
     import dataclasses
 
     from svt_av1_tpu.pipeline import presets as presets_mod
     orig = presets_mod.features_for
     monkeypatch.setattr(
         presets_mod, "features_for",
-        lambda m: dataclasses.replace(orig(m), part8=False))
+        lambda m: dataclasses.replace(orig(m), part8=False,
+                                      tx_search=False))
     rng = np.random.default_rng(11)
     h = w = 64
     tex = _smooth(rng.integers(0, 255, (h, w + 48)).astype(np.float32))

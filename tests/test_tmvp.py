@@ -55,6 +55,29 @@ def test_projection_fills_field():
     assert (tm.mfmv[..., 1][tm.ref_offset > 0] == -16).all()
 
 
+def test_projection_block_offset_shift():
+    """get_block_position converts the projected 1/8-pel MV to 8x8-block
+    units with >>(4 + MI_SIZE_LOG2) == 6 (md_config_process.c:361), NOT
+    >>7: an MV of -128 (1/8-pel) = -16 px must land 2 blocks away."""
+    r8 = c8 = 8
+    mvs = np.zeros((r8, c8, 2), np.int16)
+    refs = np.full((r8, c8), 0, np.int8)   # INTRA everywhere else
+    mvs[3, 3] = (0, -128)                  # -16 px horizontal
+    refs[3, 3] = mv_pred.LAST_FRAME
+    field = mv_pred.FrameMotionField(
+        mvs=mvs, refs=refs, ref_order_hints=(1, 1, 1, 1, 1, 1, 1),
+        order_hint=2, is_intra=False)
+    tm = mv_pred.setup_motion_field(
+        {mv_pred.LAST_FRAME: field},
+        {e: 2 for e in range(1, 8)},
+        3, 7, r8 * 2, c8 * 2, allow_hp=False)
+    filled = np.argwhere(tm.ref_offset > 0)
+    # LAST projects with dir=2 -> sign_bias=1 -> col = bc - co where
+    # co = -((128) >> 6) = -2, so the write lands at (3, 5)
+    assert filled.tolist() == [[3, 5]]
+    assert tuple(tm.mfmv[3, 5]) == (0, -128)
+
+
 def _pan_frames(n, h=96, w=128):
     rng = np.random.default_rng(3)
     base = np.kron(rng.integers(30, 220, (h // 4, (w + 2 * n + 32) // 4))
