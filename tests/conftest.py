@@ -16,6 +16,10 @@ jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from svt_av1_tpu.utils.cache import ensure_compile_cache  # noqa: E402
+
+ensure_compile_cache()  # this JAX ignores JAX_COMPILATION_CACHE_DIR env
+
 import pytest  # noqa: E402
 
 _mods_since_clear = [0]

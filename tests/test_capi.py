@@ -12,13 +12,23 @@ import pytest
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+API_DIR = os.environ.get("SVT_AV1_API_DIR",
+                         "/root/reference/Source/API")
+
+
 @pytest.mark.skipif(shutil.which("gcc") is None, reason="needs gcc")
+@pytest.mark.skipif(not os.path.isfile(
+    os.path.join(API_DIR, "EbSvtAv1Enc.h")),
+    reason="reference public headers not installed")
 def test_capi_encode_roundtrip(tmp_path):
+    """Client compiled against the REFERENCE EbSvtAv1Enc.h (the
+    ffmpeg-plugin surface) must work against the TPU shim binary."""
     subprocess.run(["sh", os.path.join(ROOT, "tools/build_capi.sh")],
                    check=True, capture_output=True)
     exe = str(tmp_path / "capi_test")
     subprocess.run(
         ["gcc", os.path.join(ROOT, "tools/test_capi.c"), "-o", exe,
+         "-I", API_DIR,
          "-L", os.path.join(ROOT, "svt_av1_tpu/native"),
          "-lSvtAv1EncTpu",
          f"-Wl,-rpath,{os.path.join(ROOT, 'svt_av1_tpu/native')}"],
