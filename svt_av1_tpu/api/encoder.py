@@ -116,10 +116,10 @@ def _skip_map(decisions, gh: int, gw: int) -> np.ndarray:
     m = np.zeros((gh, gw), bool)
     from svt_av1_tpu.codec import constants as cc
     for d in decisions.values():
-        n4 = int(cc.block_size_wide[d.bsize]) >> 2
         by, bx = d.r4 // 4, d.c4 // 4
-        nb = max(1, n4 // 4)
-        m[by:by + nb, bx:bx + nb] = d.skip
+        nw = max(1, int(cc.block_size_wide[d.bsize]) >> 4)
+        nh = max(1, int(cc.block_size_high[d.bsize]) >> 4)
+        m[by:by + nh, bx:bx + nw] = d.skip
     return m
 
 
@@ -130,14 +130,17 @@ def _skip_map8(decisions, gh8: int, gw8: int) -> np.ndarray:
     m = np.zeros((gh8, gw8), bool)
     from svt_av1_tpu.codec import constants as cc
     for d in decisions.values():
-        n8 = max(1, int(cc.block_size_wide[d.bsize]) >> 3)
+        nw = max(1, int(cc.block_size_wide[d.bsize]) >> 3)
+        nh = max(1, int(cc.block_size_high[d.bsize]) >> 3)
         by, bx = d.r4 // 2, d.c4 // 2
-        m[by:by + n8, bx:bx + n8] = d.skip
+        m[by:by + nh, bx:bx + nw] = d.skip
     return m
 
 
 class Encoder:
     def __init__(self, config: EncoderConfig):
+        from svt_av1_tpu.utils.cache import ensure_compile_cache
+        ensure_compile_cache()   # env-configured persistent XLA cache
         self.cfg = config.validate()
         # round 1 codes full 16x16 blocks: pad the coded size up and
         # signal the true size as the render size (edge-partition blocks
@@ -496,6 +499,7 @@ class Encoder:
         self._chain_cdfs = tenc.cdfs
         self._slot_hint = [poc & ((1 << self.sp.order_hint_bits) - 1)] * 8
         self._h_anchor = poc
+        self._h_prev_anchor = None
         self._finish_packet(pkt, qindex)
 
     def _base_q_for(self, poc: int) -> int:
@@ -542,14 +546,28 @@ class Encoder:
                     self._h_frames[end_poc] = \
                         tf_stage.mctf_filter_frame(
                             self._h_frames[end_poc], neigh[:3])
+        mref = bool(self._feat.mref and self._fast)
+        if mref:
+            # the base frame's GOLDEN-role ref: the previous mini-GoP's
+            # anchor, kept alive one extra mini-GoP (see keep_poc below)
+            prev_anchor = getattr(self, "_h_prev_anchor", None)
+            if (prev_anchor is not None and prev_anchor in self._dpb
+                    and events and isinstance(events[0], gop.CodeEvent)):
+                events[0].gld_poc = prev_anchor
         last_use: Dict[int, int] = {}
         for i, ev in enumerate(events):
             if isinstance(ev, gop.CodeEvent):
                 last_use[ev.last_poc] = i
                 if ev.bwd_poc is not None:
                     last_use[ev.bwd_poc] = i
+                if mref and ev.gld_poc is not None:
+                    last_use[ev.gld_poc] = max(
+                        i, last_use.get(ev.gld_poc, 0))
             else:
                 last_use[ev.poc] = i
+        # keep the current anchor stored past this mini-GoP so the NEXT
+        # base can search it as GOLDEN (freed there once its use passes)
+        keep_poc = anchor if mref else None
         base_q = self._base_q_for(p0)
         tpl_r0 = None
         if self.cfg.enable_tpl_la:
@@ -639,7 +657,8 @@ class Encoder:
                     records.append(("show", ev.poc, slot,
                                     self._slot_recon[slot]))
                 for poc, li in list(last_use.items()):
-                    if li == i and poc != end_poc and poc in self._dpb:
+                    if (li == i and poc != end_poc and poc != keep_poc
+                            and poc in self._dpb):
                         slot = self._dpb.pop(poc)
                         self._slot_free.add(slot)
                         self._slot_recon.pop(slot, None)
@@ -649,6 +668,7 @@ class Encoder:
                 else:
                     self._collect_inter_fast(rec)
             self._h_anchor = end_poc
+            self._h_prev_anchor = anchor
             return
         for i, ev in enumerate(events):
             if isinstance(ev, gop.CodeEvent):
@@ -665,6 +685,7 @@ class Encoder:
                     self._slot_recon.pop(slot, None)
                     self._slot_state.pop(slot, None)
         self._h_anchor = end_poc
+        self._h_prev_anchor = anchor
 
     def _encode_inter_job(self, ev, base_q: int, layered: bool = True):
         from svt_av1_tpu.codec import mv_pred
@@ -744,6 +765,11 @@ class Encoder:
         if ev.bwd_poc is not None:
             bwd_slot = self._dpb[ev.bwd_poc]
             refs[mv_pred.ALTREF_FRAME] = self._slot_recon[bwd_slot]
+        gld_slot = None
+        if (self._feat.mref and ev.gld_poc is not None
+                and ev.gld_poc in self._dpb):
+            gld_slot = self._dpb[ev.gld_poc]
+            refs[mv_pred.GOLDEN_FRAME] = self._slot_recon[gld_slot]
         h, w = self.coded_h, self.coded_w
         src_pack = np.concatenate(
             [np.asarray(y, np.uint8),
@@ -776,6 +802,8 @@ class Encoder:
         if bwd_slot is not None:
             # bwd ref maps only to ALTREF (see fp_setup note)
             idx[mv_pred.ALTREF_FRAME - 1] = bwd_slot
+        if gld_slot is not None:
+            idx[mv_pred.GOLDEN_FRAME - 1] = gld_slot
         ref_hints = tuple(self._slot_hint[i] for i in idx)
         if ev.store:
             self._slot_free.remove(slot)
@@ -784,20 +812,20 @@ class Encoder:
             self._slot_hint[slot] = \
                 ev.poc & ((1 << self.sp.order_hint_bits) - 1)
         return ("code", ev, pend, qindex, last_slot, bwd_slot, slot,
-                (y, u, v), ref_hints)
+                (y, u, v), ref_hints, gld_slot)
 
     def _collect_inter_fast(self, rec):
         """Phase 2: the one bundled pull + entropy coding + packet."""
         from svt_av1_tpu.pipeline import gop_fast
         from svt_av1_tpu.utils.profiling import stage
         (_, ev, pend, qindex, last_slot, bwd_slot, slot, src,
-         ref_hints) = rec
+         ref_hints, gld_slot) = rec
         with stage("device_md_inter"):
             decisions, recon_dev, header = \
                 gop_fast.collect_inter_frame(pend)
         pkt, tenc = self._packetize_fast(decisions, header, qindex, ev,
                                          last_slot, bwd_slot, slot,
-                                         ref_hints)
+                                         ref_hints, gld_slot)
         if ev.store:
             self._slot_state[slot] = (tenc.cdfs, tenc.nmv)
             self._chain_cdfs = tenc.cdfs
@@ -834,7 +862,7 @@ class Encoder:
                                     recon=recon))
 
     def _packetize_fast(self, decisions, header, qindex, ev, last_slot,
-                        bwd_slot, slot, ref_hints=None):
+                        bwd_slot, slot, ref_hints=None, gld_slot=None):
         """OBU assembly for a fast-path inter frame: filter decisions
         arrive precomputed in ``header`` (no host filter stages)."""
         from svt_av1_tpu.codec import mv_pred
@@ -850,6 +878,8 @@ class Encoder:
         if bwd_slot is not None:
             # bwd ref maps only to ALTREF (see fp_setup note)
             idx[mv_pred.ALTREF_FRAME - 1] = bwd_slot
+        if gld_slot is not None:
+            idx[mv_pred.GOLDEN_FRAME - 1] = gld_slot
         fp.ref_frame_idx = tuple(idx)
         fp.primary_ref_frame = 0
         gm = header["gm"]

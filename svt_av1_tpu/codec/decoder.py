@@ -32,6 +32,8 @@ class Decoder:
         self.slot_mvfield: list = [None] * 8
         # parsed metadata OBUs by metadata_type (HDR CLL/MDCV/T.35)
         self.metadata: dict = {}
+        # most recent frame's parsed leaf decisions (test introspection)
+        self.last_decisions: dict = None
 
     @property
     def ref(self):
@@ -235,6 +237,7 @@ class Decoder:
                 self.slot_hints[i] = fp.order_hint
                 self.slot_mvfield[i] = field
         recon["decisions"] = decisions
+        self.last_decisions = decisions
         return recon, fp.show_frame
 
     def _decode_frame_tiled(self, fp, tile_data: bytes, coded_w: int,
@@ -299,4 +302,5 @@ class Decoder:
             self.slot_cdfs[i] = end_cdfs
             self.slot_nmv[i] = end_nmv
         recon["decisions"] = decisions
+        self.last_decisions = decisions
         return recon, fp.show_frame

@@ -40,9 +40,19 @@ PARTITION_CTX_LOOKUP = np.array([
 # square block size per partition depth starting at 64x64
 SQ_BSIZE = {64: cc.BLOCK_64X64, 32: cc.BLOCK_32X32, 16: cc.BLOCK_16X16,
             8: cc.BLOCK_8X8, 4: cc.BLOCK_4X4}
-# max rect tx size for square block sizes (TX_MODE_LARGEST)
+# max rect tx size for block sizes (TX_MODE_LARGEST)
 MAX_TX = {cc.BLOCK_8X8: cc.TX_8X8, cc.BLOCK_16X16: cc.TX_16X16,
-          cc.BLOCK_32X32: cc.TX_32X32, cc.BLOCK_64X64: cc.TX_64X64}
+          cc.BLOCK_32X32: cc.TX_32X32, cc.BLOCK_64X64: cc.TX_64X64,
+          cc.BLOCK_16X8: cc.TX_16X8, cc.BLOCK_8X16: cc.TX_8X16,
+          cc.BLOCK_32X16: cc.TX_32X16, cc.BLOCK_16X32: cc.TX_16X32,
+          cc.BLOCK_64X32: cc.TX_64X32, cc.BLOCK_32X64: cc.TX_32X64}
+# square parent -> rect child for PARTITION_HORZ / PARTITION_VERT
+HORZ_SUBSIZE = {cc.BLOCK_64X64: cc.BLOCK_64X32,
+                cc.BLOCK_32X32: cc.BLOCK_32X16,
+                cc.BLOCK_16X16: cc.BLOCK_16X8}
+VERT_SUBSIZE = {cc.BLOCK_64X64: cc.BLOCK_32X64,
+                cc.BLOCK_32X32: cc.BLOCK_16X32,
+                cc.BLOCK_16X16: cc.BLOCK_8X16}
 
 # ext-tx signaling tables (definitions.h / cabac_context_model.h)
 EXT_TX_SET_DCTONLY = 0
@@ -105,9 +115,12 @@ def get_ext_tx_set_type(tx_size: int, is_inter: bool, reduced: bool) -> int:
 
 
 def max_chroma_tx_size(luma_bsize: int) -> int:
-    """Chroma tx size for 4:2:0 blocks (TX_MODE_LARGEST, sq blocks)."""
+    """Chroma tx size for 4:2:0 blocks (TX_MODE_LARGEST)."""
     return {cc.BLOCK_8X8: cc.TX_4X4, cc.BLOCK_16X16: cc.TX_8X8,
-            cc.BLOCK_32X32: cc.TX_16X16, cc.BLOCK_64X64: cc.TX_32X32}[
+            cc.BLOCK_32X32: cc.TX_16X16, cc.BLOCK_64X64: cc.TX_32X32,
+            cc.BLOCK_16X8: cc.TX_8X4, cc.BLOCK_8X16: cc.TX_4X8,
+            cc.BLOCK_32X16: cc.TX_16X8, cc.BLOCK_16X32: cc.TX_8X16,
+            cc.BLOCK_64X32: cc.TX_32X16, cc.BLOCK_32X64: cc.TX_16X32}[
                 luma_bsize]
 
 
@@ -979,11 +992,17 @@ class TileEncoder(TileCoderBase):
         has_rows = (r4 + half) < self.mi_rows
         has_cols = (c4 + half) < self.mi_cols
         size = int(cc.block_size_wide[bsize])
-        # NONE where the decision map has a leaf of this exact size
+        # NONE where the decision map has a leaf of this exact size;
+        # HORZ/VERT where it holds the matching rect child
         d = self.blocks.get((r4, c4))
-        part = (cc.PARTITION_NONE
-                if d is not None and d.bsize == bsize
-                else cc.PARTITION_SPLIT)
+        if d is not None and d.bsize == bsize:
+            part = cc.PARTITION_NONE
+        elif d is not None and d.bsize == HORZ_SUBSIZE.get(bsize, -1):
+            part = cc.PARTITION_HORZ
+        elif d is not None and d.bsize == VERT_SUBSIZE.get(bsize, -1):
+            part = cc.PARTITION_VERT
+        else:
+            part = cc.PARTITION_SPLIT
 
         ctx_id = self.ctx.partition_ctx(r4, c4, bsize)
         cdf = self.cdfs.partition[ctx_id]
@@ -1012,8 +1031,18 @@ class TileEncoder(TileCoderBase):
             self._encode_partition(r4, c4 + half, sub)
             self._encode_partition(r4 + half, c4, sub)
             self._encode_partition(r4 + half, c4 + half, sub)
-        else:
-            raise NotImplementedError("rect partitions: next milestone")
+        elif part == cc.PARTITION_HORZ:
+            sub = HORZ_SUBSIZE[bsize]
+            self._encode_block(r4, c4, sub)
+            if has_rows:
+                self._encode_block(r4 + half, c4, sub)
+            self.ctx.update_partition(r4, c4, sub, bsize)
+        else:  # PARTITION_VERT
+            sub = VERT_SUBSIZE[bsize]
+            self._encode_block(r4, c4, sub)
+            if has_cols:
+                self._encode_block(r4, c4 + half, sub)
+            self.ctx.update_partition(r4, c4, sub, bsize)
 
     def _skip_mode_eligible(self, r4, c4, bsize, d):
         """Encoder-side conversion test: the decision decodes
@@ -1469,8 +1498,20 @@ class TileDecoder(TileCoderBase):
             self._decode_partition(r4, c4 + half, sub)
             self._decode_partition(r4 + half, c4, sub)
             self._decode_partition(r4 + half, c4 + half, sub)
+        elif part == cc.PARTITION_HORZ:
+            sub = HORZ_SUBSIZE[bsize]
+            self._decode_block(r4, c4, sub)
+            if has_rows:
+                self._decode_block(r4 + half, c4, sub)
+            self.ctx.update_partition(r4, c4, sub, bsize)
+        elif part == cc.PARTITION_VERT:
+            sub = VERT_SUBSIZE[bsize]
+            self._decode_block(r4, c4, sub)
+            if has_cols:
+                self._decode_block(r4, c4 + half, sub)
+            self.ctx.update_partition(r4, c4, sub, bsize)
         else:
-            raise NotImplementedError("rect partitions")
+            raise NotImplementedError("ext (AB/4) partitions")
 
     def _decode_block(self, r4, c4, bsize):
         dec, cdfs, ctx = self.dec, self.cdfs, self.ctx

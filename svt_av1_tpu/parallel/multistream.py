@@ -143,7 +143,8 @@ def _sharded_inter_step(mesh: Mesh, h: int, w: int, R: int, modes,
             extra = (split16, skip8)
         p2_outs = p2(src_pack, outs[0], outs[1], outs[2], skip16,
                      dlf_y, dlf_uv, cands, damping, outs[22], inter16,
-                     outs[23], *extra)
+                     outs[23], *extra, mergeh=outs[28],
+                     mergev=outs[29])
         return tuple(outs), tuple(p2_outs)
 
     batched = jax.vmap(step, in_axes=(0,) * 19 + (None, 0))

@@ -70,30 +70,30 @@ def maps_from_decisions(decisions, mi_rows: int, mi_cols: int):
     for (r4, c4), d in decisions.items():
         n4 = d.qcoeff_y.shape  # luma tx (rows, cols) in px / 4
         from svt_av1_tpu.codec import constants as cc
-        b4 = {cc.BLOCK_8X8: 2, cc.BLOCK_16X16: 4, cc.BLOCK_32X32: 8,
-              cc.BLOCK_64X64: 16}[d.bsize]
+        bw4 = int(cc.block_size_wide[d.bsize]) >> 2
+        bh4 = int(cc.block_size_high[d.bsize]) >> 2
         skip = bool(d.skip) and bool(d.is_inter)
-        tw4 = b4 if skip else max(1, n4[1] // 4)
-        th4 = b4 if skip else max(1, n4[0] // 4)
-        sl = (slice(r4, r4 + b4), slice(c4, c4 + b4))
+        tw4 = bw4 if skip else max(1, n4[1] // 4)
+        th4 = bh4 if skip else max(1, n4[0] // 4)
+        sl = (slice(r4, r4 + bh4), slice(c4, c4 + bw4))
         ly[0][sl] = tw4
         ly[1][sl] = th4
-        ly[2][sl] = b4
-        ly[3][sl] = b4
+        ly[2][sl] = bw4
+        ly[3][sl] = bh4
         lsk[sl] = skip
         # chroma: the block covers b4/2 chroma mi; tx from qcoeff_u
-        cb4 = b4 // 2
+        cw4, ch4 = bw4 // 2, bh4 // 2
         r2, c2 = r4 // 2, c4 // 2
-        slc = (slice(r2, r2 + cb4), slice(c2, c2 + cb4))
+        slc = (slice(r2, r2 + ch4), slice(c2, c2 + cw4))
         if d.qcoeff_u is not None:
-            ctw = cb4 if skip else max(1, d.qcoeff_u.shape[1] // 4)
-            cth = cb4 if skip else max(1, d.qcoeff_u.shape[0] // 4)
+            ctw = cw4 if skip else max(1, d.qcoeff_u.shape[1] // 4)
+            cth = ch4 if skip else max(1, d.qcoeff_u.shape[0] // 4)
         else:
-            ctw = cth = cb4
+            ctw, cth = cw4, ch4
         luv[0][slc] = ctw
         luv[1][slc] = cth
-        luv[2][slc] = cb4
-        luv[3][slc] = cb4
+        luv[2][slc] = cw4
+        luv[3][slc] = ch4
         csk[slc] = skip
     return dict(y=(ly[0], ly[1], ly[2], ly[3], lsk),
                 uv=(luv[0], luv[1], luv[2], luv[3], csk))

@@ -31,6 +31,11 @@ class CodeEvent:
     shown: bool              # show_frame at code time
     layer: int               # temporal layer (0 = base)
     store: bool              # must occupy a DPB slot
+    gld_poc: Optional[int] = None  # third (GOLDEN-role) forward ref:
+    # a farther-past coded frame searched beside LAST/ALTREF (the
+    # multi-ref RPS role, pic_manager_process.c:325-409 Table 5).
+    # Mids: the mini-GoP anchor when it is not already LAST; the base
+    # frame's is filled by the encoder with the previous anchor.
 
 
 @dataclasses.dataclass
@@ -52,7 +57,9 @@ def minigop_schedule(anchor_poc: int, n: int) -> List[object]:
         mid = (lo + hi) // 2
         shown = (mid - lo == 1)
         events.append(CodeEvent(mid, lo, hi, shown=shown, layer=layer,
-                                store=not shown or (hi - mid > 1)))
+                                store=not shown or (hi - mid > 1),
+                                gld_poc=(anchor_poc
+                                         if anchor_poc != lo else None)))
         walk(lo, mid, layer + 1)
         if not shown:
             events.append(ShowEvent(mid))

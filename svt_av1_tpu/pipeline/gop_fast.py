@@ -258,13 +258,16 @@ def _warp_plane_traced(ref, mat, shear, p_w, p_h, bd, ss):
 # pass A (device, multi-ref merged)
 # --------------------------------------------------------------------------
 
-def _clamp_cands(cand, ys, xs, blk, h, w, pad=mc.PAD, hp=False):
+def _clamp_cands(cand, ys, xs, blk, h, w, pad=mc.PAD, hp=False,
+                 blk_h=None):
     """jnp clamp_mvs_for_pad over (nb, K, 2) candidates.
 
     hp: keep 1/8-pel precision (allow_high_precision_mv); otherwise
-    clear the low bit (quarter-pel MVs)."""
+    clear the low bit (quarter-pel MVs).  blk_h: block height when it
+    differs from the width (rect extents)."""
+    bh = blk if blk_h is None else blk_h
     r = jnp.clip(cand[..., 0], (-(ys + pad - 4) * 8)[:, None],
-                 ((h + pad - 4 - (ys + blk)) * 8)[:, None])
+                 ((h + pad - 4 - (ys + bh)) * 8)[:, None],)
     c = jnp.clip(cand[..., 1], (-(xs + pad - 4) * 8)[:, None],
                  ((w + pad - 4 - (xs + blk)) * 8)[:, None])
     if hp:
@@ -945,11 +948,16 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
         icomp = jnp.zeros((nb,), bool)
         imv2 = jnp.zeros((nb, 2), jnp.int32)
         iwedge = jnp.full((nb,), -1, jnp.int32)
-        if compound and R == 2:
+        if compound and R >= 2:
+            # compound pair = (first, last) ref: run_inter_frame sorts
+            # enums so LAST is index 0 and ALTREF (the bwd ref) is
+            # index R-1; any GOLDEN-role extra refs sit between and
+            # stay single-ref only
             pads0 = (refps_y[0], refps_u[0], refps_v[0])
-            pads1 = (refps_y[1], refps_u[1], refps_v[1])
+            pads1 = (refps_y[R - 1], refps_u[R - 1], refps_v[R - 1])
             mv0 = _clamp_cands(hmes[0][:, None], ys, xs, BLK, h, w)[:, 0]
-            mv1 = _clamp_cands(hmes[1][:, None], ys, xs, BLK, h, w)[:, 0]
+            mv1 = _clamp_cands(hmes[R - 1][:, None], ys, xs, BLK,
+                               h, w)[:, 0]
             zero = jnp.zeros_like(mv0)
             merged = None
             for pi, (m0, m1) in enumerate(((mv0, mv1), (zero, zero))):
@@ -1433,6 +1441,51 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
         else:
             merge64 = jnp.zeros((max(gh4, 1) * max(gw4, 1),), bool)
 
+        # ---- rect (HORZ/VERT) skip merges at the 32 extent: the two
+        # halves each agree internally but the full 2x2 does not, so
+        # the parent codes PARTITION_HORZ/VERT with two skip 32x16 /
+        # 16x32 leaves (d1 rect compare role,
+        # product_coding_loop.c:10350-10420, restricted to skip
+        # leaves).  Derived ON DEVICE because the DLF mask must see the
+        # merged extents: the interior edge of a merged pair is
+        # neither a tx nor a prediction edge (spec 7.14) ----
+        el4 = grp(eligible[:, None].astype(jnp.int32))[..., 0]
+        elig_all = el4.all(axis=(1, 3))
+        okH = elig_all & ~ok
+        okV = elig_all & ~ok
+        for f in (iref_idx[:, None].astype(jnp.int32),
+                  icomp[:, None].astype(jnp.int32), imv, imv2):
+            fg = grp(f)
+            okH &= (fg == fg[:, :, :, :1]).all(axis=(3, 4)).all(axis=1)
+            okV &= (fg == fg[:, :1]).all(axis=(1, 4)).all(axis=-1)
+        for mva in (imv, imv2):
+            g = grp(mva)
+            top = g[:, 0, :, 0].reshape(-1, 2)
+            bot = g[:, 1, :, 0].reshape(-1, 2)
+            clt = _clamp_cands(top[:, None], ys32, xs32, 2 * BLK, h, w,
+                               hp=hp, blk_h=BLK)[:, 0]
+            clb = _clamp_cands(bot[:, None], ys32 + BLK, xs32, 2 * BLK,
+                               h, w, hp=hp, blk_h=BLK)[:, 0]
+            okH &= ((clt == top).all(-1)
+                    & (clb == bot).all(-1)).reshape(gh2, gw2)
+            lef = g[:, 0, :, 0].reshape(-1, 2)
+            rig = g[:, 0, :, 1].reshape(-1, 2)
+            cll = _clamp_cands(lef[:, None], ys32, xs32, BLK, h, w,
+                               hp=hp, blk_h=2 * BLK)[:, 0]
+            clr = _clamp_cands(rig[:, None], ys32, xs32 + BLK, BLK, h,
+                               w, hp=hp, blk_h=2 * BLK)[:, 0]
+            okV &= ((cll == lef).all(-1)
+                    & (clr == rig).all(-1)).reshape(gh2, gw2)
+        if gh4 and gw4:
+            cov64 = jnp.zeros((gh2, gw2), bool)
+            cov64 = cov64.at[:gh4 * 2, :gw4 * 2].set(
+                jnp.repeat(jnp.repeat(ok64, 2, 0), 2, 1))
+            okH &= ~cov64
+            okV &= ~cov64
+        okV &= ~okH
+        mergeH = okH.reshape(-1)
+        mergeV = okV.reshape(-1)
+
         return (ry.astype(jnp.uint8), ru.astype(jnp.uint8),
                 rv.astype(jnp.uint8),
                 ymode.astype(jnp.uint8), umode.astype(jnp.uint8),
@@ -1442,7 +1495,8 @@ def _build_p1(h, w, R, modes, bd=8, ring=True, compound=True,
                 iwedge.astype(jnp.int8), iobmc, iimodes.astype(jnp.int8),
                 qy_f, qu_f, qv_f, gm_mats, gm_trans, gm_kinds, interp,
                 merge32, merge64, itx.astype(jnp.int8),
-                isplit & choose, ismv.astype(jnp.int16), issk)
+                isplit & choose, ismv.astype(jnp.int16), issk,
+                mergeH, mergeV)
 
     return p1
 
@@ -1574,67 +1628,86 @@ def _build_p2(h, w, bd=8, ncand=8, dlf_on=True, cdef_on=True,
 
     def p2(src_pack, rec_y, rec_u, rec_v, skip16, dlf_y, dlf_uv,
            cands, damping, merge32=None, inter16=None, merge64=None,
-           split16=None, skip8m=None):
+           split16=None, skip8m=None, mergeh=None, mergev=None):
         src_y = src_pack[:h].astype(jnp.int32)
         src_u = src_pack[h:, :w // 2].astype(jnp.int32)
         src_v = src_pack[h:, w // 2:].astype(jnp.int32)
         ons = dict(y=(None, None), c=(None, None))
         if masked:
             merged16 = jnp.zeros((gh, gw), bool)
+            rect_h16 = jnp.zeros((gh, gw), bool)
+            rect_v16 = jnp.zeros((gh, gw), bool)
             if gh2 and gw2:
                 m2 = merge32.reshape(gh2, gw2)
                 merged16 = merged16.at[:gh2 * 2, :gw2 * 2].set(
                     jnp.repeat(jnp.repeat(m2, 2, 0), 2, 1))
+                if mergeh is not None:
+                    rect_h16 = rect_h16.at[:gh2 * 2, :gw2 * 2].set(
+                        jnp.repeat(jnp.repeat(
+                            mergeh.reshape(gh2, gw2), 2, 0), 2, 1))
+                if mergev is not None:
+                    rect_v16 = rect_v16.at[:gh2 * 2, :gw2 * 2].set(
+                        jnp.repeat(jnp.repeat(
+                            mergev.reshape(gh2, gw2), 2, 0), 2, 1))
             merged64_16 = jnp.zeros((gh, gw), bool)
             gh4, gw4 = gh2 // 2, gw2 // 2
             if merge64 is not None and gh4 and gw4:
                 m4 = merge64.reshape(gh4, gw4)
                 merged64_16 = merged64_16.at[:gh4 * 4, :gw4 * 4].set(
                     jnp.repeat(jnp.repeat(m4, 4, 0), 4, 1))
-            if split8:
-                tx16 = jnp.where(
-                    merged64_16, 16,
-                    jnp.where(merged16, 8,
-                              jnp.where(split16, 2, 4))) \
+
+            def _szmap(v64, v32, vrh, vrv, dflt, dsplit=None):
+                base = (jnp.where(split16, dsplit, dflt)
+                        if dsplit is not None else dflt)
+                return jnp.where(
+                    merged64_16, v64,
+                    jnp.where(merged16, v32,
+                              jnp.where(rect_h16, vrh,
+                                        jnp.where(rect_v16, vrv,
+                                                  base)))) \
                     .astype(jnp.int32)
+
+            if split8:
+                # per-direction tx extents in mi units (rect merges
+                # have txw != txh: HORZ -> 32x16, VERT -> 16x32)
+                txw16 = _szmap(16, 8, 8, 4, 4, 2)
+                txh16 = _szmap(16, 8, 4, 8, 4, 2)
                 inter8 = jnp.repeat(jnp.repeat(inter16, 2, 0), 2, 1)
                 sk8dlf = skip8m & inter8
                 skmi = jnp.repeat(jnp.repeat(sk8dlf, 2, 0), 2, 1)
             else:
                 skdlf = skip16 & inter16
-                tx16 = jnp.where(merged64_16, 16,
-                                 jnp.where(merged16, 8, 4)) \
-                    .astype(jnp.int32)
+                txw16 = _szmap(16, 8, 8, 4, 4)
+                txh16 = _szmap(16, 8, 4, 8, 4)
                 skmi = jnp.repeat(jnp.repeat(skdlf, 4, 0), 4, 1)
-            txmi = jnp.repeat(jnp.repeat(tx16, 4, 0), 4, 1)
-            flv = dlf_ops.edge_flens(txmi, txmi, skmi, True)
-            flh = dlf_ops.edge_flens(txmi.T, txmi.T, skmi.T, True).T
+            txwmi = jnp.repeat(jnp.repeat(txw16, 4, 0), 4, 1)
+            txhmi = jnp.repeat(jnp.repeat(txh16, 4, 0), 4, 1)
+            flv = dlf_ops.edge_flens(txwmi, txwmi, skmi, True)
+            flh = dlf_ops.edge_flens(txhmi.T, txhmi.T, skmi.T, True).T
             if split8:
                 # per-edge-line flen maps, luma edges every 8 px
                 ons["y"] = (jnp.repeat(flv[:, 2::2], 4, axis=0),
                             jnp.repeat(flh[2::2, :], 4, axis=1))
-                ctx16 = jnp.where(
-                    merged64_16, 8,
-                    jnp.where(merged16, 4,
-                              jnp.where(split16, 1, 2))) \
-                    .astype(jnp.int32)
-                ctxmi = jnp.repeat(jnp.repeat(ctx16, 2, 0), 2, 1)
+                ctxw16 = _szmap(8, 4, 4, 2, 2, 1)
+                ctxh16 = _szmap(8, 4, 2, 4, 2, 1)
+                ctxwmi = jnp.repeat(jnp.repeat(ctxw16, 2, 0), 2, 1)
+                ctxhmi = jnp.repeat(jnp.repeat(ctxh16, 2, 0), 2, 1)
                 cskmi = sk8dlf          # chroma-mi grid == 8px grid
-                cflv = dlf_ops.edge_flens(ctxmi, ctxmi, cskmi, False)
-                cflh = dlf_ops.edge_flens(ctxmi.T, ctxmi.T, cskmi.T,
+                cflv = dlf_ops.edge_flens(ctxwmi, ctxwmi, cskmi, False)
+                cflh = dlf_ops.edge_flens(ctxhmi.T, ctxhmi.T, cskmi.T,
                                           False).T
                 ons["c"] = (jnp.repeat(cflv[:, 1:], 4, axis=0),
                             jnp.repeat(cflh[1:, :], 4, axis=1))
             else:
                 ons["y"] = (jnp.repeat(flv[:, 4::4] > 0, 4, axis=0),
                             jnp.repeat(flh[4::4, :] > 0, 4, axis=1))
-                ctx16 = jnp.where(merged64_16, 8,
-                                  jnp.where(merged16, 4, 2)) \
-                    .astype(jnp.int32)
-                ctxmi = jnp.repeat(jnp.repeat(ctx16, 2, 0), 2, 1)
+                ctxw16 = _szmap(8, 4, 4, 2, 2)
+                ctxh16 = _szmap(8, 4, 2, 4, 2)
+                ctxwmi = jnp.repeat(jnp.repeat(ctxw16, 2, 0), 2, 1)
+                ctxhmi = jnp.repeat(jnp.repeat(ctxh16, 2, 0), 2, 1)
                 cskmi = jnp.repeat(jnp.repeat(skdlf, 2, 0), 2, 1)
-                cflv = dlf_ops.edge_flens(ctxmi, ctxmi, cskmi, False)
-                cflh = dlf_ops.edge_flens(ctxmi.T, ctxmi.T, cskmi.T,
+                cflv = dlf_ops.edge_flens(ctxwmi, ctxwmi, cskmi, False)
+                cflh = dlf_ops.edge_flens(ctxhmi.T, ctxhmi.T, cskmi.T,
                                           False).T
                 ons["c"] = (jnp.repeat(cflv[:, 2::2] > 0, 4, axis=0),
                             jnp.repeat(cflh[2::2, :] > 0, 4, axis=1))
@@ -1943,8 +2016,9 @@ def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
     lam = np.float32(0.7 * qstep * qstep)
     rt = md_rate_args(qindex, tuple(modes), _UV_MODES(), cdf_state,
                       inter_frame=True, exact=exact_rates)
-    p1 = _jit_p1(h, w, R, tuple(modes), bd, ring, R == 2, rad2, rad0,
-                 hp, obmc, interintra, skip_mode and R == 2, tx_search,
+    has_bwd = R >= 2 and ref_enums[-1] == 7  # ALTREF_FRAME present
+    p1 = _jit_p1(h, w, R, tuple(modes), bd, ring, has_bwd, rad2, rad0,
+                 hp, obmc, interintra, skip_mode and has_bwd, tx_search,
                  split8)
     outs = p1(src_pack_u8, refs_y, refs_u, refs_v,
               *(np.asarray(a) for a in qp), lam,
@@ -1972,7 +2046,8 @@ def run_inter_frame(src_pack_u8: np.ndarray, refs: Dict[int, Dict],
                  dlf_ladder_params(qindex, False),
                  dlf_ladder_params(qindex, True),
                  cands, np.int32(cdef_damping(qindex)),
-                 outs[22], inter16, outs[23], *extra)
+                 outs[22], inter16, outs[23], *extra,
+                 mergeh=outs[28], mergev=outs[29])
     pend = PendingInterFrame(outs, p2_outs, ref_enums, h, w, qindex)
     pend.cdef_cands = cands
     pend.cdef_on = cdef_on
@@ -2075,7 +2150,7 @@ def collect_inter_frame(pend: PendingInterFrame, bd: int = 8):
     (ymode, umode, choose, iskip, imv, imv2, iref_idx, icomp, iwarp,
      iwedge, iobmc, iimodes, qy_f, qu_f, qv_f, gm_mats, gm_trans,
      gm_kinds, interp, merge32, merge64, itx, isplit, ismv, issk,
-     dlf_levels, best_ci) = pulled
+     mergeh, mergev, dlf_levels, best_ci) = pulled
     rec_y, rec_u, rec_v = pend.recon["y"], pend.recon["u"], pend.recon["v"]
 
     cdef_info = None
@@ -2109,6 +2184,13 @@ def collect_inter_frame(pend: PendingInterFrame, bd: int = 8):
         merged64_16[:gh4 * 4, :gw4 * 4] = np.repeat(
             np.repeat(np.asarray(merge64).reshape(gh4, gw4), 4, 0),
             4, 1)
+    recth16 = np.zeros((gh, gw), bool)
+    rectv16 = np.zeros((gh, gw), bool)
+    if gh2 and gw2:
+        recth16[:gh2 * 2, :gw2 * 2] = np.repeat(
+            np.repeat(np.asarray(mergeh).reshape(gh2, gw2), 2, 0), 2, 1)
+        rectv16[:gh2 * 2, :gw2 * 2] = np.repeat(
+            np.repeat(np.asarray(mergev).reshape(gh2, gw2), 2, 0), 2, 1)
     z64 = np.zeros((4 * BLK, 4 * BLK), np.int32)
     z32 = np.zeros((2 * BLK, 2 * BLK), np.int32)
     z32c = np.zeros((4 * CBLK, 4 * CBLK), np.int32)
@@ -2143,6 +2225,31 @@ def collect_inter_frame(pend: PendingInterFrame, bd: int = 8):
                 ref2=(int(mv_pred.ALTREF_FRAME) if icomp[bid] else 0),
                 mv2=((int(imv2[bid, 0]), int(imv2[bid, 1]))
                      if icomp[bid] else (0, 0)))
+            continue
+        if recth16[by, bx] or rectv16[by, bx]:
+            if by % 2 or bx % 2:
+                continue          # covered by the rect pair's leaves
+            horz = bool(recth16[by, bx])
+            sub = cc.BLOCK_32X16 if horz else cc.BLOCK_16X32
+            zy_s = (16, 32) if horz else (32, 16)
+            zc_s = (8, 16) if horz else (16, 8)
+            for half in (0, 1):
+                hb = bid + half * (gw if horz else 1)
+                hr4 = r4 + (4 * half if horz else 0)
+                hc4 = c4 + (0 if horz else 4 * half)
+                decisions[(hr4, hc4)] = BlockDecision(
+                    r4=hr4, c4=hc4, bsize=sub, y_mode=cc.DC_PRED,
+                    uv_mode=cc.DC_PRED, tx_type=cc.DCT_DCT,
+                    qcoeff_y=np.zeros(zy_s, np.int32),
+                    qcoeff_u=np.zeros(zc_s, np.int32),
+                    qcoeff_v=np.zeros(zc_s, np.int32),
+                    is_inter=True,
+                    mv=(int(imv[hb, 0]), int(imv[hb, 1])),
+                    ref=int(enums[iref_idx[hb]]),
+                    ref2=(int(mv_pred.ALTREF_FRAME) if icomp[hb]
+                          else 0),
+                    mv2=((int(imv2[hb, 0]), int(imv2[hb, 1]))
+                         if icomp[hb] else (0, 0)))
             continue
         if choose[bid] and isplit[bid]:
             # 8x8 partition split: four single-ref leaves, each with

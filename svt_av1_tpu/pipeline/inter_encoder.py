@@ -657,12 +657,15 @@ def reconstruct_inter_from_decisions(decisions: Dict, ref,
     # sliding window over the padded reference
     import dataclasses as _dc
     work = {}
+    big = (cc.BLOCK_32X32, cc.BLOCK_64X64, cc.BLOCK_32X16,
+           cc.BLOCK_16X32, cc.BLOCK_64X32, cc.BLOCK_32X64)
     for k, d in decisions.items():
-        if d.is_inter and d.bsize in (cc.BLOCK_32X32, cc.BLOCK_64X64):
+        if d.is_inter and d.bsize in big:
             assert d.skip, "non-skip merged inter needs big-TX recon"
-            n4 = 8 if d.bsize == cc.BLOCK_32X32 else 16
-            for dr in range(0, n4, 4):
-                for dc2 in range(0, n4, 4):
+            w4 = int(cc.block_size_wide[d.bsize]) >> 2
+            h4 = int(cc.block_size_high[d.bsize]) >> 2
+            for dr in range(0, h4, 4):
+                for dc2 in range(0, w4, 4):
                     nk = (k[0] + dr, k[1] + dc2)
                     work[nk] = _dc.replace(
                         d, r4=nk[0], c4=nk[1], bsize=cc.BLOCK_16X16,

@@ -61,6 +61,11 @@ class PresetFeatures:
                              # projected motion field in the MV stacks)
     palette: bool = False    # screen-content palette MD on key frames
                              # (+ sequence SELECT screen content tools)
+    mref: bool = False       # third (GOLDEN-role) reference in the
+                             # inter pass-A merge: mids also search the
+                             # mini-GoP anchor, bases the previous
+                             # anchor (RPS role, Table 5 of
+                             # svt-av1-encoder-design.md:528-545)
 
 
 # Per-preset operating points (enc_mode_config.c role): a lookup key is
@@ -71,7 +76,7 @@ _QUALITY_EXTRAS = dict(varpart=True, tx_search=True, angle_deltas=True,
                        cfl=True, dlf_search=True, cdef_sb=True,
                        filter_intra=True, obmc=True, interintra=True,
                        exact_rates=True, part8=True, tmvp=True,
-                       palette=True)
+                       palette=True, mref=True)
 _LADDER = {
     # m: (n_modes, rad2, rad0, ring, cdef_n, lr_step, extras)
     0:  (11, 10, 7, True, 8, 1, _QUALITY_EXTRAS),
